@@ -1,0 +1,600 @@
+"""Pure-NumPy HeavyKeeper top-K sketch kernel.
+
+A from-scratch, vectorized re-implementation of the *semantics* of the
+reference crate (pmcgleenon/heavykeeper-rs, /root/reference — read
+only).  The reference is a single-threaded Rust library processing one
+item at a time; this kernel processes Arrow-sized batches with NumPy
+array ops and only drops to per-item Python for the statistically rare
+"decay duel survivor" residue.  Counts, fingerprints and bucket layout
+follow the paper / reference semantics:
+
+- state: ``depth`` rows x ``width`` buckets, each bucket a
+  ``(fingerprint: u64, count: u64)`` cell (src/heavykeeper.rs:14-18)
+  — stored here as two ``uint64`` arrays of shape ``(depth, width)``.
+- one base hash per item, per-row indices derived by hash composition
+  (src/hash_composition.rs:13-44): ``h2 = (h1 >> 32) * K``,
+  row i>0: ``h1 = rotl(h1 + h2, 5)``; index = ``h & (width-1)`` for
+  power-of-two widths else ``h % width``.
+- add(item, w): per row — fingerprint match or empty cell =>
+  ``count += w``; else an exponential-decay duel: each unit of w
+  decrements the cell with probability ``decay**count``; if the cell
+  reaches 0 the challenger seizes it with the remaining increment
+  (src/heavykeeper.rs:281-354; e.g. 3000 vs a count-1000 cell under
+  forced decay yields 2001 = 3000 - 999, src/heavykeeper.rs:766-794).
+- a bounded min-heap of K candidates with monotone ("only raise")
+  updates and deterministic (count desc, insertion seq asc) ordering
+  (src/priority_queue.rs:104-211).
+- merge: per-cell equal fingerprints add, empty copies, otherwise keep
+  self (src/heavykeeper.rs:406-457); candidate merge uses the
+  *pre-merge* bucket_count of the non-tracking side as fallback — the
+  BucketedTopK improvement (src/bucketed.rs:377-401) — which is
+  strictly more accurate than the plain-TopK ``unwrap_or(0)``.
+
+Statistical fidelity, not bit-equality, is the contract: the duel is
+sampled with exact distributions (geometric inter-decrement gaps and a
+conditioned first-success fast path) so the accuracy floors of
+tests/accuracy_compare.rs hold, while merge order-independence is only
+guaranteed within the published HeavyKeeper error bound (see
+SURVEY.md §2.7).
+"""
+
+from __future__ import annotations
+
+import heapq
+import io
+import pickle
+import struct
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+
+from .errors import InvalidDecay, InvalidDepth, InvalidK, InvalidWidth, SketchCompatError
+
+_U64 = np.uint64
+_HASH_COMPOSE_K = _U64(0x517CC1B727220A95)  # src/hash_composition.rs:15
+_DEFAULT_SEED = 12345  # src/heavykeeper.rs:111-115 (fixed default seed)
+_MAGIC = b"HKS1"
+
+
+def _hash_key_for_seed(seed: int) -> str:
+    """16-byte hash key for pandas' SipHash, derived from the sketch seed.
+
+    Mirrors the role of ``ahash::RandomState::with_seeds(seed,..)``
+    (src/heavykeeper.rs:118-121): same seed => same hash function =>
+    merge-compatible sketches.
+    """
+    return format(seed & 0xFFFFFFFFFFFFFFFF, "016x")
+
+
+def hash_items(items: np.ndarray, seed: int) -> np.ndarray:
+    """Vectorized 64-bit hash of an object array of bytes/str keys.
+
+    One C-level SipHash pass per batch — the analog of the reference's
+    single ahash per item (src/hash_composition.rs:13-22). No per-row
+    Python.
+    """
+    arr = np.asarray(items, dtype=object)
+    return pd.util.hash_array(arr, hash_key=_hash_key_for_seed(seed), categorize=False)
+
+
+def _rotl64(x: np.ndarray, r: int) -> np.ndarray:
+    r_ = _U64(r)
+    inv = _U64(64 - r)
+    return (x << r_) | (x >> inv)
+
+
+def compose_indices(h1: np.ndarray, depth: int, width: int) -> np.ndarray:
+    """Derive ``depth`` bucket-index vectors from one hash.
+
+    Same arithmetic as HashComposer (src/hash_composition.rs:15,35-44):
+    ``h2 = (h1 >> 32) * 0x517cc1b727220a95``; row i>0:
+    ``h1 = rotl(h1 + h2, 5)``; power-of-two widths use an AND mask
+    (src/heavykeeper.rs:153-157).
+    """
+    n = h1.shape[0]
+    out = np.empty((depth, n), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        h2 = (h1 >> _U64(32)) * _HASH_COMPOSE_K
+        h = h1.copy()
+        pow2 = (width & (width - 1)) == 0
+        mask = _U64(width - 1)
+        for d in range(depth):
+            if d > 0:
+                h = _rotl64(h + h2, 5)
+            out[d] = (h & mask) if pow2 else (h % _U64(width))
+    return out
+
+
+@dataclass(frozen=True)
+class HKParams:
+    """Sketch shape; fixed at construction, enforced at merge.
+
+    Defaults mirror the reference builders (src/heavykeeper.rs:503-578):
+    decay 0.9, seed 12345. Validation mirrors BuilderError variants.
+    """
+
+    k: int
+    width: int
+    depth: int
+    decay: float = 0.9
+    seed: int = _DEFAULT_SEED
+
+    def __post_init__(self) -> None:
+        if not isinstance(self.k, int) or self.k < 1:
+            raise InvalidK(f"k must be >= 1, got {self.k!r}")
+        if not isinstance(self.width, int) or self.width < 1:
+            raise InvalidWidth(f"width must be >= 1, got {self.width!r}")
+        if not isinstance(self.depth, int) or self.depth < 1:
+            raise InvalidDepth(f"depth must be >= 1, got {self.depth!r}")
+        d = float(self.decay)
+        if not (0.0 <= d <= 1.0) or not np.isfinite(d):
+            raise InvalidDecay(f"decay must be in [0, 1] and finite, got {self.decay!r}")
+
+    def check_compatible(self, other: "HKParams") -> None:
+        for f in ("width", "depth", "decay", "k", "seed"):
+            if getattr(self, f) != getattr(other, f):
+                raise SketchCompatError(f, getattr(self, f), getattr(other, f))
+
+
+class TopKQueue:
+    """Bounded min-heap of the K candidates.
+
+    Mirrors TopKQueue semantics (src/priority_queue.rs): ``upsert``
+    replaces the heap minimum only when ``count > min_count``
+    (:138-189); updates never decrease a tracked count (:104-122);
+    ties on equal counts order by insertion sequence, first-in first
+    (:204-207).  Implemented as a dict + lazy-deletion heapq (counts
+    are monotone, so stale heap entries are always <= live ones).
+    """
+
+    __slots__ = ("k", "counts", "seqs", "_heap", "_seq")
+
+    def __init__(self, k: int) -> None:
+        self.k = k
+        self.counts: dict[bytes, int] = {}
+        self.seqs: dict[bytes, int] = {}
+        self._heap: list[tuple[int, int, bytes]] = []
+        self._seq = 0
+
+    def __len__(self) -> int:
+        return len(self.counts)
+
+    def _prune(self) -> None:
+        h = self._heap
+        while h and self.counts.get(h[0][2]) != h[0][0]:
+            heapq.heappop(h)
+
+    def min_count(self) -> int:
+        """Count of the heap root, or 0 when not yet full (admit-all)."""
+        if len(self.counts) < self.k:
+            return 0
+        self._prune()
+        return self._heap[0][0] if self._heap else 0
+
+    def get(self, item: bytes) -> int | None:
+        return self.counts.get(item)
+
+    def update_if_present(self, item: bytes, count: int) -> None:
+        """Never decreases (src/priority_queue.rs:104-122)."""
+        old = self.counts.get(item)
+        if old is not None and count > old:
+            self.counts[item] = count
+            heapq.heappush(self._heap, (count, self.seqs[item], item))
+
+    def upsert(self, item: bytes, count: int) -> bytes | None:
+        """Insert/raise; returns the evicted item if one fell out."""
+        old = self.counts.get(item)
+        if old is not None:
+            if count > old:
+                self.counts[item] = count
+                heapq.heappush(self._heap, (count, self.seqs[item], item))
+            return None
+        if len(self.counts) < self.k:
+            self._admit(item, count)
+            return None
+        self._prune()
+        if not self._heap or count <= self._heap[0][0]:
+            return None  # strictly-greater rule (src/priority_queue.rs:176-188)
+        _, _, victim = heapq.heappop(self._heap)
+        del self.counts[victim]
+        del self.seqs[victim]
+        self._admit(item, count)
+        return victim
+
+    def _admit(self, item: bytes, count: int) -> None:
+        self.counts[item] = count
+        self.seqs[item] = self._seq
+        self._seq += 1
+        heapq.heappush(self._heap, (count, self.seqs[item], item))
+
+    def items_sorted(self) -> list[tuple[bytes, int]]:
+        """(count desc, insertion seq asc) — src/priority_queue.rs:191-211."""
+        return [
+            (it, c)
+            for it, c in sorted(
+                self.counts.items(), key=lambda kv: (-kv[1], self.seqs[kv[0]])
+            )
+        ]
+
+
+class HeavyKeeper:
+    """Mergeable top-K HeavyKeeper sketch over byte-string keys."""
+
+    def __init__(self, params: HKParams, rng: np.random.Generator | None = None) -> None:
+        self.params = params
+        self.fps = np.zeros((params.depth, params.width), dtype=np.uint64)
+        self.counts = np.zeros((params.depth, params.width), dtype=np.uint64)
+        self.pq = TopKQueue(params.k)
+        # Deterministic per-instance RNG; distributed callers pass
+        # Generator(PCG64(seed ^ partition_id)) — analog of the seeded
+        # SmallRng (src/heavykeeper.rs:70-83).
+        self.rng = rng if rng is not None else np.random.default_rng(params.seed)
+        # Test hook: force decay outcomes, mirrors the reference unit
+        # tests' threshold overwrites (src/heavykeeper.rs:766-794).
+        self._force_decay: bool | None = None
+
+    # -- construction helpers (reference builder surface, O1/O2/O4) ----
+    @classmethod
+    def new(cls, k: int, width: int, depth: int, decay: float = 0.9) -> "HeavyKeeper":
+        return cls(HKParams(k=k, width=width, depth=depth, decay=decay))
+
+    @classmethod
+    def with_seed(
+        cls, k: int, width: int, depth: int, decay: float, seed: int
+    ) -> "HeavyKeeper":
+        return cls(HKParams(k=k, width=width, depth=depth, decay=decay, seed=seed))
+
+    # ------------------------------------------------------------------
+    def _decay_p(self, counts: np.ndarray) -> np.ndarray:
+        """P(decrement) = decay**count (vectorized float64; underflows
+        to 0 for large counts — same effect as the reference's 1024-
+        entry threshold table + powf tail, src/heavykeeper.rs:95-104)."""
+        if self._force_decay is True:
+            return np.ones(counts.shape, dtype=np.float64)
+        if self._force_decay is False:
+            return np.zeros(counts.shape, dtype=np.float64)
+        with np.errstate(under="ignore"):
+            return np.power(self.params.decay, counts.astype(np.float64))
+
+    # -- O5/O6: weighted batch add -------------------------------------
+    def add_batch(self, items: np.ndarray, weights: np.ndarray | None = None) -> None:
+        """Insert a batch of (item, weight) pairs.
+
+        Batch pre-aggregation (np.unique) collapses Zipf-skewed batches
+        to near-distinct weighted adds — the vectorized analog of the
+        reference's first-class weighted ``add(item, n)``
+        (src/heavykeeper.rs:273-279).
+        """
+        arr = np.asarray(items, dtype=object)
+        if arr.size == 0:
+            return
+        if weights is None:
+            u, cnt = np.unique(arr, return_counts=True)
+            w = cnt.astype(np.int64)
+        else:
+            u, inv = np.unique(arr, return_inverse=True)
+            w = np.bincount(inv, weights=np.asarray(weights, dtype=np.float64)).astype(
+                np.int64
+            )
+        keep = w > 0  # inc == 0 is a no-op (src/heavykeeper.rs:286-288)
+        self._add_unique(u[keep], w[keep])
+
+    def _add_unique(self, keys: np.ndarray, w: np.ndarray) -> None:
+        n = keys.shape[0]
+        if n == 0:
+            return
+        p = self.params
+        fp = hash_items(keys, p.seed)
+        idxs = compose_indices(fp, p.depth, p.width)
+        for d in range(p.depth):
+            self._add_row(d, idxs[d], fp, w)
+        # Final re-probe: resulting count per key = max over rows where
+        # the key currently owns the cell (paper Algorithm 1's monotone
+        # heap rule uses the per-add max; probing after the batch is
+        # equivalent up to intra-batch eviction races).
+        est = np.zeros(n, dtype=np.int64)
+        for d in range(p.depth):
+            idx = idxs[d]
+            m = (self.fps[d, idx] == fp) & (self.counts[d, idx] > 0)
+            np.maximum(est, np.where(m, self.counts[d, idx].astype(np.int64), 0), out=est)
+        # PQ update, vectorized pre-filter: only keys that can change
+        # the heap (est > heap min) need Python-level upserts.
+        mc = self.pq.min_count()
+        sel = np.flatnonzero(est > mc)
+        if sel.size:
+            # preserve deterministic order: weight-desc then key, so
+            # equal-count ties get a stable insertion sequence
+            order = sel[np.lexsort((np.asarray(keys[sel]), -est[sel]))]
+            upsert = self.pq.upsert
+            for i in order:
+                upsert(_as_bytes(keys[i]), int(est[i]))
+
+    def _add_row(self, d: int, idx: np.ndarray, fp: np.ndarray, w: np.ndarray) -> None:
+        fps_row = self.fps[d]
+        cnt_row = self.counts[d]
+        cfp = fps_row[idx]
+        ccnt = cnt_row[idx]
+        # Fast path 1: fingerprint match on a live cell -> count += w
+        # (src/heavykeeper.rs:303-307). np.add.at handles rare distinct
+        # keys sharing a fingerprint+cell.
+        m = (ccnt > 0) & (cfp == fp)
+        if m.any():
+            np.add.at(cnt_row, idx[m], w[m].astype(np.uint64))
+        rem = np.flatnonzero(~m)
+        if rem.size == 0:
+            return
+        # Group remaining challengers by target cell, heaviest first.
+        order = rem[np.lexsort((-w[rem], idx[rem]))]
+        cells = idx[order]
+        is_winner = np.empty(cells.shape[0], dtype=bool)
+        is_winner[0] = True
+        np.not_equal(cells[1:], cells[:-1], out=is_winner[1:])
+        winners = order[is_winner]
+        wcells = cells[is_winner]
+        # Fast path 2: winners over empty cells install directly
+        # (src/heavykeeper.rs:296-301). Winner cells are unique.
+        wempty = cnt_row[wcells] == 0
+        if wempty.any():
+            tgt = wcells[wempty]
+            src = winners[wempty]
+            fps_row[tgt] = fp[src]
+            cnt_row[tgt] = w[src].astype(np.uint64)
+        # Everyone else duels the (possibly just-installed) occupant.
+        duelers = np.concatenate([winners[~wempty], order[~is_winner]])
+        if duelers.size == 0:
+            return
+        # Re-check fingerprint match (a loser may share the new
+        # occupant's fingerprint on a true hash collision).
+        dcells = idx[duelers]
+        dm = fps_row[dcells] == fp[duelers]
+        if dm.any():
+            np.add.at(cnt_row, dcells[dm], w[duelers[dm]].astype(np.uint64))
+            duelers = duelers[~dm]
+            dcells = dcells[~dm]
+        if duelers.size == 0:
+            return
+        # Vectorized fast-reject: P(>=1 decrement in w trials) =
+        # 1-(1-p)^w with p = decay**count. The overwhelming majority of
+        # duels end here with no state change — only conditioned
+        # survivors take the exact per-item path.
+        c = cnt_row[dcells].astype(np.float64)
+        pm = self._decay_p(c)
+        with np.errstate(divide="ignore", invalid="ignore", under="ignore"):
+            log1m = np.log1p(-pm)  # -inf when pm == 1
+            p_any = -np.expm1(w[duelers].astype(np.float64) * log1m)
+        p_any = np.where(pm >= 1.0, 1.0, p_any)
+        u = self.rng.random(duelers.size)
+        surv = u < p_any
+        if not surv.any():
+            return
+        # Exact sequential residue, conditioned on >= 1 success.
+        for j in np.flatnonzero(surv):
+            self._duel_one(
+                fps_row,
+                cnt_row,
+                int(dcells[j]),
+                fp[duelers[j]],
+                int(w[duelers[j]]),
+                first_success=True,
+            )
+
+    def _duel_one(
+        self,
+        fps_row: np.ndarray,
+        cnt_row: np.ndarray,
+        cell: int,
+        new_fp: np.uint64,
+        w: int,
+        first_success: bool,
+    ) -> None:
+        """Exact decay duel for one challenger (src/heavykeeper.rs:309-328).
+
+        Statistically identical to the reference's per-unit Bernoulli
+        loop but sampled in O(#decrements): inter-decrement gaps are
+        Geometric(p). ``first_success`` means the caller already
+        established (via the vectorized fast-reject) that at least one
+        decrement occurs within w trials, so the first gap is drawn
+        from the conditioned (truncated) geometric.
+        """
+        remaining = w
+        decay = self.params.decay
+        rng = self.rng
+        c = int(cnt_row[cell])
+        if c == 0:  # occupant died in an earlier residue duel this batch
+            fps_row[cell] = new_fp
+            cnt_row[cell] = remaining
+            return
+        force = self._force_decay
+        while remaining > 0 and c > 0:
+            if force is True:
+                p = 1.0
+            elif force is False:
+                return
+            else:
+                p = decay**c
+            if p <= 0.0:
+                return
+            if first_success:
+                # truncated geometric on [1, remaining]
+                if p >= 1.0:
+                    t = 1
+                else:
+                    total = -np.expm1(remaining * np.log1p(-p))
+                    uu = rng.random() * total
+                    t = int(np.ceil(np.log1p(-uu) / np.log1p(-p)))
+                    t = min(max(t, 1), remaining)
+                first_success = False
+            else:
+                if p >= 1.0:
+                    t = 1
+                elif p * remaining < 1e-12:
+                    # survival shortcut: P(any success) ~ p*remaining
+                    if rng.random() < p * remaining:
+                        t = int(rng.integers(1, remaining + 1))
+                    else:
+                        return
+                else:
+                    t = int(rng.geometric(p))
+                    if t > remaining:
+                        return
+            remaining -= t
+            c -= 1
+            cnt_row[cell] = c
+            if c == 0:
+                # challenger seizes; the converting trial counts as the
+                # first unit of the new count (src/heavykeeper.rs:766-794:
+                # 3000 vs 1000 under forced decay -> 2001)
+                fps_row[cell] = new_fp
+                cnt_row[cell] = remaining + 1
+                return
+
+    # -- O7/O8: point estimates ----------------------------------------
+    def estimate(self, items: np.ndarray, use_heap: bool = True) -> np.ndarray:
+        """Vectorized count(): PQ value if tracked, else min over rows
+        with a matching fingerprint, else 0 (src/heavykeeper.rs:220-246).
+        ``use_heap=False`` is bucket_count() (src/heavykeeper.rs:248-271).
+        """
+        arr = np.asarray(items, dtype=object)
+        n = arr.shape[0]
+        p = self.params
+        fp = hash_items(arr, p.seed)
+        idxs = compose_indices(fp, p.depth, p.width)
+        out = np.zeros(n, dtype=np.int64)
+        seen = np.zeros(n, dtype=bool)
+        for d in range(p.depth):
+            idx = idxs[d]
+            m = (self.fps[d, idx] == fp) & (self.counts[d, idx] > 0)
+            row = self.counts[d, idx].astype(np.int64)
+            upd_new = m & ~seen
+            out[upd_new] = row[upd_new]
+            upd_min = m & seen
+            np.minimum(out, np.where(upd_min, row, np.iinfo(np.int64).max), out=out)
+            seen |= m
+        if use_heap and self.pq.counts:
+            get = self.pq.counts.get
+            for i in range(n):
+                c = get(_as_bytes(arr[i]))
+                if c is not None:
+                    out[i] = c
+        return out
+
+    def contains(self, item: bytes | str) -> bool:
+        """O9 (src/heavykeeper.rs:177-199)."""
+        return bool(self.estimate(np.asarray([item], dtype=object))[0] > 0)
+
+    def contains_top_k(self, item: bytes | str) -> bool:
+        """O11 (src/heavykeeper.rs:211-218)."""
+        return _as_bytes(item) in self.pq.counts
+
+    # -- O12: ordered candidates ----------------------------------------
+    def list(self) -> list[tuple[bytes, int]]:
+        return self.pq.items_sorted()
+
+    # -- O13: merge ------------------------------------------------------
+    def merge(self, other: "HeavyKeeper") -> "HeavyKeeper":
+        """In-place union; see module docstring for semantics & parity."""
+        self.params.check_compatible(other.params)
+        # Candidate merge FIRST, using pre-merge bucket_count fallback
+        # in both directions (src/bucketed.rs:377-401).
+        other_items = list(other.pq.counts.items())
+        if other_items:
+            keys = np.asarray([k for k, _ in other_items], dtype=object)
+            self_fallback = self.estimate(keys, use_heap=True)
+            for (item, ocount), sc in zip(other_items, self_fallback):
+                self.pq.upsert(item, int(ocount) + int(sc))
+        mine = [k for k in self.pq.counts if k not in other.pq.counts]
+        if mine:
+            keys = np.asarray(mine, dtype=object)
+            oc = other.estimate(keys, use_heap=False)
+            for item, extra in zip(mine, oc):
+                if extra > 0:
+                    self.pq.update_if_present(
+                        item, self.pq.counts[item] + int(extra)
+                    )
+        # Cell union (src/heavykeeper.rs:437-448): equal fp -> add;
+        # self empty -> copy other; else keep self.
+        with np.errstate(over="ignore"):
+            same = (self.fps == other.fps) & (self.counts > 0) & (other.counts > 0)
+            self.counts[same] += other.counts[same]
+            empty = self.counts == 0
+            self.fps[empty] = other.fps[empty]
+            self.counts[empty] = other.counts[empty]
+        # Re-probe self-only candidates against the merged cells so
+        # their counts reflect other's mass when fingerprints lined up.
+        own = [k for k in self.pq.counts if k not in other.pq.counts]
+        if own:
+            keys = np.asarray(own, dtype=object)
+            probe = self.estimate(keys, use_heap=False)
+            for item, pc in zip(own, probe):
+                self.pq.update_if_present(item, int(pc))
+        return self
+
+    # -- O14: memory audit ------------------------------------------------
+    def mem_bytes(self) -> int:
+        """Analog of mem_bytes() (src/heavykeeper.rs:388-403)."""
+        items = sum(len(k) + 96 for k in self.pq.counts)
+        return int(self.fps.nbytes + self.counts.nbytes + items)
+
+    # -- O15: debug dump ---------------------------------------------------
+    def describe(self) -> dict:
+        nz = int((self.counts > 0).sum())
+        return {
+            "params": self.params.__dict__,
+            "nonzero_cells": nz,
+            "fill": nz / (self.params.depth * self.params.width),
+            "tracked": len(self.pq),
+            "mem_bytes": self.mem_bytes(),
+        }
+
+    # -- serialization ------------------------------------------------------
+    def serialize(self) -> bytes:
+        p = self.params
+        head = struct.pack(
+            "<4sBqqqdq", _MAGIC, 1, p.k, p.width, p.depth, p.decay, p.seed
+        )
+        buf = io.BytesIO()
+        buf.write(head)
+        buf.write(self.fps.tobytes())
+        buf.write(self.counts.tobytes())
+        cand = [
+            (k, int(c), int(self.pq.seqs[k])) for k, c in self.pq.counts.items()
+        ]
+        buf.write(pickle.dumps(cand, protocol=pickle.HIGHEST_PROTOCOL))
+        return buf.getvalue()
+
+    @classmethod
+    def deserialize(cls, blob: bytes) -> "HeavyKeeper":
+        hs = struct.calcsize("<4sBqqqdq")
+        magic, ver, k, width, depth, decay, seed = struct.unpack("<4sBqqqdq", blob[:hs])
+        if magic != _MAGIC or ver != 1:
+            raise ValueError("not a HeavyKeeper v1 blob")
+        params = HKParams(k=int(k), width=int(width), depth=int(depth), decay=float(decay), seed=int(seed))
+        sk = cls(params)
+        cells = depth * width
+        off = hs
+        sk.fps = np.frombuffer(blob[off : off + 8 * cells], dtype=np.uint64).reshape(depth, width).copy()
+        off += 8 * cells
+        sk.counts = np.frombuffer(blob[off : off + 8 * cells], dtype=np.uint64).reshape(depth, width).copy()
+        off += 8 * cells
+        cand = pickle.loads(blob[off:])
+        for item, c, seq in sorted(cand, key=lambda t: t[2]):
+            sk.pq.upsert(item, c)
+        return sk
+
+
+def _as_bytes(x: object) -> bytes:
+    if isinstance(x, bytes):
+        return x
+    if isinstance(x, str):
+        return x.encode("utf-8")
+    return str(x).encode("utf-8")
+
+
+def merge_blobs(blobs: list[bytes]) -> bytes:
+    """Associative reduce over serialized sketches (combine stage)."""
+    it = iter(blobs)
+    acc = HeavyKeeper.deserialize(next(it))
+    for b in it:
+        acc.merge(HeavyKeeper.deserialize(b))
+    return acc.serialize()

@@ -1,0 +1,258 @@
+"""Kernel unit tests mirroring the reference's in-file #[cfg(test)] suites
+(src/heavykeeper.rs:580-1563, src/priority_queue.rs:278-429). Decay is
+forced on/off via the `_force_decay` hook — the analog of the reference
+tests overwriting the decay-threshold table."""
+
+import numpy as np
+import pytest
+
+from heavykeeper_rs_spark.errors import (
+    InvalidDecay,
+    InvalidDepth,
+    InvalidK,
+    InvalidWidth,
+    SketchCompatError,
+)
+from heavykeeper_rs_spark.kernel import HeavyKeeper, HKParams, TopKQueue, hash_items
+
+
+def keys(*xs):
+    return np.asarray([x.encode() if isinstance(x, str) else x for x in xs], dtype=object)
+
+
+# ---------------------------------------------------------------- queue
+class TestQueue:
+    def test_insert_and_order(self):
+        q = TopKQueue(3)
+        q.upsert(b"a", 5)
+        q.upsert(b"b", 9)
+        q.upsert(b"c", 5)
+        # ties by insertion sequence asc (src/priority_queue.rs:204-207)
+        assert q.items_sorted() == [(b"b", 9), (b"a", 5), (b"c", 5)]
+
+    def test_capacity_eviction_strictly_greater(self):
+        q = TopKQueue(2)
+        q.upsert(b"a", 5)
+        q.upsert(b"b", 9)
+        assert q.upsert(b"c", 5) is None  # equal min -> rejected
+        assert b"c" not in q.counts
+        assert q.upsert(b"c", 6) == b"a"  # strictly greater evicts min
+        assert q.items_sorted() == [(b"b", 9), (b"c", 6)]
+
+    def test_update_never_decreases(self):
+        q = TopKQueue(2)
+        q.upsert(b"a", 5)
+        q.update_if_present(b"a", 3)
+        assert q.counts[b"a"] == 5
+        q.update_if_present(b"a", 7)
+        assert q.counts[b"a"] == 7
+
+    def test_min_count(self):
+        q = TopKQueue(2)
+        assert q.min_count() == 0
+        q.upsert(b"a", 5)
+        assert q.min_count() == 0  # not full yet
+        q.upsert(b"b", 9)
+        assert q.min_count() == 5
+
+
+# ---------------------------------------------------------------- params
+class TestParams:
+    def test_builder_validation(self):
+        with pytest.raises(InvalidK):
+            HKParams(k=0, width=8, depth=2)
+        with pytest.raises(InvalidWidth):
+            HKParams(k=1, width=0, depth=2)
+        with pytest.raises(InvalidDepth):
+            HKParams(k=1, width=8, depth=0)
+        with pytest.raises(InvalidDecay):
+            HKParams(k=1, width=8, depth=2, decay=1.5)
+        with pytest.raises(InvalidDecay):
+            HKParams(k=1, width=8, depth=2, decay=float("nan"))
+
+    def test_merge_compat(self):
+        a = HeavyKeeper.new(10, 64, 4)
+        b = HeavyKeeper.new(10, 128, 4)
+        with pytest.raises(SketchCompatError):
+            a.merge(b)
+        c = HeavyKeeper.with_seed(10, 64, 4, 0.9, seed=99)
+        with pytest.raises(SketchCompatError):
+            a.merge(c)
+
+
+# ---------------------------------------------------------------- hashing
+class TestHashing:
+    def test_deterministic_and_seeded(self):
+        a = keys("x", "y", "emoji☃")
+        h1 = hash_items(a, 12345)
+        h2 = hash_items(a, 12345)
+        h3 = hash_items(a, 54321)
+        assert (h1 == h2).all()
+        assert (h1 != h3).any()
+        assert h1.dtype == np.uint64
+
+    def test_bytes_vs_str_disjoint_but_stable(self):
+        assert hash_items(keys("abc"), 1)[0] == hash_items(keys("abc"), 1)[0]
+
+
+# ---------------------------------------------------------------- sketch
+class TestSketch:
+    def test_exact_when_uncontended(self):
+        # src/heavykeeper.rs:653-687: with ample width, counts are exact
+        sk = HeavyKeeper.new(10, 1024, 4)
+        items = keys(*([f"k{i}" for i in range(20) for _ in range(i + 1)]))
+        sk.add_batch(items)
+        est = sk.estimate(keys(*[f"k{i}" for i in range(20)]))
+        assert list(est) == [i + 1 for i in range(20)]
+        top = sk.list()
+        assert top[0] == (b"k19", 20)
+        assert len(top) == 10
+        assert [c for _, c in top] == list(range(20, 10, -1))
+
+    def test_weighted_add(self):
+        sk = HeavyKeeper.new(5, 256, 4)
+        sk.add_batch(keys("a", "b"), np.array([100, 7]))
+        sk.add_batch(keys("a"), np.array([1]))
+        assert sk.estimate(keys("a"))[0] == 101
+        assert sk.estimate(keys("b"))[0] == 7
+        assert sk.estimate(keys("zzz"))[0] == 0
+
+    def test_zero_increment_noop(self):
+        sk = HeavyKeeper.new(5, 64, 2)
+        sk.add_batch(keys("a"), np.array([0]))
+        assert sk.estimate(keys("a"))[0] == 0
+        assert len(sk.pq) == 0
+
+    def test_contains_and_topk_membership(self):
+        sk = HeavyKeeper.new(2, 256, 4)
+        sk.add_batch(keys("a", "a", "b"))
+        assert sk.contains("a")
+        assert sk.contains_top_k("a")
+        assert not sk.contains("nope")
+        assert not sk.contains_top_k("nope")
+
+    def test_overwrite_after_full_decay(self):
+        # src/heavykeeper.rs:766-794: add 3000 of B against a cell
+        # holding A at 1000 under forced decay -> B count 2001
+        sk = HeavyKeeper.new(5, 1, 1)  # width 1: guaranteed collision
+        sk._force_decay = False
+        sk.add_batch(keys("A"), np.array([1000]))
+        sk._force_decay = True
+        sk.add_batch(keys("B"), np.array([3000]))
+        assert sk.estimate(keys("B"), use_heap=False)[0] == 2001
+        assert sk.estimate(keys("A"), use_heap=False)[0] == 0
+
+    def test_forced_no_decay_keeps_occupant(self):
+        sk = HeavyKeeper.new(5, 1, 1)
+        sk._force_decay = False
+        sk.add_batch(keys("A"), np.array([10]))
+        sk.add_batch(keys("B"), np.array([1000]))
+        assert sk.estimate(keys("A"), use_heap=False)[0] == 10
+        assert sk.estimate(keys("B"), use_heap=False)[0] == 0
+
+    def test_failed_eviction_purity(self):
+        # a loser keeps count 0 and is not tracked
+        # (src/bucketed.rs:1117-1136, src/heavykeeper.rs:341-343)
+        sk = HeavyKeeper.new(5, 1, 1)
+        sk._force_decay = False
+        sk.add_batch(keys("A"), np.array([10]))
+        sk.add_batch(keys("B"), np.array([3]))
+        assert not sk.contains_top_k("B")
+        assert sk.estimate(keys("B"))[0] == 0
+
+    def test_skew_recall(self):
+        # src/heavykeeper.rs:901-964: top-10-of-100 skew recall >= 8/10
+        rng = np.random.default_rng(7)
+        ks, ws = [], []
+        for i in range(100):
+            ks.append(f"key{i}".encode())
+            ws.append(1000 - 9 * i if i < 10 else rng.integers(1, 20))
+        order = rng.permutation(
+            np.repeat(np.asarray(ks, dtype=object), np.asarray(ws, dtype=np.int64))
+        )
+        sk = HeavyKeeper.new(10, 64, 4)
+        for chunk in np.array_split(order, 7):
+            sk.add_batch(chunk)
+        got = {item for item, _ in sk.list()}
+        want = {f"key{i}".encode() for i in range(10)}
+        assert len(got & want) >= 8
+
+    def test_unicode_keys(self):
+        # src/heavykeeper.rs:711-746: non-ASCII + emoji
+        sk = HeavyKeeper.new(5, 256, 4)
+        sk.add_batch(keys("héllo", "héllo", "☃", "日本語", "日本語", "日本語"))
+        top = dict(sk.list())
+        assert top["日本語".encode()] == 3
+        assert top["héllo".encode()] == 2
+        assert top["☃".encode()] == 1
+
+    def test_determinism_same_seed(self):
+        # src/cuckoo.rs:1039-1057 analog: same seed + same input order
+        # -> identical full state
+        data = np.random.default_rng(3).integers(0, 500, 20000)
+        items = np.asarray([f"u{i}" for i in data], dtype=object)
+        a = HeavyKeeper.with_seed(20, 128, 4, 0.9, 42)
+        b = HeavyKeeper.with_seed(20, 128, 4, 0.9, 42)
+        a.add_batch(items)
+        b.add_batch(items)
+        assert (a.fps == b.fps).all() and (a.counts == b.counts).all()
+        assert a.list() == b.list()
+
+
+# ---------------------------------------------------------------- merge
+class TestMerge:
+    def test_merge_sums_disjoint_and_shared(self):
+        # src/heavykeeper.rs:1160-1186: merged counts are summed
+        a = HeavyKeeper.new(10, 1024, 4)
+        b = HeavyKeeper.new(10, 1024, 4)
+        a.add_batch(keys("x"), np.array([5]))
+        a.add_batch(keys("y"), np.array([2]))
+        b.add_batch(keys("x"), np.array([3]))
+        b.add_batch(keys("z"), np.array([7]))
+        a.merge(b)
+        est = a.estimate(keys("x", "y", "z"))
+        assert list(est) == [8, 2, 7]
+        assert dict(a.list()) == {b"x": 8, b"y": 2, b"z": 7}
+
+    def test_merge_untracked_fallback(self):
+        # bucketed-style pre-merge bucket_count fallback
+        # (src/bucketed.rs:377-401): other tracks an item self only has
+        # in cells -> merged candidate count includes self's cell mass
+        a = HeavyKeeper.new(1, 1024, 4)
+        b = HeavyKeeper.new(1, 1024, 4)
+        a.add_batch(keys("big", "small"), np.array([100, 3]))  # a tracks big only
+        b.add_batch(keys("small"), np.array([10]))  # b tracks small
+        assert not a.contains_top_k("small")
+        a.merge(b)
+        assert a.estimate(keys("small"))[0] == 13
+
+    def test_serialize_roundtrip(self):
+        sk = HeavyKeeper.new(10, 128, 4)
+        sk.add_batch(keys(*[f"k{i % 30}" for i in range(500)]))
+        blob = sk.serialize()
+        back = HeavyKeeper.deserialize(blob)
+        assert back.params == sk.params
+        assert (back.fps == sk.fps).all() and (back.counts == sk.counts).all()
+        assert back.list() == sk.list()
+
+    def test_merge_order_estimate_bound(self):
+        # merge is associative only up to sketch error (SURVEY §2.7):
+        # assert top-K set & estimates agree across merge orders for an
+        # uncontended workload (where both must be exact)
+        parts = []
+        for pid in range(4):
+            sk = HeavyKeeper.with_seed(10, 2048, 4, 0.9, 42)
+            items = np.asarray(
+                [f"k{i}" for i in range(30) for _ in range((i + 1) * (pid + 1))],
+                dtype=object,
+            )
+            sk.add_batch(items)
+            parts.append(sk.serialize())
+        from heavykeeper_rs_spark.kernel import merge_blobs
+
+        m1 = HeavyKeeper.deserialize(merge_blobs(parts))
+        m2 = HeavyKeeper.deserialize(merge_blobs(parts[::-1]))
+        assert dict(m1.list()) == dict(m2.list())
+        truth = {f"k{i}".encode(): (i + 1) * 10 for i in range(30)}
+        for item, c in m1.list():
+            assert c == truth[item]
