@@ -1,0 +1,191 @@
+"""Distributed HeavyKeeper top-K over a DataFrame column.
+
+The reference's build → merge → list flow (examples/ip_files.rs +
+src/heavykeeper.rs:406-457) re-expressed as a Spark two-phase
+aggregate, exactly the shape of Catalyst's HashAggregateExec pair:
+
+  partial:  per-partition sketch build inside ``mapInArrow`` (Arrow
+            batches → np.unique pre-aggregation → vectorized kernel)
+  combine:  salted ``groupBy(salt).applyInPandas`` tree merge — the
+            explicit skew control demanded by the north rule: no
+            single reducer ever merges all partition blobs
+  final:    driver merges the ≤ merge_groups surviving blobs and emits
+            an ordered result DataFrame
+
+Scale notes (100 TB / 1000-executor thinking):
+- The shuffle moves only ``num_partitions`` sketch blobs (~hundreds of
+  KiB each), never row data. Input rows are consumed map-side.
+- Column pruning: we select ONLY the key column before mapInArrow, so
+  the parquet scan reads a single column (verify via .explain →
+  ReadSchema).
+- The merge tree is 2-level for any cluster size; blobs per reducer =
+  partitions / merge_groups, driver merges merge_groups blobs. For
+  10^5 partitions raise merge_groups, cost stays O(blob).
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from pyspark import TaskContext
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..kernel import HeavyKeeper, HKParams, merge_blobs
+
+_BLOB_SCHEMA = StructType(
+    [StructField("salt", IntegerType(), False), StructField("sketch", BinaryType(), False)]
+)
+
+
+def _build_partial(params: HKParams, merge_groups: int, weighted: bool):
+    """mapInArrow kernel: one sketch per input partition."""
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        rng = np.random.default_rng(
+            np.random.PCG64(((params.seed << 17) ^ 0x9E3779B97F4A7C15) + pid)
+        )
+        sk = HeavyKeeper(params, rng=rng)
+        saw = False
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            saw = True
+            col = batch.column(0)
+            keys = col.to_numpy(zero_copy_only=False)
+            if weighted:
+                w = batch.column(1).to_numpy(zero_copy_only=False)
+                valid = pd.notna(keys) & pd.notna(w)
+                sk.add_batch(keys[valid], np.asarray(w[valid], dtype=np.int64))
+            else:
+                valid = pd.notna(keys)
+                sk.add_batch(keys[valid])
+        if saw:
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "salt": pa.array([pid % merge_groups], type=pa.int32()),
+                    "sketch": pa.array([sk.serialize()], type=pa.binary()),
+                }
+            )
+
+    return fn
+
+
+def _merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    salt = int(pdf["salt"].iloc[0])
+    blob = merge_blobs(list(pdf["sketch"]))
+    return pd.DataFrame({"salt": [salt], "sketch": [blob]})
+
+
+def topk_sketch(
+    df: DataFrame,
+    col: str,
+    k: int,
+    width: int = 4096,
+    depth: int = 4,
+    decay: float = 0.9,
+    seed: int = 12345,
+    weight_col: str | None = None,
+    merge_groups: int = 8,
+) -> HeavyKeeper:
+    """Build the merged HeavyKeeper sketch for ``df[col]`` (driver-side
+    result). This is the UDAF surface of the library (SURVEY §2.4)."""
+    params = HKParams(k=k, width=width, depth=depth, decay=decay, seed=seed)
+    cols = [F.col(col).cast(StringType()).alias("__key")]
+    weighted = weight_col is not None
+    if weighted:
+        cols.append(F.col(weight_col).cast(LongType()).alias("__w"))
+    keyed = df.select(*cols)  # column pruning: scan reads only these
+    partials = keyed.mapInArrow(
+        _build_partial(params, merge_groups, weighted), _BLOB_SCHEMA
+    )
+    combined = partials.groupBy("salt").applyInPandas(_merge_group, _BLOB_SCHEMA)
+    blobs = [r["sketch"] for r in combined.select("sketch").collect()]
+    if not blobs:
+        return HeavyKeeper(params)
+    return HeavyKeeper.deserialize(merge_blobs(blobs))
+
+
+def topk(
+    df: DataFrame,
+    col: str,
+    k: int,
+    width: int = 4096,
+    depth: int = 4,
+    decay: float = 0.9,
+    seed: int = 12345,
+    weight_col: str | None = None,
+    merge_groups: int = 8,
+    tie_break_key: bool = False,
+) -> DataFrame:
+    """Top-K most frequent values of ``df[col]`` as a DataFrame
+    ``(item string, count long)`` ordered by count desc.
+
+    ``tie_break_key=True`` orders ties by item asc (instead of the
+    reference's insertion-sequence rule, src/priority_queue.rs:204-207)
+    — needed for deterministic comparison against SQL oracles. The
+    sketch tracks 2k candidates then cuts to k so boundary ties resolve
+    identically to ``ORDER BY count DESC, item LIMIT k`` whenever the
+    sketch is exact in that regime.
+    """
+    track = 2 * k if tie_break_key else k
+    sk = topk_sketch(
+        df, col, track, width, depth, decay, seed, weight_col, merge_groups
+    )
+    spark = df.sparkSession
+    rows = sk.list()
+    if tie_break_key:
+        rows = sorted(rows, key=lambda t: (-t[1], t[0]))[:k]
+    data = [(item.decode("utf-8", errors="replace"), int(c)) for item, c in rows]
+    schema = StructType(
+        [StructField("item", StringType(), False), StructField("count", LongType(), False)]
+    )
+    return spark.createDataFrame(data, schema)
+
+
+def estimate(
+    df: DataFrame, col: str, sketch: HeavyKeeper, out_col: str = "est_count"
+) -> DataFrame:
+    """Broadcast-probe point estimates: the distributed analog of
+    count(item) (src/heavykeeper.rs:220-246). The serialized sketch is
+    broadcast once; each Arrow batch probes it vectorized — the same
+    plan shape as a broadcast-hash-join against the summary."""
+    blob = sketch.serialize()
+    bc = df.sparkSession.sparkContext.broadcast(blob)
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField(out_col, LongType(), True)]
+    )
+
+    def probe(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        sk = HeavyKeeper.deserialize(bc.value)
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            keys = batch.column(batch.schema.get_field_index("__probe_key")).to_numpy(
+                zero_copy_only=False
+            )
+            valid = pd.notna(keys)
+            est = np.zeros(len(keys), dtype=np.int64)
+            if valid.any():
+                est[valid] = sk.estimate(keys[valid])
+            out = batch.drop_columns(["__probe_key"]).append_column(
+                out_col, pa.array(est, type=pa.int64())
+            )
+            yield out
+
+    withkey = df.withColumn("__probe_key", F.col(col).cast(StringType()))
+    return withkey.mapInArrow(probe, out_schema)

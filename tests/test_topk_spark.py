@@ -1,0 +1,77 @@
+"""End-to-end distributed top-K vs the exact groupBy().count() oracle
+(SURVEY §5: the Spark analog of tests/accuracy_compare.rs ground truth)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from heavykeeper_rs_spark.operators.topk import estimate, topk, topk_sketch
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+
+
+def exact_topk(df, col, k):
+    return {
+        r["item"]: r["cnt"]
+        for r in df.groupBy(F.col(col).alias("item"))
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "item")
+        .limit(k)
+        .collect()
+    }
+
+
+def test_topk_event_type_exact_regime(spark, events):
+    # few distinct event types, wide sketch -> must be exact
+    got = topk(events, "event_type", k=5, width=1024, depth=4, tie_break_key=True)
+    got_d = {r["item"]: r["count"] for r in got.collect()}
+    assert got_d == exact_topk(events, "event_type", 5)
+
+
+def test_topk_user_id_high_card(spark, events):
+    truth = exact_topk(events, "user_id", 10)
+    got = topk(
+        events.withColumn("user_id", F.col("user_id").cast("string")),
+        "user_id",
+        k=10,
+        width=8192,
+        depth=4,
+        tie_break_key=True,
+    )
+    got_d = {r["item"]: r["count"] for r in got.collect()}
+    truth_s = {str(k): v for k, v in truth.items()}
+    # high-cardinality but uncontended (width >> distinct): exact
+    assert got_d == truth_s
+
+
+def test_weighted_topk(spark, events):
+    # weight by value column ~ weighted add (src/heavykeeper.rs:273)
+    w = events.withColumn("w", (F.col("value") * 0 + 2).cast("long"))
+    got = topk(w, "event_type", k=3, width=1024, weight_col="w", tie_break_key=True)
+    plain = topk(events, "event_type", k=3, width=1024, tie_break_key=True)
+    gd = {r["item"]: r["count"] for r in got.collect()}
+    pd_ = {r["item"]: r["count"] for r in plain.collect()}
+    assert gd == {k: 2 * v for k, v in pd_.items()}
+
+
+def test_estimate_broadcast_probe(spark, events):
+    sk = topk_sketch(events, "event_type", k=20, width=2048, depth=4)
+    probed = estimate(events, "event_type", sk).select("event_type", "est_count")
+    truth = dict(
+        events.groupBy("event_type").count().rdd.map(lambda r: (r[0], r[1])).collect()
+    )
+    rows = probed.distinct().collect()
+    for r in rows:
+        assert r["est_count"] == truth[r["event_type"]]
+
+
+def test_parallelism_invariance_of_topk_set(spark, events):
+    # different partitioning must agree within bound; uncontended -> equal
+    a = topk(events.repartition(2), "event_type", k=5, width=1024, tie_break_key=True)
+    b = topk(events.repartition(13), "event_type", k=5, width=1024, tie_break_key=True)
+    assert {(r["item"], r["count"]) for r in a.collect()} == {
+        (r["item"], r["count"]) for r in b.collect()
+    }
