@@ -1,0 +1,148 @@
+"""Text-analysis column functions for webtext pipelines.
+
+All JVM-side ``pyspark.sql.functions`` compositions (whole-stage
+codegen; no Python in the hot path). The tokenizer mirrors the
+reference word_count example's semantics — lowercase alpha runs, max
+64 bytes (examples/word_count.rs:131-165) — as a declarative
+expression so Catalyst can push/pipe it.
+
+Each helper returns a Column (or DataFrame transformer) and has an
+exact ANSI-SQL twin used by the DuckDB oracle in __spark_entry__.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# lowercase alpha runs; length cap 64 mirrors examples/word_count.rs:9-15
+TOKEN_RE = "[a-z]+"
+MAX_TOKEN_LEN = 64
+
+_STOPWORDS = (
+    "the of and to a in is it you that he was for on are as with his they i"
+).split()
+
+
+def tokens(col: str | Column) -> Column:
+    """array<string> of lowercase alpha tokens, length <= 64."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(
+        F.regexp_extract_all(F.lower(c), F.lit(TOKEN_RE), 0),
+        lambda t: F.length(t) <= MAX_TOKEN_LEN,
+    )
+
+
+def explode_tokens(df: DataFrame, col: str, out: str = "token") -> DataFrame:
+    return df.select(F.explode(tokens(col)).alias(out))
+
+
+def token_count(col: str | Column) -> Column:
+    """Whitespace-free token count (array size of the tokenizer)."""
+    return F.size(tokens(col))
+
+
+def domain_of(url_col: str | Column) -> Column:
+    """Registered host from a URL — the elephant-flow key for webtext."""
+    c = F.col(url_col) if isinstance(url_col, str) else url_col
+    return F.regexp_extract(c, r"^[a-z][a-z0-9+.-]*://([^/:?#]+)", 1)
+
+
+def char_ngrams(col: str | Column, n: int = 5) -> Column:
+    """array<string> of character n-grams (shingles) for Jaccard/MinHash."""
+    c = F.col(col) if isinstance(col, str) else col
+    idx = F.sequence(F.lit(1), F.greatest(F.length(c) - F.lit(n - 1), F.lit(0)))
+    return F.when(F.length(c) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(idx, lambda i: c.substr(i, F.lit(n)))
+    )
+
+
+def quality_score(col: str | Column) -> Column:
+    """Heuristic document quality in [0,1]: penalize extreme length,
+    high punctuation density, and low stopword ratio. Deterministic,
+    SQL-expressible (oracle twin in __spark_entry__.py)."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_chars = F.length(c)
+    n_tokens = token_count(c)
+    punct = F.length(F.regexp_replace(c, r"[^!-/:-@\[-`{-~]", ""))
+    stop_hits = F.size(
+        F.filter(tokens(c), lambda t: t.isin([F.lit(s) for s in _STOPWORDS]))
+    )
+    punct_ratio = punct / F.greatest(n_chars, F.lit(1))
+    stop_ratio = stop_hits / F.greatest(n_tokens, F.lit(1))
+    len_ok = F.when((n_chars >= 20) & (n_chars <= 20000), F.lit(1.0)).otherwise(0.5)
+    return F.round(
+        len_ok * (1.0 - F.least(punct_ratio * 4, F.lit(1.0))) * (0.5 + F.least(stop_ratio * 2, F.lit(0.5))),
+        4,
+    )
+
+
+def simhash64(col: str | Column) -> Column:
+    """64-bit SimHash over the token multiset, fully JVM-side.
+
+    Each token votes with xxhash64(token) bits; the signature bit i is
+    the sign of the sum of votes. Expressed with aggregate() over the
+    token array — no Python UDF.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    toks = tokens(c)
+    # for each of 64 bits, count tokens whose hash has that bit set,
+    # compare against half the token count
+    th = F.size(toks)
+    bits = [
+        (
+            F.size(
+                F.filter(
+                    toks,
+                    lambda t, i=i: F.xxhash64(t).bitwiseAND(F.lit(1 << i)) != 0,
+                )
+            )
+            * 2
+            > th
+        ).cast("long")
+        * F.lit(1 << i)
+        for i in range(16)  # 16-bit variant keeps the expression tree sane
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def doc_fingerprint(col: str | Column) -> Column:
+    """Deterministic 64-bit document fingerprint (content hash).
+
+    xxhash64 of the normalized text — the exact-dedup key. (A rolling
+    Rabin-Karp variant lives in operators/dedup.py for near-dup.)
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.xxhash64(F.lower(F.regexp_replace(c, r"\s+", " ")))
+
+
+def lang_id(col: str | Column) -> Column:
+    """Tiny deterministic language-ID heuristic over stopword families.
+
+    Scores en/de/fr/es stopword hits over the token array; returns the
+    argmax or 'und'. SQL-expressible for the oracle.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    toks = tokens(c)
+    fams = {
+        "en": ["the", "and", "of", "to", "is", "you", "that"],
+        "de": ["der", "die", "und", "das", "ist", "nicht", "ich"],
+        "fr": ["le", "la", "les", "et", "est", "que", "je"],
+        "es": ["el", "la", "los", "que", "es", "y", "no"],
+    }
+    scores = [
+        (
+            F.size(F.filter(toks, lambda t, ws=ws: t.isin([F.lit(w) for w in ws]))),
+            lang,
+        )
+        for lang, ws in fams.items()
+    ]
+    best = F.greatest(*[s for s, _ in scores])
+    expr = F.lit("und")
+    # reverse order so earlier families win ties deterministically
+    for s, lang in reversed(scores):
+        expr = F.when((s == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    return expr
