@@ -42,6 +42,7 @@ from __future__ import annotations
 
 import heapq
 import io
+import math
 import pickle
 import struct
 from dataclasses import dataclass, field
@@ -269,23 +270,33 @@ class HeavyKeeper:
         arr = np.asarray(items, dtype=object)
         if arr.size == 0:
             return
+        # Pre-aggregate on the 64-bit hash instead of the raw keys:
+        # uint64 sort is ~10x cheaper than object sort and the hash IS
+        # the sketch fingerprint anyway (full-64-bit collisions fold two
+        # keys together with probability ~n^2/2^65 — far below sketch
+        # error).
+        h_all = hash_items(arr, self.params.seed)
+        uh, first, inv = np.unique(h_all, return_index=True, return_inverse=True)
         if weights is None:
-            u, cnt = np.unique(arr, return_counts=True)
-            w = cnt.astype(np.int64)
+            w = np.bincount(inv, minlength=uh.shape[0]).astype(np.int64)
         else:
-            u, inv = np.unique(arr, return_inverse=True)
-            w = np.bincount(inv, weights=np.asarray(weights, dtype=np.float64)).astype(
-                np.int64
-            )
+            w = np.bincount(
+                inv,
+                weights=np.asarray(weights, dtype=np.float64),
+                minlength=uh.shape[0],
+            ).astype(np.int64)
         keep = w > 0  # inc == 0 is a no-op (src/heavykeeper.rs:286-288)
-        self._add_unique(u[keep], w[keep])
+        self._add_unique(arr[first[keep]], w[keep], fp=uh[keep])
 
-    def _add_unique(self, keys: np.ndarray, w: np.ndarray) -> None:
+    def _add_unique(
+        self, keys: np.ndarray, w: np.ndarray, fp: np.ndarray | None = None
+    ) -> None:
         n = keys.shape[0]
         if n == 0:
             return
         p = self.params
-        fp = hash_items(keys, p.seed)
+        if fp is None:
+            fp = hash_items(keys, p.seed)
         idxs = compose_indices(fp, p.depth, p.width)
         for d in range(p.depth):
             self._add_row(d, idxs[d], fp, w)
@@ -368,14 +379,63 @@ class HeavyKeeper:
         surv = u < p_any
         if not surv.any():
             return
+        sv = np.flatnonzero(surv)
+        skeys = duelers[sv]
+        scells = dcells[sv]
+        sw = w[skeys]
+        # Vectorized w==1 survivors: the conditioned duel is exactly one
+        # decrement. Group by cell; cells whose count strictly exceeds
+        # the challenger multiplicity just lose that many counts — no
+        # ownership change, fully vectorized. Cells that would hit zero
+        # (ownership churn) take the exact sequential path.
+        one = sw == 1
+        if one.any():
+            uc, inv_c, mult = np.unique(
+                scells[one], return_inverse=True, return_counts=True
+            )
+            c_now = cnt_row[uc].astype(np.int64)
+            safe = mult < c_now
+            if safe.any():
+                cnt_row[uc[safe]] = (c_now[safe] - mult[safe]).astype(np.uint64)
+            churn = ~safe[inv_c]
+        else:
+            churn = np.zeros(0, dtype=bool)
+        # Vectorized w>1 survivors where a kill is statistically
+        # unreachable (E[decrements]*2 + 10 < count): the conditioned
+        # number of decrements is Binomial(w, p) given >= 1 success;
+        # p barely moves over so few decrements, so the Binomial draw
+        # is distributionally faithful. Duplicate target cells fall
+        # back to the exact path (first occurrence wins the vector
+        # slot).
+        multi = np.flatnonzero(~one)
+        seq_parts = [np.flatnonzero(one)[churn]]
+        if multi.size and self._force_decay is None:
+            mc = scells[multi]
+            mcnt = cnt_row[mc].astype(np.int64)
+            mw = sw[multi].astype(np.float64)
+            mp = self._decay_p(mcnt.astype(np.float64))
+            no_kill = (2.0 * mw * mp + 10.0) < mcnt
+            # first occurrence per cell only
+            _, firstpos = np.unique(mc, return_index=True)
+            is_first = np.zeros(multi.size, dtype=bool)
+            is_first[firstpos] = True
+            vec = no_kill & is_first
+            if vec.any():
+                dv = self.rng.binomial(sw[multi[vec]], mp[vec])
+                dv = np.clip(dv, 1, mcnt[vec] - 1)
+                cnt_row[mc[vec]] = (mcnt[vec] - dv).astype(np.uint64)
+            seq_parts.append(multi[~vec])
+        else:
+            seq_parts.append(multi)
+        seq = np.concatenate(seq_parts)
         # Exact sequential residue, conditioned on >= 1 success.
-        for j in np.flatnonzero(surv):
+        for j in seq:
             self._duel_one(
                 fps_row,
                 cnt_row,
-                int(dcells[j]),
-                fp[duelers[j]],
-                int(w[duelers[j]]),
+                int(scells[j]),
+                fp[skeys[j]],
+                int(sw[j]),
                 first_success=True,
             )
 
@@ -406,6 +466,8 @@ class HeavyKeeper:
             cnt_row[cell] = remaining
             return
         force = self._force_decay
+        _log1p = math.log1p
+        _expm1 = math.expm1
         while remaining > 0 and c > 0:
             if force is True:
                 p = 1.0
@@ -420,9 +482,9 @@ class HeavyKeeper:
                 if p >= 1.0:
                     t = 1
                 else:
-                    total = -np.expm1(remaining * np.log1p(-p))
+                    total = -_expm1(remaining * _log1p(-p))
                     uu = rng.random() * total
-                    t = int(np.ceil(np.log1p(-uu) / np.log1p(-p)))
+                    t = int(math.ceil(_log1p(-uu) / _log1p(-p)))
                     t = min(max(t, 1), remaining)
                 first_success = False
             else:
@@ -435,7 +497,7 @@ class HeavyKeeper:
                     else:
                         return
                 else:
-                    t = int(rng.geometric(p))
+                    t = int(math.ceil(_log1p(-rng.random()) / _log1p(-p)))
                     if t > remaining:
                         return
             remaining -= t
