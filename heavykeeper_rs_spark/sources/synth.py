@@ -117,7 +117,9 @@ def webtext(
             base = np.asarray(ids, dtype=np.uint64)
 
             def h(tag: int, lane: np.ndarray) -> np.ndarray:
-                x = lane ^ np.uint64(seed * 0x9E3779B97F4A7C15 + tag)
+                x = lane ^ np.uint64(
+                    (seed * 0x9E3779B97F4A7C15 + tag) & 0xFFFFFFFFFFFFFFFF
+                )
                 with np.errstate(over="ignore"):
                     x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
                     x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
