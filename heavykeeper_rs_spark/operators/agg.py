@@ -1,0 +1,144 @@
+"""Generic distributed sketch aggregation.
+
+One runner for the whole sketch family: partial build per partition
+(``mapInArrow``), salted combine (``groupBy(salt).applyInPandas``),
+final merge on the driver. Identical plan shape to operators/topk.py —
+only the sketch kernel differs. The shuffle carries only serialized
+sketch blobs (KiB-scale), never rows, so the plan's network cost is
+O(partitions), independent of input size: the property that makes this
+viable at 10^12 rows.
+
+Also exposes DataFrame-level conveniences:
+- hll_distinct(df, col)          -> float estimate
+- cms_build(df, col, ...)        -> CountMin
+- bloom_build(df, col, ...)      -> Bloom
+- kll_build(df, col, ...)        -> KLL   (numeric column)
+- tdigest_build(df, col, ...)    -> TDigest (numeric column)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from pyspark import TaskContext
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..sketches.bloom import Bloom
+from ..sketches.cms import CountMin
+from ..sketches.hll import HLL
+from ..sketches.kll import KLL
+from ..sketches.tdigest import TDigest
+
+_BLOB_SCHEMA = StructType(
+    [StructField("salt", IntegerType(), False), StructField("sketch", BinaryType(), False)]
+)
+
+
+def sketch_agg(
+    df: DataFrame,
+    col: str,
+    make: Callable[[], object],
+    deserialize: Callable[[bytes], object],
+    numeric: bool = False,
+    weight_col: str | None = None,
+    merge_groups: int = 8,
+):
+    """Fold df[col] into a mergeable sketch; returns the merged sketch."""
+    cast = DoubleType() if numeric else StringType()
+    cols = [F.col(col).cast(cast).alias("__v")]
+    if weight_col is not None:
+        cols.append(F.col(weight_col).cast(DoubleType()).alias("__w"))
+    keyed = df.select(*cols)
+    weighted = weight_col is not None
+
+    def build(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        sk = make()
+        if hasattr(sk, "rng"):
+            sk.rng = np.random.default_rng(
+                np.random.PCG64((getattr(sk, "seed", 0) << 7) + pid)
+            )
+        saw = False
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            saw = True
+            v = batch.column(0).to_numpy(zero_copy_only=False)
+            if weighted:
+                w = batch.column(1).to_numpy(zero_copy_only=False)
+                valid = pd.notna(v) & pd.notna(w)
+                sk.add_batch(v[valid], np.asarray(w[valid], dtype=np.float64))
+            else:
+                valid = pd.notna(v)
+                sk.add_batch(v[valid])
+        if saw:
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "salt": pa.array([pid % merge_groups], type=pa.int32()),
+                    "sketch": pa.array([sk.serialize()], type=pa.binary()),
+                }
+            )
+
+    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        blobs = list(pdf["sketch"])
+        acc = deserialize(blobs[0])
+        for b in blobs[1:]:
+            acc.merge(deserialize(b))
+        return pd.DataFrame({"salt": [int(pdf["salt"].iloc[0])], "sketch": [acc.serialize()]})
+
+    partials = keyed.mapInArrow(build, _BLOB_SCHEMA)
+    combined = partials.groupBy("salt").applyInPandas(merge_group, _BLOB_SCHEMA)
+    blobs = [r["sketch"] for r in combined.select("sketch").collect()]
+    if not blobs:
+        return make()
+    acc = deserialize(blobs[0])
+    for b in blobs[1:]:
+        acc.merge(deserialize(b))
+    return acc
+
+
+# ---------------------------------------------------------------- wrappers
+
+def hll_build(df: DataFrame, col: str, p: int = 14, seed: int = 12345, **kw) -> HLL:
+    return sketch_agg(df, col, lambda: HLL(p, seed), HLL.deserialize, **kw)
+
+
+def hll_distinct(df: DataFrame, col: str, p: int = 14, seed: int = 12345, **kw) -> float:
+    return hll_build(df, col, p, seed, **kw).estimate()
+
+
+def cms_build(
+    df: DataFrame, col: str, width: int = 2048, depth: int = 5, seed: int = 12345, **kw
+) -> CountMin:
+    return sketch_agg(df, col, lambda: CountMin(width, depth, seed), CountMin.deserialize, **kw)
+
+
+def bloom_build(
+    df: DataFrame, col: str, m_bits: int = 1 << 20, k: int = 7, seed: int = 12345, **kw
+) -> Bloom:
+    return sketch_agg(df, col, lambda: Bloom(m_bits, k, seed), Bloom.deserialize, **kw)
+
+
+def kll_build(df: DataFrame, col: str, k: int = 200, seed: int = 12345, **kw) -> KLL:
+    return sketch_agg(
+        df, col, lambda: KLL(k, seed), KLL.deserialize, numeric=True, **kw
+    )
+
+
+def tdigest_build(df: DataFrame, col: str, delta: float = 200.0, **kw) -> TDigest:
+    return sketch_agg(
+        df, col, lambda: TDigest(delta), TDigest.deserialize, numeric=True, **kw
+    )

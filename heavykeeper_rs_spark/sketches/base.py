@@ -1,0 +1,40 @@
+"""Mergeable-sketch protocol shared by the whole family.
+
+Every sketch in this library (HeavyKeeper topk, HLL, count-min, Bloom,
+KLL, t-digest) is a distributive partial+final aggregate — the same
+shape as the reference's build/merge/list flow
+(src/heavykeeper.rs:406-457) and of Catalyst's two-phase
+HashAggregateExec. The generic distributed runner lives in
+operators/agg.py; anything implementing this protocol plugs in.
+"""
+
+from __future__ import annotations
+
+import pickle
+from typing import Protocol, runtime_checkable
+
+import numpy as np
+
+
+@runtime_checkable
+class MergeableSketch(Protocol):
+    def add_batch(self, values: np.ndarray, weights: np.ndarray | None = None) -> None:
+        """Fold a batch of values (object bytes/str or numeric)."""
+
+    def merge(self, other: "MergeableSketch") -> "MergeableSketch":
+        """Associative in-place union with a compatible sketch."""
+
+    def serialize(self) -> bytes: ...
+
+
+def generic_serialize(obj: object, kind: bytes) -> bytes:
+    return kind + pickle.dumps(obj, protocol=pickle.HIGHEST_PROTOCOL)
+
+
+def generic_deserialize(blob: bytes, kind: bytes, cls: type) -> object:
+    if blob[: len(kind)] != kind:
+        raise ValueError(f"expected {kind!r} sketch blob")
+    obj = pickle.loads(blob[len(kind) :])
+    if not isinstance(obj, cls):
+        raise ValueError(f"blob decoded to {type(obj)}, wanted {cls}")
+    return obj

@@ -1,0 +1,92 @@
+"""Bloom filter — mergeable probabilistic membership.
+
+Classic Bloom (k hash functions over an m-bit array) with the
+double-hashing scheme of Kirsch & Mitzenmacher 2006:
+g_i(x) = h1(x) + i*h2(x) mod m — one 64-bit hash per item, split into
+two 32-bit halves. Merge = bitwise OR (same m, k, seed). No false
+negatives by construction; FP rate ~ (1 - e^{-kn/m})^k.
+
+Vectorized: bits set via np.bitwise_or.at on a uint64 word array.
+Cross-checked against Spark's df.stat.bloomFilter semantics in tests.
+"""
+
+from __future__ import annotations
+
+import pickle
+
+import numpy as np
+
+from ..kernel import hash_items
+
+_KIND = b"BLM1"
+
+
+class Bloom:
+    def __init__(self, m_bits: int = 1 << 20, k: int = 7, seed: int = 12345) -> None:
+        if m_bits < 64 or k < 1:
+            raise ValueError("m_bits >= 64 and k >= 1 required")
+        self.m = int(m_bits)
+        self.k = int(k)
+        self.seed = seed
+        self.words = np.zeros((self.m + 63) // 64, dtype=np.uint64)
+        self.n_added = 0
+
+    @classmethod
+    def for_capacity(cls, n: int, fpp: float = 0.01, seed: int = 12345) -> "Bloom":
+        m = int(np.ceil(-n * np.log(fpp) / (np.log(2) ** 2)))
+        k = max(1, int(round(m / max(n, 1) * np.log(2))))
+        return cls(m_bits=max(m, 64), k=k, seed=seed)
+
+    def _positions(self, values: np.ndarray) -> np.ndarray:
+        h = hash_items(np.asarray(values, dtype=object), self.seed)
+        h1 = (h & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        h2 = (h >> np.uint64(32)).astype(np.int64) | 1  # odd -> full period
+        i = np.arange(self.k, dtype=np.int64)[:, None]
+        return (h1[None, :] + i * h2[None, :]) % self.m  # (k, n)
+
+    def add_batch(self, values: np.ndarray, weights: np.ndarray | None = None) -> None:
+        if len(values) == 0:
+            return
+        pos = self._positions(values)
+        np.bitwise_or.at(
+            self.words, pos >> 6, np.uint64(1) << (pos & 63).astype(np.uint64)
+        )
+        self.n_added += len(values)
+
+    def contains(self, values: np.ndarray) -> np.ndarray:
+        if len(values) == 0:
+            return np.zeros(0, dtype=bool)
+        pos = self._positions(values)
+        bits = (self.words[pos >> 6] >> (pos & 63).astype(np.uint64)) & np.uint64(1)
+        return bits.all(axis=0)
+
+    def merge(self, other: "Bloom") -> "Bloom":
+        if (self.m, self.k, self.seed) != (other.m, other.k, other.seed):
+            raise ValueError("incompatible Bloom (m/k/seed)")
+        np.bitwise_or(self.words, other.words, out=self.words)
+        self.n_added += other.n_added
+        return self
+
+    def fp_rate_estimate(self) -> float:
+        """Observed fill-based FP estimate: (set_bits/m)^k."""
+        set_bits = int(np.bitwise_count(self.words).sum()) if hasattr(np, "bitwise_count") else int(
+            sum(bin(int(wv)).count("1") for wv in self.words)
+        )
+        return float((set_bits / self.m) ** self.k)
+
+    def serialize(self) -> bytes:
+        return _KIND + pickle.dumps(
+            {"m": self.m, "k": self.k, "seed": self.seed, "words": self.words,
+             "n": self.n_added},
+            protocol=pickle.HIGHEST_PROTOCOL,
+        )
+
+    @classmethod
+    def deserialize(cls, blob: bytes) -> "Bloom":
+        if blob[:4] != _KIND:
+            raise ValueError("not a Bloom blob")
+        d = pickle.loads(blob[4:])
+        sk = cls(d["m"], d["k"], d["seed"])
+        sk.words = d["words"]
+        sk.n_added = d["n"]
+        return sk
