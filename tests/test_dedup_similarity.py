@@ -1,0 +1,169 @@
+"""Dedup, similarity-search, and multimodal plumbing tests."""
+
+import numpy as np
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from heavykeeper_rs_spark.operators.dedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_dedup_groups,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+    simhash_signatures,
+)
+from heavykeeper_rs_spark.operators.multimodal import (
+    extract_features,
+    fake_image_decoder,
+    frame_sample_plan,
+    stub_decoder,
+)
+from heavykeeper_rs_spark.operators.similarity import (
+    brute_force_topk,
+    embedding_near_dup_pairs,
+    lsh_topk,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches from the warm "
+    "windowsill and the rain falls softly on the quiet street outside the old house"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = []
+    # clusters of near-duplicates + unique docs
+    for i in range(5):
+        rows.append(Row(doc_id=i, text=BASE))  # exact dup cluster {0..4}
+    rows.append(Row(doc_id=10, text=BASE.replace("quick", "swift")))  # near-dup of base
+    rows.append(Row(doc_id=11, text=BASE.replace("rain", "snow").replace("cat", "bird")))
+    for i in range(20, 40):
+        rows.append(
+            Row(doc_id=i, text=f"completely different document number {i} about topic "
+                + " ".join(f"word{i}x{j}" for j in range(25)))
+        )
+    return spark.createDataFrame(rows).cache()
+
+
+class TestExactDedup:
+    def test_groups(self, spark, docs):
+        out = {r["keep_id"]: r["dup_count"] for r in exact_dedup(docs, "doc_id", "text").collect()}
+        assert out[0] == 5  # the 5 identical docs collapse to doc 0
+        assert sum(out.values()) == docs.count()
+
+
+class TestMinHash:
+    def test_signatures_shape(self, spark, docs):
+        sigs = minhash_signatures(docs, "doc_id", "text", n_hashes=64, bands=8)
+        assert sigs.columns == ["id", "band", "band_hash"]
+        assert sigs.count() == docs.count() * 8
+
+    def test_near_dups_found_and_no_false_groups(self, spark, docs):
+        # n=128, b=16, r=8 -> LSH threshold ~ (1/16)^(1/8) ~ 0.71
+        labels = minhash_dedup_groups(docs, "doc_id", "text", n_hashes=128, bands=16)
+        lab = {r["id"]: r["rep_id"] for r in labels.collect()}
+        # exact dups + near-dups all map to rep 0
+        for i in [0, 1, 2, 3, 4, 10]:
+            assert lab[i] == 0, (i, lab[i])
+        # unique docs stay their own representative
+        for i in range(20, 40):
+            assert lab[i] == i
+
+    def test_jaccard_verification(self, spark, docs):
+        sigs = minhash_signatures(docs, "doc_id", "text", n_hashes=64, bands=16)
+        cands = lsh_candidate_pairs(sigs)
+        verified = ngram_jaccard_pairs(docs, "doc_id", "text", cands, n=5, min_jaccard=0.8)
+        got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in verified.collect()}
+        assert (0, 1) in got and got[(0, 1)] == 1.0
+        assert all(j >= 0.8 for j in got.values())
+
+
+class TestSimHash:
+    def test_exact_dups_same_signature(self, spark, docs):
+        sigs = {r["id"]: r["simhash"] for r in simhash_signatures(docs, "doc_id", "text").collect()}
+        assert sigs[0] == sigs[1] == sigs[4]
+
+    def test_near_pairs(self, spark, docs):
+        sigdf = simhash_signatures(docs, "doc_id", "text")
+        pairs = simhash_near_pairs(sigdf, max_hamming=6)
+        got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+        assert (0, 1) in got  # identical text -> hamming 0
+        # dissimilar docs don't pair up
+        for a, b in got:
+            assert not (a >= 20 and b >= 20 and a != b) or abs(a - b) == 0
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.default_rng(42)
+    base = rng.standard_normal(16).astype(np.float32)
+    rows = []
+    for i in range(3):  # near-dups of base
+        v = base + rng.standard_normal(16).astype(np.float32) * 0.01
+        rows.append(Row(vec_id=i, embedding=[float(x) for x in v]))
+    for i in range(10, 60):
+        v = rng.standard_normal(16).astype(np.float32)
+        rows.append(Row(vec_id=i, embedding=[float(x) for x in v]))
+    return spark.createDataFrame(rows).cache()
+
+
+class TestSimilarity:
+    def test_brute_force_topk(self, spark, vectors):
+        q = [r["embedding"] for r in vectors.filter("vec_id = 0").collect()][0]
+        top = brute_force_topk(vectors, "vec_id", "embedding", q, k=3).collect()
+        assert top[0]["vec_id"] == 0 and top[0]["cosine"] > 0.9999
+        assert {r["vec_id"] for r in top} >= {0, 1, 2}
+
+    def test_lsh_topk_finds_near_dups(self, spark, vectors):
+        q = [r["embedding"] for r in vectors.filter("vec_id = 0").collect()][0]
+        top = lsh_topk(vectors, "vec_id", "embedding", q, k=3, n_bits=16, bands=4)
+        ids = {r["vec_id"] for r in top.collect()}
+        assert 0 in ids and len(ids & {0, 1, 2}) >= 2
+
+    def test_embedding_near_dup_pairs(self, spark, vectors):
+        pairs = embedding_near_dup_pairs(
+            vectors, "vec_id", "embedding", dim=16, tau=0.99, n_bits=16, bands=4
+        )
+        got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+        assert {(0, 1), (0, 2), (1, 2)} <= got
+        for a, b in got:
+            assert a in (0, 1, 2) and b in (0, 1, 2)
+
+    def test_on_driver_embeddings_table(self, spark):
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        q = [r["embedding"] for r in emb.limit(1).collect()][0]
+        top = brute_force_topk(emb, "vec_id", "embedding", [float(x) for x in q], k=5)
+        rows = top.collect()
+        assert len(rows) == 5 and rows[0]["cosine"] >= rows[-1]["cosine"]
+
+
+class TestMultimodal:
+    @pytest.fixture(scope="class")
+    def media(self, spark):
+        rows = [
+            Row(media_id=1, blob=bytes(range(256)), duration_ms=3500),
+            Row(media_id=2, blob=b"\x00" * 64, duration_ms=1000),
+            Row(media_id=3, blob=b"", duration_ms=None),  # corrupt
+        ]
+        return spark.createDataFrame(rows)
+
+    def test_stub_decoder_marks_rows_failed(self, spark, media):
+        out = extract_features(media, "media_id", "blob", decoder=stub_decoder)
+        rows = {r["id"]: r for r in out.collect()}
+        assert all(not r["ok"] for r in rows.values())
+        assert "NotImplementedError" in rows[1]["error"]
+
+    def test_fake_decoder_plumbing(self, spark, media):
+        out = extract_features(media, "media_id", "blob", decoder=fake_image_decoder)
+        rows = {r["id"]: r for r in out.collect()}
+        assert rows[1]["ok"] and len(rows[1]["feature"]) == 8
+        assert abs(sum(rows[1]["feature"]) - 1.0) < 1e-5
+        assert not rows[3]["ok"] and "ValueError" in rows[3]["error"]
+
+    def test_frame_sample_plan(self, spark, media):
+        plan = frame_sample_plan(media, "media_id", "blob", every_ms=1000)
+        got = {(r["media_id"], r["sample_ms"]) for r in plan.collect()}
+        assert {(1, 0), (1, 1000), (1, 2000), (1, 3000), (2, 0), (3, 0)} == got
