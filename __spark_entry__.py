@@ -172,19 +172,305 @@ def _exact_dedup_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH candidate generation + exact n-gram Jaccard verify.
+    Oracle = exhaustive exact-Jaccard pairs (LSH recall at J>=0.8 with
+    n=128,b=16,r=8 makes a miss a ~1e-4 event on this data)."""
+    from heavykeeper_rs_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, "doc_id", "text", n_hashes=128, bands=16, shingle=5)
+    cands = lsh_candidate_pairs(sigs)
+    return (
+        ngram_jaccard_pairs(docs, "doc_id", "text", cands, n=5, min_jaccard=0.8)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash banded near-dup pairs (rows-only: signature semantics
+    are not SQL-expressible)."""
+    from heavykeeper_rs_spark.operators.dedup import (
+        simhash_near_pairs,
+        simhash_signatures,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_near_pairs(
+        simhash_signatures(docs, "doc_id", "text"), max_hamming=8
+    ).orderBy("id_a", "id_b")
+
+
+def _minhash_dedup_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup groups labeled by min doc_id (verified edges). Oracle:
+    transitive closure over exact-Jaccard>=0.8 pairs; components here
+    are single edges/cliques, so 3 propagation rounds converge."""
+    from heavykeeper_rs_spark.operators.dedup import minhash_dedup_groups
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        minhash_dedup_groups(
+            docs, "doc_id", "text", n_hashes=128, bands=16, min_jaccard=0.8
+        )
+        .filter(F.col("id") != F.col("rep_id"))
+        .orderBy("id")
+    )
+
+
+def _embedding_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-10 vs the vec_id=0 query vector."""
+    from heavykeeper_rs_spark.operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "emb_d", F.col("embedding").cast("array<double>")
+    )
+    q = emb.filter(F.col("vec_id") == 0).select("emb_d").collect()[0][0]
+    return brute_force_topk(emb, "vec_id", "emb_d", [float(x) for x in q], k=10)
+
+
+def _embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed embedding near-dup pairs, exact-cosine verified.
+    Rows-only: recall depends on the LSH banding."""
+    from heavykeeper_rs_spark.operators.similarity import embedding_near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "emb_d", F.col("embedding").cast("array<double>")
+    )
+    dim = len(emb.select("emb_d").first()[0])
+    return embedding_near_dup_pairs(
+        emb, "vec_id", "emb_d", dim=dim, tau=0.40, n_bits=16, bands=8
+    ).orderBy("id_a", "id_b")
+
+
+def _embedding_sim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine threshold self-join (the verifier for the LSH
+    path; oracle via DuckDB list_cosine_similarity)."""
+    from heavykeeper_rs_spark.operators.similarity import brute_force_pairs
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "emb_d", F.col("embedding").cast("array<double>")
+    )
+    return brute_force_pairs(emb, "vec_id", "emb_d", tau=0.45).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def _lang_id_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(T.lang_id("text").alias("lid"))
+        .groupBy("lid")
+        .agg(F.count("*").alias("n"))
+        .orderBy("lid")
+    )
+
+
+def _quality_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", T.quality_score("text").alias("q"))
+        .groupBy("lang")
+        .agg(F.round(F.avg("q"), 3).alias("avg_quality"), F.count("*").alias("n_docs"))
+        .orderBy("lang")
+    )
+
+
+def _doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling/content 64-bit fingerprints (xxhash64 twin in DuckDB is
+    unavailable, so verify the *grouping* structure instead: count of
+    docs per distinct fingerprint equals exact text dedup counts)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(T.doc_fingerprint("text").alias("fp"))
+        .agg(
+            F.countDistinct("fp").alias("n_distinct_fp"),
+            F.count("*").alias("n_docs"),
+        )
+    )
+
+
+def _hll_distinct_users_ok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL estimate within 3% of exact (p=14 -> ~0.8% stderr). The
+    boolean makes the accuracy bound itself the verified value."""
+    from heavykeeper_rs_spark.operators.agg import hll_distinct
+
+    ev = _t(spark, sf_dir, "events")
+    est = hll_distinct(ev, "user_id", p=14)
+    exact = ev.select(F.countDistinct("user_id")).collect()[0][0]
+    ok = abs(est - exact) / exact < 0.03
+    return spark.createDataFrame(
+        [(int(exact), bool(ok))], "n_exact bigint, within_bound boolean"
+    )
+
+
+def _cms_event_counts_ok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CountMin: est >= true and est <= true + eps*N for every event
+    type (eps = e/width)."""
+    import numpy as np
+
+    from heavykeeper_rs_spark.operators.agg import cms_build
+
+    ev = _t(spark, sf_dir, "events")
+    sk = cms_build(ev, "event_type", width=4096, depth=5)
+    truth = {r[0]: r[1] for r in ev.groupBy("event_type").count().collect()}
+    keys = np.asarray(list(truth), dtype=object)
+    est = sk.estimate(keys)
+    eps = np.e / 4096
+    ok = all(
+        truth[k] <= e <= truth[k] + eps * sk.total for k, e in zip(keys, est)
+    )
+    return spark.createDataFrame(
+        [(len(truth), bool(ok))], "n_keys bigint, within_bound boolean"
+    )
+
+
+def _bloom_membership_ok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom: zero false negatives over every present event_type."""
+    import numpy as np
+
+    from heavykeeper_rs_spark.operators.agg import bloom_build
+
+    ev = _t(spark, sf_dir, "events")
+    sk = bloom_build(ev, "event_type")
+    present = np.asarray(
+        [r[0] for r in ev.select("event_type").distinct().collect()], dtype=object
+    )
+    ok = bool(sk.contains(present).all())
+    return spark.createDataFrame(
+        [(len(present), ok)], "n_keys bigint, no_false_negatives boolean"
+    )
+
+
+def _kll_price_quantiles_ok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL rank error < 0.02 at the deciles of l_extendedprice."""
+    import numpy as np
+
+    from heavykeeper_rs_spark.operators.agg import kll_build
+
+    li = _t(spark, sf_dir, "lineitem")
+    sk = kll_build(li, "l_extendedprice", k=200)
+    qs = [0.1, 0.25, 0.5, 0.75, 0.9]
+    est = sk.quantile(np.asarray(qs))
+    n = li.count()
+    ok = True
+    for q, e in zip(qs, est):
+        rank = li.filter(F.col("l_extendedprice") <= float(e)).count() / n
+        ok = ok and abs(rank - q) < 0.02
+    return spark.createDataFrame(
+        [(len(qs), bool(ok))], "n_quantiles bigint, within_rank_bound boolean"
+    )
+
+
+def _tdigest_value_quantiles_ok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-digest rank error < 0.01 at median and both 1% tails of
+    events.value (tail accuracy is the digest's design point)."""
+    import numpy as np
+
+    from heavykeeper_rs_spark.operators.agg import tdigest_build
+
+    ev = _t(spark, sf_dir, "events")
+    sk = tdigest_build(ev, "value", delta=200)
+    qs = [0.01, 0.5, 0.99]
+    est = sk.quantile(np.asarray(qs))
+    n = ev.count()
+    ok = True
+    for q, e in zip(qs, est):
+        rank = ev.filter(F.col("value") <= float(e)).count() / n
+        ok = ok and abs(rank - q) < 0.01
+    return spark.createDataFrame(
+        [(len(qs), bool(ok))], "n_quantiles bigint, within_rank_bound boolean"
+    )
+
+
+def _tpch_q6_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1994-01-01"))
+        & (F.col("l_shipdate") < F.lit("1995-01-01"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "revenue"
+        ),
+        F.count("*").alias("n_rows"),
+    )
+
+
+def _tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1995-03-15"))
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1995-03-15"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+def _events_hourly_top_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation (batch twin of the streaming path)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour"
+            ),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"))
+        .orderBy("hour", "event_type")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # HeavyKeeper sketch surface (SURVEY §2.1)
         "hk_topk_event_type": _hk_topk_event_type,
         "hk_topk_user": _hk_topk_user,
         "hk_topk_tokens": _hk_topk_tokens,
         "hk_weighted_topk_part": _hk_weighted_topk_part,
         "hk_estimate_event_types": _hk_estimate_event_types,
+        # relational / exact
         "exact_topk_tokens": _exact_topk_tokens,
         "lineitem_pricing_summary": _lineitem_pricing_summary,
         "revenue_by_segment": _revenue_by_segment,
         "top_sources_per_lang": _top_sources_per_lang,
         "token_stats_per_lang": _token_stats_per_lang,
+        "tpch_q6_revenue": _tpch_q6_revenue,
+        "tpch_q3_shipping": _tpch_q3_shipping,
+        "events_hourly_top_types": _events_hourly_top_types,
+        # dedup family
         "exact_dedup_text": _exact_dedup_text,
+        "minhash_near_dup_pairs": _minhash_near_dup_pairs,
+        "minhash_dedup_reps": _minhash_dedup_reps,
+        "simhash_near_dup_pairs": _simhash_near_dup_pairs,
+        "doc_fingerprints": _doc_fingerprints,
+        # similarity search
+        "embedding_topk_cosine": _embedding_topk_cosine,
+        "embedding_near_dup": _embedding_near_dup,
+        "embedding_sim_join": _embedding_sim_join,
+        # text analysis
+        "lang_id_counts": _lang_id_counts,
+        "quality_by_lang": _quality_by_lang,
+        # sketch family bound checks
+        "hll_distinct_users_ok": _hll_distinct_users_ok,
+        "cms_event_counts_ok": _cms_event_counts_ok,
+        "bloom_membership_ok": _bloom_membership_ok,
+        "kll_price_quantiles_ok": _kll_price_quantiles_ok,
+        "tdigest_value_quantiles_ok": _tdigest_value_quantiles_ok,
     }
 
 
@@ -195,6 +481,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _TOKENS_SRC = (
     "SELECT t AS token FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS t "
     "FROM documents) WHERE length(t) <= 64"
+)
+
+_JACCARD_PAIRS = (
+    "SELECT * FROM ("
+    "WITH g AS (SELECT doc_id, list_distinct([substr(text, i, 5) "
+    "FOR i IN range(1, greatest(length(text) - 3, 1))]) AS grams FROM documents) "
+    "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+    "ROUND(len(list_intersect(a.grams, b.grams))::DOUBLE / "
+    "greatest(len(list_distinct(list_concat(a.grams, b.grams))), 1), 6) AS jaccard "
+    "FROM g a JOIN g b ON a.doc_id < b.doc_id"
+    ") WHERE jaccard >= 0.8"
+)
+
+_LANG_FAMS = {
+    "en": "['the','and','of','to','is','you','that']",
+    "de": "['der','die','und','das','ist','nicht','ich']",
+    "fr": "['le','la','les','et','est','que','je']",
+    "es": "['el','la','los','que','es','y','no']",
+}
+
+_STOPWORD_SQL = (
+    "['the','of','and','to','a','in','is','it','you','that','he','was','for','on',"
+    "'are','as','with','his','they','i']"
 )
 
 
@@ -257,5 +566,100 @@ def oracle_sql() -> dict[str, str]:
             "  SELECT doc_id, hash(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp "
             "  FROM documents"
             ") GROUP BY fp ORDER BY keep_doc_id"
+        ),
+        "minhash_near_dup_pairs": f"{_JACCARD_PAIRS} ORDER BY id_a, id_b",
+        "minhash_dedup_reps": (
+            "WITH RECURSIVE p AS (" + _JACCARD_PAIRS + "), "
+            "e AS (SELECT id_a AS a, id_b AS b FROM p "
+            "UNION SELECT id_b, id_a FROM p), "
+            "reach(id, r) AS ("
+            "  SELECT a, b FROM e "
+            "  UNION SELECT reach.id, e.b FROM reach JOIN e ON reach.r = e.a "
+            "  WHERE e.b != reach.id) "
+            "SELECT id, MIN(r) AS rep_id FROM reach GROUP BY id "
+            "HAVING MIN(r) < id ORDER BY id"
+        ),
+        "doc_fingerprints": (
+            "SELECT COUNT(DISTINCT lower(regexp_replace(text, '\\s+', ' ', 'g'))) "
+            "AS n_distinct_fp, COUNT(*) AS n_docs FROM documents"
+        ),
+        "embedding_topk_cosine": (
+            "SELECT vec_id, ROUND(list_cosine_similarity("
+            "embedding::DOUBLE[], "
+            "(SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 6) "
+            "AS cosine FROM embeddings ORDER BY cosine DESC, vec_id LIMIT 10"
+        ),
+        "embedding_sim_join": (
+            "SELECT * FROM ("
+            "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+            "ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) "
+            "AS cosine FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id"
+            ") WHERE cosine >= 0.45 ORDER BY id_a, id_b"
+        ),
+        "lang_id_counts": (
+            "WITH s AS (SELECT "
+            "len(list_filter(toks, x -> list_contains(" + _LANG_FAMS["en"] + ", x))) AS s_en, "
+            "len(list_filter(toks, x -> list_contains(" + _LANG_FAMS["de"] + ", x))) AS s_de, "
+            "len(list_filter(toks, x -> list_contains(" + _LANG_FAMS["fr"] + ", x))) AS s_fr, "
+            "len(list_filter(toks, x -> list_contains(" + _LANG_FAMS["es"] + ", x))) AS s_es "
+            "FROM (SELECT list_filter(regexp_extract_all(lower(text), '[a-z]+'), "
+            "x -> length(x) <= 64) AS toks FROM documents)) "
+            "SELECT lid, COUNT(*) AS n FROM ("
+            "SELECT CASE "
+            "WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en > 0 THEN 'en' "
+            "WHEN s_de >= s_fr AND s_de >= s_es AND s_de > 0 THEN 'de' "
+            "WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr' "
+            "WHEN s_es > 0 THEN 'es' ELSE 'und' END AS lid FROM s) "
+            "GROUP BY lid ORDER BY lid"
+        ),
+        "quality_by_lang": (
+            "WITH q AS (SELECT lang, ROUND("
+            "  (CASE WHEN length(text) BETWEEN 20 AND 20000 THEN 1.0 ELSE 0.5 END) * "
+            "  (1.0 - LEAST(4.0 * length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g')) "
+            "      / greatest(length(text), 1), 1.0)) * "
+            "  (0.5 + LEAST(2.0 * len(list_filter(toks, x -> list_contains(" + _STOPWORD_SQL + ", x))) "
+            "      / greatest(len(toks), 1), 0.5)), 4) AS q "
+            "FROM (SELECT lang, text, list_filter(regexp_extract_all(lower(text), '[a-z]+'), "
+            "x -> length(x) <= 64) AS toks FROM documents)) "
+            "SELECT lang, ROUND(AVG(q), 3) AS avg_quality, COUNT(*) AS n_docs "
+            "FROM q GROUP BY lang ORDER BY lang"
+        ),
+        "tpch_q6_revenue": (
+            "SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue, "
+            "COUNT(*) AS n_rows FROM lineitem "
+            "WHERE l_shipdate >= TIMESTAMP '1994-01-01' "
+            "AND l_shipdate < TIMESTAMP '1995-01-01' "
+            "AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24"
+        ),
+        "tpch_q3_shipping": (
+            "SELECT l_orderkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) "
+            "AS revenue FROM lineitem "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "WHERE c_mktsegment = 'BUILDING' "
+            "AND o_orderdate < TIMESTAMP '1995-03-15' "
+            "AND l_shipdate > TIMESTAMP '1995-03-15' "
+            "GROUP BY l_orderkey ORDER BY revenue DESC, l_orderkey LIMIT 10"
+        ),
+        "events_hourly_top_types": (
+            "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, "
+            "event_type, COUNT(*) AS n FROM events "
+            "GROUP BY 1, 2 ORDER BY hour, event_type"
+        ),
+        "hll_distinct_users_ok": (
+            "SELECT COUNT(DISTINCT user_id) AS n_exact, TRUE AS within_bound FROM events"
+        ),
+        "cms_event_counts_ok": (
+            "SELECT COUNT(DISTINCT event_type) AS n_keys, TRUE AS within_bound FROM events"
+        ),
+        "bloom_membership_ok": (
+            "SELECT COUNT(DISTINCT event_type) AS n_keys, "
+            "TRUE AS no_false_negatives FROM events"
+        ),
+        "kll_price_quantiles_ok": (
+            "SELECT CAST(5 AS BIGINT) AS n_quantiles, TRUE AS within_rank_bound"
+        ),
+        "tdigest_value_quantiles_ok": (
+            "SELECT CAST(3 AS BIGINT) AS n_quantiles, TRUE AS within_rank_bound"
         ),
     }

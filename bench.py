@@ -34,6 +34,11 @@ BENCH_QUERIES = [
     "top_sources_per_lang",
     "token_stats_per_lang",
     "exact_dedup_text",
+    "tpch_q3_shipping",
+    "minhash_near_dup_pairs",
+    "embedding_topk_cosine",
+    "lang_id_counts",
+    "hll_distinct_users_ok",
 ]
 
 

@@ -65,9 +65,7 @@ def quality_score(col: str | Column) -> Column:
     n_chars = F.length(c)
     n_tokens = token_count(c)
     punct = F.length(F.regexp_replace(c, r"[^!-/:-@\[-`{-~]", ""))
-    stop_hits = F.size(
-        F.filter(tokens(c), lambda t: t.isin([F.lit(s) for s in _STOPWORDS]))
-    )
+    stop_hits = F.size(F.filter(tokens(c), lambda t: t.isin(_STOPWORDS)))
     punct_ratio = punct / F.greatest(n_chars, F.lit(1))
     stop_ratio = stop_hits / F.greatest(n_tokens, F.lit(1))
     len_ok = F.when((n_chars >= 20) & (n_chars <= 20000), F.lit(1.0)).otherwise(0.5)
@@ -133,13 +131,11 @@ def lang_id(col: str | Column) -> Column:
         "fr": ["le", "la", "les", "et", "est", "que", "je"],
         "es": ["el", "la", "los", "que", "es", "y", "no"],
     }
-    scores = [
-        (
-            F.size(F.filter(toks, lambda t, ws=ws: t.isin([F.lit(w) for w in ws]))),
-            lang,
-        )
-        for lang, ws in fams.items()
-    ]
+    def _hits(ws: list[str]) -> Column:
+        # nb: a two-param lambda would be (element, index) to F.filter
+        return F.size(F.filter(toks, lambda t: t.isin(ws)))
+
+    scores = [(_hits(ws), lang) for lang, ws in fams.items()]
     best = F.greatest(*[s for s, _ in scores])
     expr = F.lit("und")
     # reverse order so earlier families win ties deterministically

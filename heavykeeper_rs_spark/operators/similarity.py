@@ -142,6 +142,27 @@ def lsh_topk(
     return brute_force_topk(cands, id_col, vec_col, qvec, k)
 
 
+def brute_force_pairs(
+    df: DataFrame, id_col: str, vec_col: str, tau: float
+) -> DataFrame:
+    """Exact cosine threshold self-join (id_a < id_b, cosine >= tau).
+
+    O(n^2) — the *verifier* for the LSH path, and the right choice only
+    for small re-rank sets; at corpus scale use
+    embedding_near_dup_pairs (bucket-pruned)."""
+    a = df.select(F.col(id_col).cast("long").alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).cast("long").alias("id_b"), F.col(vec_col).alias("vb"))
+    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+    na = F.sqrt(F.aggregate("va", F.lit(0.0), lambda s, x: s + x * x))
+    nb = F.sqrt(F.aggregate("vb", F.lit(0.0), lambda s, x: s + x * x))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(dot / (na * nb), 6))
+        .filter(F.col("cosine") >= tau)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str,
