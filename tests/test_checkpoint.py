@@ -1,0 +1,77 @@
+"""Resumability: per-partition lineage + metrics checkpointing."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from heavykeeper_rs_spark.kernel import HKParams
+from heavykeeper_rs_spark.plans.checkpoint import (
+    read_metrics,
+    topk_checkpointed,
+)
+
+
+@pytest.fixture()
+def events(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/events.parquet").repartition(6)
+
+
+PARAMS = HKParams(k=10, width=2048, depth=4, decay=0.9, seed=12345)
+
+
+def test_checkpoint_roundtrip_and_resume(spark, events, tmp_path):
+    ckpt = str(tmp_path / "ck1")
+    sk1, rep1 = topk_checkpointed(events, "event_type", PARAMS, ckpt, lineage="events@sf0.001")
+    assert rep1.computed_partitions > 0 and rep1.resumed_partitions == 0
+    assert os.path.exists(f"{ckpt}/final.bin")
+    metrics = read_metrics(ckpt)
+    assert len(metrics) == rep1.computed_partitions
+    assert all(m["rows"] > 0 for m in metrics)
+    # completed job resumes in O(1) from final.bin
+    sk2, rep2 = topk_checkpointed(events, "event_type", PARAMS, ckpt, lineage="events@sf0.001")
+    assert rep2.final_was_cached
+    assert sk2.list() == sk1.list()
+
+
+def test_partial_resume_skips_done_partitions(spark, events, tmp_path):
+    ckpt = str(tmp_path / "ck2")
+    sk1, _ = topk_checkpointed(events, "event_type", PARAMS, ckpt, lineage="L")
+    os.remove(f"{ckpt}/final.bin")  # simulate dying before final merge
+    sk2, rep = topk_checkpointed(events, "event_type", PARAMS, ckpt, lineage="L")
+    assert rep.resumed_partitions == rep.total_partitions  # all partials reused
+    assert rep.computed_partitions == 0
+    assert sk2.list() == sk1.list()
+
+
+def test_mid_job_crash_recomputes_only_missing(spark, events, tmp_path):
+    ckpt = str(tmp_path / "ck3")
+    sk1, rep1 = topk_checkpointed(events, "event_type", PARAMS, ckpt, lineage="L")
+    os.remove(f"{ckpt}/final.bin")
+    # kill one partial -> only that partition is recomputed
+    victims = [f for f in os.listdir(f"{ckpt}/partials") if f.endswith(".bin")]
+    os.remove(f"{ckpt}/partials/{victims[0]}")
+    sk2, rep = topk_checkpointed(events, "event_type", PARAMS, ckpt, lineage="L")
+    assert rep.computed_partitions == 1
+    assert rep.resumed_partitions == rep.total_partitions - 1
+    assert sk2.list() == sk1.list()
+
+
+def test_checkpoint_refuses_wrong_job(spark, events, tmp_path):
+    ckpt = str(tmp_path / "ck4")
+    topk_checkpointed(events, "event_type", PARAMS, ckpt, lineage="A")
+    other = HKParams(k=10, width=1024, depth=4, decay=0.9, seed=12345)
+    with pytest.raises(ValueError, match="different job"):
+        topk_checkpointed(events, "event_type", other, ckpt, lineage="A")
+    with pytest.raises(ValueError, match="different job"):
+        topk_checkpointed(events, "event_type", PARAMS, ckpt, lineage="B")
+
+
+def test_results_match_unckpt_build(spark, events, tmp_path):
+    from heavykeeper_rs_spark.operators.topk import topk_sketch
+
+    ckpt = str(tmp_path / "ck5")
+    sk, _ = topk_checkpointed(events, "event_type", PARAMS, ckpt, lineage="L")
+    plain = topk_sketch(events, "event_type", k=10, width=2048, depth=4)
+    assert dict(sk.list()) == dict(plain.list())
