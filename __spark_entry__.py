@@ -172,6 +172,34 @@ def _exact_dedup_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hk_topk_type_per_user_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group sketches: top-3 event types within each user bucket
+    (user_id % 8). Exact regime -> window-function oracle."""
+    from heavykeeper_rs_spark.operators.topk import topk_by_group
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "bucket", (F.col("user_id") % 8).cast("string")
+    )
+    return topk_by_group(
+        ev, "bucket", "event_type", k=3, width=1024, depth=4
+    ).orderBy("group", F.desc("count"), "item")
+
+
+def _hk_contains_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O11 contains_top_k as a distributed filter: rows whose
+    event_type is in the sketch's tracked top-2 set."""
+    from heavykeeper_rs_spark.operators.topk import contains_top_k, topk_sketch
+
+    ev = _t(spark, sf_dir, "events")
+    sk = topk_sketch(ev, "event_type", k=2, width=1024, depth=4)
+    return (
+        contains_top_k(ev, "event_type", sk)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .orderBy("event_type")
+    )
+
+
 def _minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash LSH candidate generation + exact n-gram Jaccard verify.
     Oracle = exhaustive exact-Jaccard pairs (LSH recall at J>=0.8 with
@@ -443,6 +471,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hk_topk_tokens": _hk_topk_tokens,
         "hk_weighted_topk_part": _hk_weighted_topk_part,
         "hk_estimate_event_types": _hk_estimate_event_types,
+        "hk_topk_type_per_user_bucket": _hk_topk_type_per_user_bucket,
+        "hk_contains_top_k": _hk_contains_top_k,
         # relational / exact
         "exact_topk_tokens": _exact_topk_tokens,
         "lineitem_pricing_summary": _lineitem_pricing_summary,
@@ -528,6 +558,21 @@ def oracle_sql() -> dict[str, str]:
         ),
         "hk_estimate_event_types": (
             "SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY 1"
+        ),
+        "hk_topk_type_per_user_bucket": (
+            "SELECT CAST(bucket AS VARCHAR) AS \"group\", event_type AS item, cnt AS count FROM ("
+            "  SELECT bucket, event_type, cnt, ROW_NUMBER() OVER "
+            "    (PARTITION BY bucket ORDER BY cnt DESC, event_type) AS rn FROM ("
+            "    SELECT user_id % 8 AS bucket, event_type, COUNT(*) AS cnt "
+            "    FROM events GROUP BY 1, 2)"
+            ") WHERE rn <= 3 ORDER BY \"group\", count DESC, item"
+        ),
+        "hk_contains_top_k": (
+            "WITH top2 AS (SELECT event_type FROM events GROUP BY 1 "
+            "ORDER BY COUNT(*) DESC, event_type LIMIT 2) "
+            "SELECT event_type, COUNT(*) AS n FROM events "
+            "WHERE event_type IN (SELECT event_type FROM top2) "
+            "GROUP BY 1 ORDER BY event_type"
         ),
         "exact_topk_tokens": (
             f"SELECT token AS item, COUNT(*) AS count FROM ({_TOKENS_SRC}) "

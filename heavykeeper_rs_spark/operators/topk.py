@@ -235,6 +235,72 @@ def topk_tokens(
     return df.sparkSession.createDataFrame(data, schema)
 
 
+def topk_by_group(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    k: int,
+    width: int = 4096,
+    depth: int = 4,
+    decay: float = 0.9,
+    seed: int = 12345,
+    tie_break_key: bool = True,
+) -> DataFrame:
+    """Top-K keys within each group — one sketch per group.
+
+    SURVEY §2.4: the reference has no grouping sets; multi-dimension
+    top-K is done by running the sketch per group key. Here the group
+    shuffle is the only row shuffle (hash partition on group), then
+    each group folds through the vectorized kernel inside
+    ``applyInPandas``. Hot groups are absorbed by the sketch's bounded
+    memory; output is (group, item, count) with deterministic
+    (count desc, item asc) tie-breaking.
+    """
+    params = HKParams(
+        k=2 * k if tie_break_key else k, width=width, depth=depth, decay=decay, seed=seed
+    )
+    out_schema = StructType(
+        [
+            StructField("group", StringType(), False),
+            StructField("item", StringType(), False),
+            StructField("count", LongType(), False),
+        ]
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = str(pdf["__group"].iloc[0])
+        rng = np.random.default_rng(
+            np.random.PCG64(params.seed ^ (hash(g) & 0xFFFFFFFF))
+        )
+        sk = HeavyKeeper(params, rng=rng)
+        keys = pdf["__key"].to_numpy()
+        valid = pd.notna(keys)
+        sk.add_batch(keys[valid])
+        rows = sk.list()
+        if tie_break_key:
+            rows = sorted(rows, key=lambda t: (-t[1], t[0]))[:k]
+        return pd.DataFrame(
+            {
+                "group": [g] * len(rows),
+                "item": [it.decode("utf-8", errors="replace") for it, _ in rows],
+                "count": [int(c) for _, c in rows],
+            }
+        )
+
+    keyed = df.select(
+        F.col(group_col).cast(StringType()).alias("__group"),
+        F.col(key_col).cast(StringType()).alias("__key"),
+    )
+    return keyed.groupBy("__group").applyInPandas(fold, out_schema)
+
+
+def contains_top_k(df: DataFrame, col: str, sketch: HeavyKeeper) -> DataFrame:
+    """O11 (src/heavykeeper.rs:211-218) distributedly: semi-join the
+    DataFrame against the sketch's tracked top-K set (broadcast)."""
+    items = [it.decode("utf-8", errors="replace") for it, _ in sketch.list()]
+    return df.filter(F.col(col).cast(StringType()).isin(items))
+
+
 def estimate(
     df: DataFrame, col: str, sketch: HeavyKeeper, out_col: str = "est_count"
 ) -> DataFrame:
