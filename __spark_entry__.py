@@ -172,6 +172,24 @@ def _exact_dedup_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hk_bucketed_topk_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BucketedTopK variant (src/bucketed.rs), exact regime."""
+    ev = _t(spark, sf_dir, "events")
+    return topk(
+        ev, "event_type", k=5, width=1024, depth=4, tie_break_key=True,
+        variant="bucketed",
+    )
+
+
+def _hk_cuckoo_topk_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CuckooTopK variant (src/cuckoo.rs), exact regime."""
+    ev = _t(spark, sf_dir, "events")
+    return topk(
+        ev, "event_type", k=5, width=1024, depth=4, tie_break_key=True,
+        variant="cuckoo",
+    )
+
+
 def _hk_topk_type_per_user_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group sketches: top-3 event types within each user bucket
     (user_id % 8). Exact regime -> window-function oracle."""
@@ -473,6 +491,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hk_estimate_event_types": _hk_estimate_event_types,
         "hk_topk_type_per_user_bucket": _hk_topk_type_per_user_bucket,
         "hk_contains_top_k": _hk_contains_top_k,
+        "hk_bucketed_topk_event_type": _hk_bucketed_topk_event_type,
+        "hk_cuckoo_topk_event_type": _hk_cuckoo_topk_event_type,
         # relational / exact
         "exact_topk_tokens": _exact_topk_tokens,
         "lineitem_pricing_summary": _lineitem_pricing_summary,
@@ -540,6 +560,14 @@ _STOPWORD_SQL = (
 def oracle_sql() -> dict[str, str]:
     return {
         "hk_topk_event_type": (
+            "SELECT event_type AS item, COUNT(*) AS count FROM events "
+            "GROUP BY 1 ORDER BY count DESC, item LIMIT 5"
+        ),
+        "hk_bucketed_topk_event_type": (
+            "SELECT event_type AS item, COUNT(*) AS count FROM events "
+            "GROUP BY 1 ORDER BY count DESC, item LIMIT 5"
+        ),
+        "hk_cuckoo_topk_event_type": (
             "SELECT event_type AS item, COUNT(*) AS count FROM events "
             "GROUP BY 1 ORDER BY count DESC, item LIMIT 5"
         ),

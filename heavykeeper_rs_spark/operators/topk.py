@@ -44,13 +44,47 @@ from pyspark.sql.types import (
 )
 
 from ..kernel import HeavyKeeper, HKParams, merge_blobs
+from ..variants import BucketedTopK, CuckooTopK
 
 _BLOB_SCHEMA = StructType(
     [StructField("salt", IntegerType(), False), StructField("sketch", BinaryType(), False)]
 )
 
+#: sketch-variant registry (README.md:48-51: all three expose one API)
+VARIANTS = {
+    "topk": None,  # canonical depth-row HeavyKeeper (kernel.HeavyKeeper)
+    "bucketed": BucketedTopK,
+    "cuckoo": CuckooTopK,
+}
 
-def _build_partial(params: HKParams, merge_groups: int, weighted: bool):
+
+def _make_sketch(variant: str, params: HKParams, rng):
+    if variant == "topk":
+        return HeavyKeeper(params, rng=rng)
+    cls = VARIANTS[variant]
+    return cls(
+        params.k, params.width, params.depth, params.decay, params.seed, rng=rng
+    )
+
+
+def _deserialize_variant(variant: str, blob: bytes):
+    if variant == "topk":
+        return HeavyKeeper.deserialize(blob)
+    return VARIANTS[variant].deserialize(blob)
+
+
+def _merge_variant_blobs(variant: str, blobs: list[bytes]) -> bytes:
+    if variant == "topk":
+        return merge_blobs(blobs)
+    acc = _deserialize_variant(variant, blobs[0])
+    for b in blobs[1:]:
+        acc.merge(_deserialize_variant(variant, b))
+    return acc.serialize()
+
+
+def _build_partial(
+    params: HKParams, merge_groups: int, weighted: bool, variant: str = "topk"
+):
     """mapInArrow kernel: one sketch per input partition."""
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -59,7 +93,7 @@ def _build_partial(params: HKParams, merge_groups: int, weighted: bool):
         rng = np.random.default_rng(
             np.random.PCG64(((params.seed << 17) ^ 0x9E3779B97F4A7C15) + pid)
         )
-        sk = HeavyKeeper(params, rng=rng)
+        sk = _make_sketch(variant, params, rng)
         saw = False
         for batch in batches:
             if batch.num_rows == 0:
@@ -91,6 +125,17 @@ def _merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"salt": [salt], "sketch": [blob]})
 
 
+def _merge_group_variant(variant: str):
+    if variant == "topk":
+        return _merge_group
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        blob = _merge_variant_blobs(variant, list(pdf["sketch"]))
+        return pd.DataFrame({"salt": [int(pdf["salt"].iloc[0])], "sketch": [blob]})
+
+    return fn
+
+
 def topk_sketch(
     df: DataFrame,
     col: str,
@@ -101,9 +146,14 @@ def topk_sketch(
     seed: int = 12345,
     weight_col: str | None = None,
     merge_groups: int = 8,
-) -> HeavyKeeper:
-    """Build the merged HeavyKeeper sketch for ``df[col]`` (driver-side
-    result). This is the UDAF surface of the library (SURVEY §2.4)."""
+    variant: str = "topk",
+):
+    """Build the merged top-K sketch for ``df[col]`` (driver-side
+    result). This is the UDAF surface of the library (SURVEY §2.4).
+    ``variant`` selects the layout: 'topk' (canonical), 'bucketed', or
+    'cuckoo' — same API, different accuracy/throughput profile."""
+    if variant not in VARIANTS:
+        raise ValueError(f"unknown variant {variant!r}; one of {sorted(VARIANTS)}")
     params = HKParams(k=k, width=width, depth=depth, decay=decay, seed=seed)
     cols = [F.col(col).cast(StringType()).alias("__key")]
     weighted = weight_col is not None
@@ -111,13 +161,15 @@ def topk_sketch(
         cols.append(F.col(weight_col).cast(LongType()).alias("__w"))
     keyed = df.select(*cols)  # column pruning: scan reads only these
     partials = keyed.mapInArrow(
-        _build_partial(params, merge_groups, weighted), _BLOB_SCHEMA
+        _build_partial(params, merge_groups, weighted, variant), _BLOB_SCHEMA
     )
-    combined = partials.groupBy("salt").applyInPandas(_merge_group, _BLOB_SCHEMA)
+    combined = partials.groupBy("salt").applyInPandas(
+        _merge_group_variant(variant), _BLOB_SCHEMA
+    )
     blobs = [r["sketch"] for r in combined.select("sketch").collect()]
     if not blobs:
-        return HeavyKeeper(params)
-    return HeavyKeeper.deserialize(merge_blobs(blobs))
+        return _make_sketch(variant, params, None)
+    return _deserialize_variant(variant, _merge_variant_blobs(variant, blobs))
 
 
 def topk(
@@ -131,6 +183,7 @@ def topk(
     weight_col: str | None = None,
     merge_groups: int = 8,
     tie_break_key: bool = False,
+    variant: str = "topk",
 ) -> DataFrame:
     """Top-K most frequent values of ``df[col]`` as a DataFrame
     ``(item string, count long)`` ordered by count desc.
@@ -144,7 +197,7 @@ def topk(
     """
     track = 2 * k if tie_break_key else k
     sk = topk_sketch(
-        df, col, track, width, depth, decay, seed, weight_col, merge_groups
+        df, col, track, width, depth, decay, seed, weight_col, merge_groups, variant
     )
     spark = df.sparkSession
     rows = sk.list()

@@ -1,0 +1,627 @@
+"""BucketedTopK and CuckooTopK — the reference's two alternative sketch
+layouts, re-implemented from scratch with the same batch API as
+kernel.HeavyKeeper (README.md:48-51: all three variants expose the same
+API).
+
+- BucketedTopK (src/bucketed.rs): one hash → one bucket of ``depth``
+  contiguous cells. add: fingerprint match → saturating add; else
+  first empty cell → install; else decay-duel the bucket's MINIMUM
+  cell (src/bucketed.rs:187-258, 452-476). Merge: PQ first with
+  pre-merge bucket_count fallback both directions
+  (src/bucketed.rs:377-401), then per-bucket union by fingerprint with
+  min-count eviction when full and the incoming count is larger
+  (src/bucketed.rs:403-445).
+- CuckooTopK (src/cuckoo.rs): per bucket one probabilistic-decay
+  "lobby" cell plus ``depth`` non-decaying heavy slots; a heavy item
+  lives in one of two cuckoo candidate buckets
+  (src/cuckoo.rs:560-580). add: heavy hit → pure saturating increment
+  (no decay, src/cuckoo.rs:258-261); miss → lobby duel at the primary
+  bucket; a lobby winner promotes into an empty heavy slot in either
+  candidate bucket, else evicts the min heavy occupant if strictly
+  heavier, relocating the victim through a ≤max_kicks chain
+  (src/cuckoo.rs:653-707). Merge folds lobby↔heavy so an item lives in
+  heavy XOR lobby (src/cuckoo.rs:471-549); merges are deterministic —
+  no probabilistic decay during merge.
+
+Execution strategy: hashing/bucket-index/fingerprint-match phases are
+vectorized over the (pre-aggregated) batch; the conflict residue
+(empty-slot claims, decay duels, cuckoo promotion) is per-key Python
+with the same geometric-sampling shortcut as the canonical kernel.
+The canonical depth-row HeavyKeeper (kernel.py) remains the
+throughput-tuned default; these variants trade some batch-kernel speed
+for their accuracy profiles (BASELINE.md: Bucketed/Cuckoo recall 0.985
+/ 1.000 vs 0.942).
+"""
+
+from __future__ import annotations
+
+import math
+import pickle
+
+import numpy as np
+
+from .errors import SketchCompatError
+from .kernel import HKParams, TopKQueue, _as_bytes, hash_items
+
+_U64 = np.uint64
+_CUCKOO_SALT = _U64(0x9E3779B97F4A7C15)
+
+
+def _mix64(x: np.ndarray | np.uint64) -> np.ndarray | np.uint64:
+    """splitmix64 finalizer (src/cuckoo.rs:571-582)."""
+    with np.errstate(over="ignore"):
+        x = (x ^ (x >> _U64(30))) * _U64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> _U64(27))) * _U64(0x94D049BB133111EB)
+        return x ^ (x >> _U64(31))
+
+
+class _VariantBase:
+    """Shared plumbing: params, PQ, RNG, duel sampling, serialization."""
+
+    variant: bytes = b"????"
+
+    def __init__(
+        self,
+        k: int,
+        width: int,
+        depth: int,
+        decay: float = 0.9,
+        seed: int = 12345,
+        rng: np.random.Generator | None = None,
+    ) -> None:
+        self.params = HKParams(k=k, width=width, depth=depth, decay=decay, seed=seed)
+        self.pq = TopKQueue(k)
+        self.rng = rng if rng is not None else np.random.default_rng(seed)
+        self._force_decay: bool | None = None
+
+    # -- hashing ----------------------------------------------------------
+    def _hash(self, items: np.ndarray) -> np.ndarray:
+        return hash_items(items, self.params.seed)
+
+    def _index(self, h: np.ndarray) -> np.ndarray:
+        w = self.params.width
+        if w & (w - 1) == 0:
+            return (h & _U64(w - 1)).astype(np.int64)
+        return (h % _U64(w)).astype(np.int64)
+
+    def _preagg(self, items: np.ndarray, weights: np.ndarray | None):
+        arr = np.asarray(items, dtype=object)
+        if arr.size == 0:
+            return arr, np.zeros(0, np.int64), np.zeros(0, np.uint64)
+        h_all = self._hash(arr)
+        uh, first, inv = np.unique(h_all, return_index=True, return_inverse=True)
+        if weights is None:
+            w = np.bincount(inv, minlength=uh.shape[0]).astype(np.int64)
+        else:
+            w = np.bincount(
+                inv, weights=np.asarray(weights, dtype=np.float64), minlength=uh.shape[0]
+            ).astype(np.int64)
+        keep = w > 0
+        return arr[first[keep]], w[keep], uh[keep]
+
+    # -- decay duel (exact distributionally; O(#decrements)) ---------------
+    def _duel(self, get_count, set_count, take_cell, w: int) -> int | None:
+        """Duel the cell whose count is read/written via callbacks.
+        Returns the winner's count if the challenger took the cell,
+        else None. Mirrors decay_and_maybe_evict
+        (src/bucketed.rs:452-476, src/cuckoo.rs:709-731)."""
+        remaining = w
+        decay = self.params.decay
+        rng = self.rng
+        force = self._force_decay
+        while remaining > 0:
+            c = get_count()
+            if c == 0:
+                take_cell(remaining)
+                return remaining
+            if force is True:
+                p = 1.0
+            elif force is False:
+                return None
+            else:
+                p = decay**c
+            if p <= 0.0:
+                return None
+            if p >= 1.0:
+                t = 1
+            elif p * remaining < 1e-12:
+                if rng.random() < p * remaining:
+                    t = int(rng.integers(1, remaining + 1))
+                else:
+                    return None
+            else:
+                t = int(math.ceil(math.log1p(-rng.random()) / math.log1p(-p)))
+                if t > remaining:
+                    return None
+            remaining -= t
+            set_count(c - 1)
+            if c - 1 == 0:
+                take_cell(remaining + 1)
+                return remaining + 1
+        return None
+
+    # -- PQ ---------------------------------------------------------------
+    def _pq_update_batch(self, keys: np.ndarray, counts: np.ndarray) -> None:
+        mc = self.pq.min_count()
+        sel = np.flatnonzero(counts > mc)
+        if sel.size:
+            order = sel[np.lexsort((np.asarray(keys[sel]), -counts[sel]))]
+            for i in order:
+                self.pq.upsert(_as_bytes(keys[i]), int(counts[i]))
+
+    def contains(self, item) -> bool:
+        return bool(self.estimate(np.asarray([item], dtype=object))[0] > 0)
+
+    def contains_top_k(self, item) -> bool:
+        return _as_bytes(item) in self.pq.counts
+
+    def list(self) -> list[tuple[bytes, int]]:
+        return self.pq.items_sorted()
+
+    def _check_compat(self, other: "_VariantBase") -> None:
+        if type(self) is not type(other):
+            raise SketchCompatError("variant", type(self).__name__, type(other).__name__)
+        self.params.check_compatible(other.params)
+
+    def _state_dict(self) -> dict:
+        raise NotImplementedError
+
+    def serialize(self) -> bytes:
+        d = {
+            "params": self.params.__dict__,
+            "cand": [(k, int(c), int(self.pq.seqs[k])) for k, c in self.pq.counts.items()],
+            **self._state_dict(),
+        }
+        return self.variant + pickle.dumps(d, protocol=pickle.HIGHEST_PROTOCOL)
+
+    @classmethod
+    def deserialize(cls, blob: bytes):
+        if blob[:4] != cls.variant:
+            raise ValueError(f"not a {cls.__name__} blob")
+        d = pickle.loads(blob[4:])
+        sk = cls(**d["params"])
+        sk._load_state(d)
+        for item, c, _seq in sorted(d["cand"], key=lambda t: t[2]):
+            sk.pq.upsert(item, c)
+        return sk
+
+
+class BucketedTopK(_VariantBase):
+    variant = b"HKB1"
+
+    def __init__(self, k, width, depth, decay=0.9, seed=12345, rng=None) -> None:
+        super().__init__(k, width, depth, decay, seed, rng)
+        self.fps = np.zeros((width, depth), dtype=np.uint64)
+        self.counts = np.zeros((width, depth), dtype=np.uint64)
+
+    def _state_dict(self) -> dict:
+        return {"fps": self.fps, "counts": self.counts}
+
+    def _load_state(self, d: dict) -> None:
+        self.fps = d["fps"]
+        self.counts = d["counts"]
+
+    def add_batch(self, items: np.ndarray, weights: np.ndarray | None = None) -> None:
+        keys, w, fp = self._preagg(items, weights)
+        n = keys.shape[0]
+        if n == 0:
+            return
+        idx = self._index(fp)
+        depth = self.params.depth
+        flat_c = self.counts.reshape(-1)
+        flat_f = self.fps.reshape(-1)
+        # vector phase: fingerprint matches (first matching slot)
+        bf = self.fps[idx]
+        bc = self.counts[idx]
+        m = (bf == fp[:, None]) & (bc > 0)
+        has = m.any(axis=1)
+        slot = m.argmax(axis=1)
+        if has.any():
+            np.add.at(flat_c, idx[has] * depth + slot[has], w[has].astype(np.uint64))
+        # residue: empty-claims and min-cell duels, heaviest first
+        rem = np.flatnonzero(~has)
+        for j in rem[np.argsort(-w[rem], kind="stable")]:
+            self._add_one(int(idx[j]), fp[j], int(w[j]))
+        # PQ: resulting count per key (re-probe the single bucket)
+        bf = self.fps[idx]
+        bc = self.counts[idx]
+        m = (bf == fp[:, None]) & (bc > 0)
+        est = np.where(m.any(axis=1), bc[np.arange(n), m.argmax(axis=1)], 0).astype(
+            np.int64
+        )
+        self._pq_update_batch(keys, est)
+
+    def _add_one(self, b: int, fp: np.uint64, w: int) -> None:
+        crow = self.counts[b]
+        frow = self.fps[b]
+        live = crow > 0
+        # re-check match (an earlier residue key may have installed fp)
+        mslots = np.flatnonzero(live & (frow == fp))
+        if mslots.size:
+            crow[mslots[0]] += np.uint64(w)
+            return
+        empties = np.flatnonzero(~live)
+        if empties.size:
+            i = empties[0]
+            frow[i] = fp
+            crow[i] = w
+            return
+        mi = int(crow.argmin())
+
+        self._duel(
+            lambda: int(crow[mi]),
+            lambda c: crow.__setitem__(mi, c),
+            lambda c: (frow.__setitem__(mi, fp), crow.__setitem__(mi, c)),
+            w,
+        )
+
+    def estimate(self, items: np.ndarray, use_heap: bool = True) -> np.ndarray:
+        arr = np.asarray(items, dtype=object)
+        fp = self._hash(arr)
+        idx = self._index(fp)
+        bf = self.fps[idx]
+        bc = self.counts[idx]
+        m = (bf == fp[:, None]) & (bc > 0)
+        out = np.where(
+            m.any(axis=1), bc[np.arange(arr.shape[0]), m.argmax(axis=1)], 0
+        ).astype(np.int64)
+        if use_heap and self.pq.counts:
+            get = self.pq.counts.get
+            for i in range(arr.shape[0]):
+                c = get(_as_bytes(arr[i]))
+                if c is not None:
+                    out[i] = c
+        return out
+
+    def merge(self, other: "BucketedTopK") -> "BucketedTopK":
+        self._check_compat(other)
+        # PQ first, pre-merge bucket_count fallbacks (src/bucketed.rs:377-401)
+        other_items = list(other.pq.counts.items())
+        self_only = [
+            (k, c) for k, c in self.pq.counts.items() if k not in other.pq.counts
+        ]
+        if self_only:
+            keys = np.asarray([k for k, _ in self_only], dtype=object)
+            ob = other.estimate(keys, use_heap=False)
+            self_only_updates = [
+                (k, c + int(e)) for (k, c), e in zip(self_only, ob)
+            ]
+        else:
+            self_only_updates = []
+        if other_items:
+            keys = np.asarray([k for k, _ in other_items], dtype=object)
+            sb = self.estimate(keys, use_heap=False)
+            for (item, oc), fb in zip(other_items, sb):
+                mine = self.pq.counts.get(item)
+                merged = (mine if mine is not None else int(fb)) + int(oc)
+                self.pq.upsert(item, merged)
+        for item, c in self_only_updates:
+            self.pq.upsert(item, c)
+        # cell union, vectorized per other-slot column (scan semantics of
+        # src/bucketed.rs:403-445 preserved: match, else first empty,
+        # else evict min when strictly larger)
+        width = self.params.width
+        rows = np.arange(width)
+        for j in range(self.params.depth):
+            ofp = other.fps[:, j]
+            oc = other.counts[:, j]
+            live = oc > 0
+            mm = (self.fps == ofp[:, None]) & (self.counts > 0)
+            has = mm.any(axis=1) & live
+            slot = mm.argmax(axis=1)
+            with np.errstate(over="ignore"):
+                self.counts[rows[has], slot[has]] += oc[has]
+            rest = live & ~has
+            em = self.counts == 0
+            has_e = em.any(axis=1) & rest
+            eslot = em.argmax(axis=1)
+            self.fps[rows[has_e], eslot[has_e]] = ofp[has_e]
+            self.counts[rows[has_e], eslot[has_e]] = oc[has_e]
+            rest2 = rest & ~has_e
+            if rest2.any():
+                mslot = self.counts.argmin(axis=1)
+                minc = self.counts[rows, mslot]
+                ev = rest2 & (oc > minc)
+                self.fps[rows[ev], mslot[ev]] = ofp[ev]
+                self.counts[rows[ev], mslot[ev]] = oc[ev]
+        return self
+
+    def mem_bytes(self) -> int:
+        items = sum(len(k) + 96 for k in self.pq.counts)
+        return int(self.fps.nbytes + self.counts.nbytes + items)
+
+
+class CuckooTopK(_VariantBase):
+    variant = b"HKC1"
+
+    def __init__(
+        self, k, width, depth, decay=0.9, seed=12345, max_kicks: int = 8, rng=None
+    ) -> None:
+        super().__init__(k, width, depth, decay, seed, rng)
+        if max_kicks < 1:
+            raise ValueError("max_kicks must be >= 1")
+        self.max_kicks = int(max_kicks)
+        self.lobby_fp = np.zeros(width, dtype=np.uint64)
+        self.lobby_c = np.zeros(width, dtype=np.uint64)
+        self.heavy_fp = np.zeros((width, depth), dtype=np.uint64)
+        self.heavy_c = np.zeros((width, depth), dtype=np.uint64)
+
+    def _state_dict(self) -> dict:
+        return {
+            "lobby_fp": self.lobby_fp,
+            "lobby_c": self.lobby_c,
+            "heavy_fp": self.heavy_fp,
+            "heavy_c": self.heavy_c,
+            "max_kicks": self.max_kicks,
+        }
+
+    def _load_state(self, d: dict) -> None:
+        self.lobby_fp = d["lobby_fp"]
+        self.lobby_c = d["lobby_c"]
+        self.heavy_fp = d["heavy_fp"]
+        self.heavy_c = d["heavy_c"]
+        self.max_kicks = d["max_kicks"]
+
+    @classmethod
+    def deserialize(cls, blob: bytes):
+        if blob[:4] != cls.variant:
+            raise ValueError(f"not a {cls.__name__} blob")
+        d = pickle.loads(blob[4:])
+        sk = cls(**d["params"], max_kicks=d["max_kicks"])
+        sk._load_state(d)
+        for item, c, _seq in sorted(d["cand"], key=lambda t: t[2]):
+            sk.pq.upsert(item, c)
+        return sk
+
+    def _pair(self, fp: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """bucket_pair (src/cuckoo.rs:569-580), vectorized."""
+        b1 = self._index(fp)
+        if self.params.width == 1:
+            return b1, b1
+        b2 = self._index(_mix64(fp ^ _CUCKOO_SALT))
+        same = b2 == b1
+        b2 = np.where(same, (b2 + 1) % self.params.width, b2)
+        return b1, b2
+
+    def add_batch(self, items: np.ndarray, weights: np.ndarray | None = None) -> None:
+        keys, w, fp = self._preagg(items, weights)
+        n = keys.shape[0]
+        if n == 0:
+            return
+        b1, b2 = self._pair(fp)
+        depth = self.params.depth
+        flat_c = self.heavy_c.reshape(-1)
+        est = np.zeros(n, dtype=np.int64)
+        # vector phase: heavy hits (primary bucket first — find_heavy order)
+        m1 = (self.heavy_fp[b1] == fp[:, None]) & (self.heavy_c[b1] > 0)
+        h1 = m1.any(axis=1)
+        m2 = (self.heavy_fp[b2] == fp[:, None]) & (self.heavy_c[b2] > 0)
+        h2 = m2.any(axis=1) & ~h1
+        if h1.any():
+            np.add.at(
+                flat_c, b1[h1] * depth + m1.argmax(axis=1)[h1], w[h1].astype(np.uint64)
+            )
+        if h2.any():
+            np.add.at(
+                flat_c, b2[h2] * depth + m2.argmax(axis=1)[h2], w[h2].astype(np.uint64)
+            )
+        hit = h1 | h2
+        if hit.any():
+            # re-probe for PQ (post all adds)
+            mm1 = (self.heavy_fp[b1] == fp[:, None]) & (self.heavy_c[b1] > 0)
+            mm2 = (self.heavy_fp[b2] == fp[:, None]) & (self.heavy_c[b2] > 0)
+            c1 = np.where(
+                mm1.any(1), self.heavy_c[b1][np.arange(n), mm1.argmax(1)], 0
+            )
+            c2 = np.where(
+                mm2.any(1), self.heavy_c[b2][np.arange(n), mm2.argmax(1)], 0
+            )
+            est[hit] = np.where(c1[hit] > 0, c1[hit], c2[hit]).astype(np.int64)
+        # residue: lobby duels + promotion, heaviest first
+        rem = np.flatnonzero(~hit)
+        for j in rem[np.argsort(-w[rem], kind="stable")]:
+            est[j] = self._add_one(int(b1[j]), int(b2[j]), fp[j], int(w[j]))
+        self._pq_update_batch(keys, est)
+
+    def _add_one(self, b1: int, b2: int, fp: np.uint64, w: int) -> int:
+        # re-check heavy (residue ordering may have promoted this fp)
+        idx = self._find_heavy(fp, b1, b2)
+        if idx is not None:
+            self.heavy_c.reshape(-1)[idx] += np.uint64(w)
+            return int(self.heavy_c.reshape(-1)[idx])
+        # lobby update at primary (src/cuckoo.rs:635-651)
+        if self.lobby_c[b1] == 0 or self.lobby_fp[b1] == fp:
+            self.lobby_fp[b1] = fp
+            self.lobby_c[b1] += np.uint64(w)
+            lc = int(self.lobby_c[b1])
+        else:
+            won = self._duel(
+                lambda: int(self.lobby_c[b1]),
+                lambda c: self.lobby_c.__setitem__(b1, c),
+                lambda c: (
+                    self.lobby_fp.__setitem__(b1, fp),
+                    self.lobby_c.__setitem__(b1, c),
+                ),
+                w,
+            )
+            if won is None:
+                return 0
+            lc = won
+        if self._promote(fp, lc, b1, b2):
+            if self.lobby_fp[b1] == fp:
+                self.lobby_fp[b1] = 0
+                self.lobby_c[b1] = 0
+            return lc
+        return 0
+
+    def _find_heavy(self, fp: np.uint64, b1: int, b2: int) -> int | None:
+        for b in (b1, b2) if b1 != b2 else (b1,):
+            row_f = self.heavy_fp[b]
+            row_c = self.heavy_c[b]
+            s = np.flatnonzero((row_f == fp) & (row_c > 0))
+            if s.size:
+                return b * self.params.depth + int(s[0])
+        return None
+
+    def _promote(self, fp: np.uint64, count: int, b1: int, b2: int) -> bool:
+        """src/cuckoo.rs:653-676."""
+        for b in (b1, b2) if b1 != b2 else (b1,):
+            empt = np.flatnonzero(self.heavy_c[b] == 0)
+            if empt.size:
+                i = int(empt[0])
+                self.heavy_fp[b, i] = fp
+                self.heavy_c[b, i] = count
+                return True
+        vb, vi, vc = self._min_heavy(b1, b2)
+        if count <= vc:
+            return False
+        vfp = self.heavy_fp[vb, vi]
+        vcount = int(self.heavy_c[vb, vi])
+        self.heavy_fp[vb, vi] = fp
+        self.heavy_c[vb, vi] = count
+        self._relocate(vfp, vcount, vb)
+        return True
+
+    def _min_heavy(self, b1: int, b2: int) -> tuple[int, int, int]:
+        i1 = int(self.heavy_c[b1].argmin())
+        c1 = int(self.heavy_c[b1, i1])
+        if b2 == b1:
+            return b1, i1, c1
+        i2 = int(self.heavy_c[b2].argmin())
+        c2 = int(self.heavy_c[b2, i2])
+        return (b2, i2, c2) if c2 < c1 else (b1, i1, c1)
+
+    def _relocate(self, fp: np.uint64, count: int, from_b: int) -> None:
+        """Bounded kick chain (src/cuckoo.rs:678-707)."""
+        for _ in range(self.max_kicks):
+            if count == 0:
+                return
+            p, a = self._pair(np.asarray([fp], dtype=np.uint64))
+            p, a = int(p[0]), int(a[0])
+            target = a if from_b == p else p
+            if target == from_b:
+                return
+            empt = np.flatnonzero(self.heavy_c[target] == 0)
+            if empt.size:
+                i = int(empt[0])
+                self.heavy_fp[target, i] = fp
+                self.heavy_c[target, i] = count
+                return
+            i = int(self.heavy_c[target].argmin())
+            tc = int(self.heavy_c[target, i])
+            if count <= tc:
+                return
+            ofp, oc = self.heavy_fp[target, i], tc
+            self.heavy_fp[target, i] = fp
+            self.heavy_c[target, i] = count
+            fp, count, from_b = ofp, oc, target
+
+    def estimate(self, items: np.ndarray, use_heap: bool = True) -> np.ndarray:
+        arr = np.asarray(items, dtype=object)
+        n = arr.shape[0]
+        fp = self._hash(arr)
+        b1, b2 = self._pair(fp)
+        m1 = (self.heavy_fp[b1] == fp[:, None]) & (self.heavy_c[b1] > 0)
+        m2 = (self.heavy_fp[b2] == fp[:, None]) & (self.heavy_c[b2] > 0)
+        c1 = np.where(m1.any(1), self.heavy_c[b1][np.arange(n), m1.argmax(1)], 0)
+        c2 = np.where(m2.any(1), self.heavy_c[b2][np.arange(n), m2.argmax(1)], 0)
+        lob = np.where(self.lobby_fp[b1] == fp, self.lobby_c[b1], 0)
+        out = np.where(c1 > 0, c1, np.where(c2 > 0, c2, lob)).astype(np.int64)
+        if use_heap and self.pq.counts:
+            get = self.pq.counts.get
+            for i in range(n):
+                c = get(_as_bytes(arr[i]))
+                if c is not None:
+                    out[i] = c
+        return out
+
+    def merge(self, other: "CuckooTopK") -> "CuckooTopK":
+        """Deterministic merge — no decay (src/cuckoo.rs:408-553)."""
+        self._check_compat(other)
+        if self.max_kicks != other.max_kicks:
+            raise SketchCompatError("max_kicks", self.max_kicks, other.max_kicks)
+        # PQ first (pre-merge fallbacks)
+        other_items = list(other.pq.counts.items())
+        self_only = [
+            (k, c) for k, c in self.pq.counts.items() if k not in other.pq.counts
+        ]
+        self_only_updates = []
+        if self_only:
+            keys = np.asarray([k for k, _ in self_only], dtype=object)
+            ob = other.estimate(keys, use_heap=False)
+            self_only_updates = [(k, c + int(e)) for (k, c), e in zip(self_only, ob)]
+        if other_items:
+            keys = np.asarray([k for k, _ in other_items], dtype=object)
+            sb = self.estimate(keys, use_heap=False)
+            for (item, oc), fb in zip(other_items, sb):
+                mine = self.pq.counts.get(item)
+                merged = (mine if mine is not None else int(fb)) + int(oc)
+                self.pq.upsert(item, merged)
+        for item, c in self_only_updates:
+            self.pq.upsert(item, c)
+        # heavy cells of other, re-inserted with lobby folding
+        w, d = self.params.width, self.params.depth
+        for b in range(w):
+            for j in range(d):
+                oc = int(other.heavy_c[b, j])
+                if oc == 0:
+                    continue
+                fp = other.heavy_fp[b, j]
+                p, a = self._pair(np.asarray([fp], dtype=np.uint64))
+                p, a = int(p[0]), int(a[0])
+                count = oc
+                if self.lobby_c[p] > 0 and self.lobby_fp[p] == fp:
+                    count += int(self.lobby_c[p])
+                    self.lobby_fp[p] = 0
+                    self.lobby_c[p] = 0
+                idx = self._find_heavy(fp, p, a)
+                if idx is not None:
+                    self.heavy_c.reshape(-1)[idx] += np.uint64(count)
+                    continue
+                placed = False
+                for bb in (p, a) if p != a else (p,):
+                    empt = np.flatnonzero(self.heavy_c[bb] == 0)
+                    if empt.size:
+                        i = int(empt[0])
+                        self.heavy_fp[bb, i] = fp
+                        self.heavy_c[bb, i] = count
+                        placed = True
+                        break
+                if placed:
+                    continue
+                vb, vi, vc = self._min_heavy(p, a)
+                if count > vc:
+                    vfp = self.heavy_fp[vb, vi]
+                    vcount = int(self.heavy_c[vb, vi])
+                    self.heavy_fp[vb, vi] = fp
+                    self.heavy_c[vb, vi] = count
+                    self._relocate(vfp, vcount, vb)
+        # lobbies of other: fold into heavy if present, else
+        # higher-count-wins (ties keep self)
+        for b in range(w):
+            oc = int(other.lobby_c[b])
+            if oc == 0:
+                continue
+            fp = other.lobby_fp[b]
+            p, a = self._pair(np.asarray([fp], dtype=np.uint64))
+            p, a = int(p[0]), int(a[0])
+            idx = self._find_heavy(fp, p, a)
+            if idx is not None:
+                self.heavy_c.reshape(-1)[idx] += np.uint64(oc)
+                continue
+            if self.lobby_c[p] > 0 and self.lobby_fp[p] == fp:
+                self.lobby_c[p] += np.uint64(oc)
+            elif self.lobby_c[p] == 0 or oc > int(self.lobby_c[p]):
+                self.lobby_fp[p] = fp
+                self.lobby_c[p] = oc
+        return self
+
+    def mem_bytes(self) -> int:
+        items = sum(len(k) + 96 for k in self.pq.counts)
+        return int(
+            self.lobby_fp.nbytes
+            + self.lobby_c.nbytes
+            + self.heavy_fp.nbytes
+            + self.heavy_c.nbytes
+            + items
+        )

@@ -1,0 +1,217 @@
+"""BucketedTopK / CuckooTopK tests mirroring the reference variant
+suites (src/bucketed.rs:600-1177, src/cuckoo.rs:883-1449) plus the
+shared accuracy floors of tests/accuracy_compare.rs for all variants."""
+
+import collections
+
+import numpy as np
+import pytest
+
+from heavykeeper_rs_spark.errors import SketchCompatError
+from heavykeeper_rs_spark.variants import BucketedTopK, CuckooTopK
+
+
+def obj(*xs):
+    return np.asarray(
+        [x.encode() if isinstance(x, str) else x for x in xs], dtype=object
+    )
+
+
+class TestBucketed:
+    def test_exact_uncontended(self):
+        sk = BucketedTopK(10, 512, 4)
+        sk.add_batch(obj(*[f"k{i}" for i in range(20) for _ in range(i + 1)]))
+        est = sk.estimate(obj(*[f"k{i}" for i in range(20)]))
+        assert list(est) == [i + 1 for i in range(20)]
+
+    def test_first_empty_then_min_duel(self):
+        # width=1: single bucket of 2 cells
+        sk = BucketedTopK(5, 1, 2)
+        sk._force_decay = False
+        sk.add_batch(obj("a"), np.array([10]))
+        sk.add_batch(obj("b"), np.array([3]))  # second cell
+        sk.add_batch(obj("c"), np.array([100]))  # duel min (b) -> forced off, loses
+        assert sk.estimate(obj("a", "b"), use_heap=False).tolist() == [10, 3]
+        assert sk.estimate(obj("c"), use_heap=False)[0] == 0
+        sk._force_decay = True
+        sk.add_batch(obj("d"), np.array([7]))  # duels min cell (b=3): 7-3=4... seizes
+        assert sk.estimate(obj("b"), use_heap=False)[0] == 0
+        assert sk.estimate(obj("d"), use_heap=False)[0] == 5  # 7 - (3-1) - 1 + 1
+
+    def test_merge_overflow_evicts_min(self):
+        # mirror src/bucketed.rs:939-971: full self bucket, other cell
+        # with larger count replaces the min
+        a = BucketedTopK(5, 1, 2)
+        b = BucketedTopK(5, 1, 2)
+        a._force_decay = False
+        b._force_decay = False
+        a.add_batch(obj("x"), np.array([10]))
+        a.add_batch(obj("y"), np.array([5]))
+        b.add_batch(obj("z"), np.array([8]))
+        a.merge(b)
+        assert a.estimate(obj("x"), use_heap=False)[0] == 10
+        assert a.estimate(obj("z"), use_heap=False)[0] == 8  # evicted min y
+        assert a.estimate(obj("y"), use_heap=False)[0] == 0
+
+    def test_merge_pq_sums(self):
+        # src/bucketed.rs:973-1000
+        a = BucketedTopK(5, 256, 4)
+        b = BucketedTopK(5, 256, 4)
+        a.add_batch(obj(*(["x"] * 7 + ["y"] * 2)))
+        b.add_batch(obj(*(["x"] * 3 + ["z"] * 4)))
+        a.merge(b)
+        d = dict(a.list())
+        assert d[b"x"] == 10 and d[b"y"] == 2 and d[b"z"] == 4
+
+    def test_merge_slot_order_independence(self):
+        # src/bucketed.rs:898-937: same items placed in different slot
+        # orders merge to the same estimates
+        a1 = BucketedTopK(5, 1, 3)
+        a2 = BucketedTopK(5, 1, 3)
+        for sk, order in ((a1, ["a", "b", "c"]), (a2, ["c", "a", "b"])):
+            sk._force_decay = False
+            for i, k in enumerate(order):
+                sk.add_batch(obj(k), np.array([10 * (ord(k[0]) - 96)]))
+        m = BucketedTopK(5, 1, 3)
+        m._force_decay = False
+        m.merge(a1)
+        m2 = BucketedTopK(5, 1, 3)
+        m2._force_decay = False
+        m2.merge(a2)
+        for k in ("a", "b", "c"):
+            assert (
+                m.estimate(obj(k), use_heap=False)[0]
+                == m2.estimate(obj(k), use_heap=False)[0]
+            )
+
+    def test_failed_eviction_purity(self):
+        sk = BucketedTopK(5, 1, 1)
+        sk._force_decay = False
+        sk.add_batch(obj("A"), np.array([10]))
+        sk.add_batch(obj("B"), np.array([3]))
+        assert not sk.contains_top_k("B")
+        assert sk.estimate(obj("B"))[0] == 0
+
+    def test_compat_errors(self):
+        a = BucketedTopK(5, 64, 2)
+        with pytest.raises(SketchCompatError):
+            a.merge(BucketedTopK(5, 128, 2))
+        with pytest.raises(SketchCompatError):
+            a.merge(CuckooTopK(5, 64, 2))
+
+    def test_roundtrip(self):
+        sk = BucketedTopK(10, 128, 4)
+        sk.add_batch(obj(*[f"k{i % 30}" for i in range(500)]))
+        back = BucketedTopK.deserialize(sk.serialize())
+        assert (back.fps == sk.fps).all() and (back.counts == sk.counts).all()
+        assert back.list() == sk.list()
+
+
+class TestCuckoo:
+    def test_exact_uncontended(self):
+        sk = CuckooTopK(10, 512, 4)
+        sk.add_batch(obj(*[f"k{i}" for i in range(20) for _ in range(i + 1)]))
+        est = sk.estimate(obj(*[f"k{i}" for i in range(20)]))
+        assert list(est) == [i + 1 for i in range(20)]
+
+    def test_heavy_hit_no_decay(self):
+        sk = CuckooTopK(5, 64, 2)
+        sk.add_batch(obj("a"), np.array([5]))  # promoted to heavy (empty slot)
+        sk._force_decay = False  # decay can't touch heavy slots anyway
+        sk.add_batch(obj("a"), np.array([7]))
+        assert sk.estimate(obj("a"))[0] == 12
+
+    def test_two_candidate_capacity(self):
+        # src/cuckoo.rs:945-969: items spread across both candidate
+        # buckets; all retained with ample room
+        sk = CuckooTopK(20, 64, 2)
+        items = [f"it{i}" for i in range(30)]
+        for it in items:
+            sk.add_batch(obj(it), np.array([10]))
+        est = sk.estimate(obj(*items))
+        assert (est == 10).all()
+
+    def test_seed_determinism(self):
+        # src/cuckoo.rs:1039-1057
+        data = obj(*[f"u{i % 97}" for i in range(5000)])
+        a = CuckooTopK(10, 32, 2, seed=7)
+        b = CuckooTopK(10, 32, 2, seed=7)
+        a.add_batch(data)
+        b.add_batch(data)
+        assert (a.heavy_c == b.heavy_c).all() and (a.lobby_c == b.lobby_c).all()
+        assert a.list() == b.list()
+
+    def test_merge_folds_lobby_into_heavy(self):
+        # src/cuckoo.rs:1264-1298: an item heavy in self and lobbied in
+        # other ends up as a single summed heavy entry
+        a = CuckooTopK(5, 4, 1, seed=3)
+        b = CuckooTopK(5, 4, 1, seed=3)
+        a.add_batch(obj("hot"), np.array([50]))  # heavy in a
+        # make 'hot' a lobby resident in b: fill b's heavy slots first
+        b._force_decay = False
+
+        probe = [f"f{i}" for i in range(200)]
+        hot_b1 = a._pair(a._hash(obj("hot")))[0][0]
+        fillers = [
+            p
+            for p in probe
+            if b._pair(b._hash(obj(p)))[0][0] == hot_b1
+        ][:1]
+        if fillers:
+            b.add_batch(obj(fillers[0]), np.array([100]))  # occupies heavy slot
+        b.add_batch(obj("hot"), np.array([9]))  # lands in lobby (heavy full)
+        assert b.estimate(obj("hot"), use_heap=False)[0] in (9, 9 + 0)
+        a.merge(b)
+        assert a.estimate(obj("hot"))[0] == 59
+
+    def test_merge_deterministic_no_decay(self):
+        a1 = CuckooTopK(10, 16, 2, seed=5)
+        a2 = CuckooTopK(10, 16, 2, seed=5)
+        parts = []
+        for pid in range(4):
+            sk = CuckooTopK(10, 16, 2, seed=5)
+            sk.add_batch(obj(*[f"k{i}" for i in range(10) for _ in range(i + pid + 1)]))
+            parts.append(sk.serialize())
+        for i in range(4):
+            a1.merge(CuckooTopK.deserialize(parts[i]))
+            a2.merge(CuckooTopK.deserialize(parts[3 - i]))
+        # deterministic merges: same estimates regardless of order for
+        # uncontended keys
+        keys = obj(*[f"k{i}" for i in range(10)])
+        assert (a1.estimate(keys) == a2.estimate(keys)).all()
+
+    def test_max_kicks_plumbing(self):
+        with pytest.raises(ValueError):
+            CuckooTopK(5, 8, 2, max_kicks=0)
+        a = CuckooTopK(5, 8, 2, max_kicks=4)
+        b = CuckooTopK(5, 8, 2, max_kicks=8)
+        with pytest.raises(SketchCompatError):
+            a.merge(b)
+
+    def test_roundtrip(self):
+        sk = CuckooTopK(10, 64, 2)
+        sk.add_batch(obj(*[f"k{i % 30}" for i in range(500)]))
+        back = CuckooTopK.deserialize(sk.serialize())
+        assert (back.heavy_c == sk.heavy_c).all()
+        assert back.max_kicks == sk.max_kicks
+        assert back.list() == sk.list()
+
+
+@pytest.mark.parametrize("cls", [BucketedTopK, CuckooTopK])
+def test_accuracy_floor_zipf12(cls):
+    """hit_ratio >= 0.50 at s=1.2 (tests/accuracy_compare.rs floors),
+    width=256 depth=4 decay=0.9, for both variants."""
+    rng = np.random.default_rng(0xACC04ACC)
+    ranks = np.arange(1, 1_000_001, dtype=np.float64)
+    cdf = np.cumsum(ranks**-1.2)
+    cdf /= cdf[-1]
+    stream = np.searchsorted(cdf, rng.random(500_000)).astype(np.int64)
+    sk = cls(100, 256, 4, 0.9, 12345)
+    keys = stream.astype(str).astype(object)
+    for chunk in np.array_split(keys, 8):
+        sk.add_batch(chunk)
+    truth = collections.Counter(stream)
+    top = {str(k).encode() for k, _ in truth.most_common(100)}
+    got = {item for item, _ in sk.list()}
+    hit = len(got & top) / 100
+    assert hit >= 0.50, hit
