@@ -1,0 +1,61 @@
+"""spark-submit --py-files deployment smoke test (north rule: jobs run
+via spark-submit --py-files with the package shipped as a zip)."""
+
+import json
+import os
+import subprocess
+import sys
+import zipfile
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.mark.slow
+def test_spark_submit_py_files(spark, tmp_path):
+    # materialize a small webtext corpus
+    from heavykeeper_rs_spark.sources.synth import webtext
+
+    corpus = str(tmp_path / "corpus")
+    webtext(spark, 3000, seed=42, partitions=4).write.parquet(corpus)
+
+    zip_path = str(tmp_path / "hk.zip")
+    with zipfile.ZipFile(zip_path, "w") as zf:
+        for root, _dirs, files in os.walk(os.path.join(REPO, "heavykeeper_rs_spark")):
+            for fn in files:
+                if fn.endswith(".py"):
+                    full = os.path.join(root, fn)
+                    zf.write(full, os.path.relpath(full, REPO))
+
+    spark_submit = os.path.join(
+        os.path.dirname(os.path.dirname(sys.executable)), "bin", "spark-submit"
+    )
+    if not os.path.exists(spark_submit):
+        import pyspark
+
+        spark_submit = os.path.join(os.path.dirname(pyspark.__file__), "bin", "spark-submit")
+    env = dict(os.environ)
+    env.pop("SPARK_HOME", None)
+    out = subprocess.run(
+        [
+            spark_submit,
+            "--master",
+            "local[4]",
+            "--py-files",
+            zip_path,
+            os.path.join(REPO, "examples", "topk_domains_job.py"),
+            corpus,
+            "5",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=240,
+        env=env,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+    res = json.loads(line)
+    assert len(res["domains"]) == 5
+    assert res["domains"][0][0].startswith("domain00000")
+    assert len(res["tokens"]) == 5
