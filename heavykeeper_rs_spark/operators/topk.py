@@ -155,7 +155,11 @@ def topk_sketch(
     if variant not in VARIANTS:
         raise ValueError(f"unknown variant {variant!r}; one of {sorted(VARIANTS)}")
     params = HKParams(k=k, width=width, depth=depth, decay=decay, seed=seed)
-    cols = [F.col(col).cast(StringType()).alias("__key")]
+    # binary keys (e.g. 13-byte flow records, examples/ip_files.rs:6)
+    # pass through untouched; everything else becomes a UTF-8 string
+    src_type = dict(df.dtypes).get(col)
+    key_cast = F.col(col) if src_type == "binary" else F.col(col).cast(StringType())
+    cols = [key_cast.alias("__key")]
     weighted = weight_col is not None
     if weighted:
         cols.append(F.col(weight_col).cast(LongType()).alias("__w"))

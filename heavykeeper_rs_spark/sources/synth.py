@@ -188,6 +188,59 @@ def webtext(
     return rng_df.mapInArrow(gen, out_schema)
 
 
+def flows(
+    spark: SparkSession,
+    n_packets: int,
+    n_flows: int = 100_000,
+    alpha: float = 2.0,
+    seed: int = 7,
+    partitions: int | None = None,
+) -> DataFrame:
+    """F4 fixture: 13-byte binary flow keys (src_ip(4) ‖ sport(2) ‖
+    dst_ip(4) ‖ dport(2) ‖ proto(1)), power-law flow sizes — the
+    analog of the reference's CAIDA-style traces
+    (examples/ip_files.rs:6, data/generate.py:6-42). Deterministic
+    per row id."""
+    from pyspark.sql.types import BinaryType, StructField, StructType
+
+    def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        # flow universe derived deterministically from seed
+        frng = np.random.default_rng(seed)
+        flow_ids = frng.integers(0, 2**63, n_flows, dtype=np.int64)
+        ranks = np.arange(1, n_flows + 1, dtype=np.float64)
+        cdf = np.cumsum(ranks**-alpha)
+        cdf /= cdf[-1]
+        for batch in batches:
+            ids = batch.column(0).to_numpy()
+            if ids.size == 0:
+                continue
+            x = np.asarray(ids, dtype=np.uint64) ^ np.uint64(
+                (seed * 0x9E3779B97F4A7C15 + 99) & 0xFFFFFFFFFFFFFFFF
+            )
+            with np.errstate(over="ignore"):
+                x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+                x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+                x = x ^ (x >> np.uint64(31))
+            u = (x >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+            fid = flow_ids[np.searchsorted(cdf, u, side="left")]
+            keys = []
+            for f in fid:
+                b = int(f).to_bytes(8, "big")
+                # src_ip(4) | sport(2) | dst_ip from hash | dport | proto
+                proto = b"\x06" if (f & 1) else b"\x11"
+                keys.append(b[:4] + b[4:6] + b[4:8] + b[6:8] + proto)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(keys, type=pa.binary())], names=["flow_key"]
+            )
+
+    rng_df = spark.range(
+        0, n_packets, 1, partitions or spark.sparkContext.defaultParallelism
+    )
+    return rng_df.mapInArrow(
+        gen, StructType([StructField("flow_key", BinaryType(), False)])
+    )
+
+
 def zipf_keys(
     spark: SparkSession,
     n_samples: int,

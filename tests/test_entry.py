@@ -1,0 +1,58 @@
+"""Entry-contract smoke tests: entry() runs and yields rows; every
+queries() entry runs at sf0.001; binary flow keys flow through topk."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+from heavykeeper_rs_spark.operators.topk import topk_sketch
+from heavykeeper_rs_spark.sources.synth import flows
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 1
+    assert set(df.columns) == {"item", "count"}
+
+
+def test_every_query_has_oracle_or_is_documented(spark):
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    rows_only = set(qs) - set(oracles)
+    # rows-only entries must be the genuinely non-SQL-expressible ones
+    assert rows_only <= {"simhash_near_dup_pairs", "embedding_near_dup"}
+
+
+@pytest.mark.slow
+def test_all_queries_run_at_sf0001(spark):
+    for name, fn in entrymod.queries().items():
+        df = fn(spark, "/root/testdata/sf0.001")
+        assert df.count() >= 0, name
+
+
+def test_binary_flow_keys_topk(spark):
+    """ip_files analog: 13-byte binary keys through the sketch."""
+    fl = flows(spark, 20000, n_flows=500, alpha=2.0, partitions=4)
+    sample = fl.limit(1).collect()[0]["flow_key"]
+    assert len(sample) == 13
+    sk = topk_sketch(fl, "flow_key", k=10, width=8192, depth=4)
+    top = sk.list()
+    assert len(top) == 10
+    assert all(isinstance(item, bytes) and len(item) == 13 for item, _ in top)
+    truth = {
+        bytes(r["flow_key"]): r["cnt"]
+        for r in fl.groupBy("flow_key")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"))
+        .limit(10)
+        .collect()
+    }
+    got = dict(top)
+    hits = sum(1 for k in truth if k in got)
+    assert hits >= 9  # power-law head: near-perfect recall
+
+    est = sk.estimate(np.asarray(list(truth), dtype=object))
+    for (k, v), e in zip(truth.items(), est):
+        assert abs(int(e) - v) <= max(2, 0.01 * v)
