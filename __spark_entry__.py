@@ -81,6 +81,16 @@ def _hk_estimate_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _salted_exact_topk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe exact top-20 tokens: two-phase (key, salt) -> key
+    aggregation so a Zipf head token never pins one reducer."""
+    from heavykeeper_rs_spark.operators.skew import salted_topn
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(T.tokens("text")).alias("token"))
+    return salted_topn(toks, "token", n=20)
+
+
 def _exact_topk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-truth twin of the flagship (groupBy.count.orderBy.limit —
     Spark's TakeOrderedAndProject path)."""
@@ -495,6 +505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hk_cuckoo_topk_event_type": _hk_cuckoo_topk_event_type,
         # relational / exact
         "exact_topk_tokens": _exact_topk_tokens,
+        "salted_exact_topk_tokens": _salted_exact_topk_tokens,
         "lineitem_pricing_summary": _lineitem_pricing_summary,
         "revenue_by_segment": _revenue_by_segment,
         "top_sources_per_lang": _top_sources_per_lang,
@@ -603,6 +614,10 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY 1 ORDER BY event_type"
         ),
         "exact_topk_tokens": (
+            f"SELECT token AS item, COUNT(*) AS count FROM ({_TOKENS_SRC}) "
+            "GROUP BY 1 ORDER BY count DESC, item LIMIT 20"
+        ),
+        "salted_exact_topk_tokens": (
             f"SELECT token AS item, COUNT(*) AS count FROM ({_TOKENS_SRC}) "
             "GROUP BY 1 ORDER BY count DESC, item LIMIT 20"
         ),
