@@ -93,34 +93,47 @@ def minhash_signatures(
             n = len(ids)
             if n == 0:
                 continue
-            out_id = np.repeat(np.asarray(ids, dtype=np.int64), bands)
-            out_band = np.tile(np.arange(bands, dtype=np.int64), n)
-            out_hash = np.empty(n * bands, dtype=np.int64)
+            # one flat shingle array for the whole batch + segment
+            # starts; the per-doc MIN over a multiset equals the min
+            # over the set, so no per-doc dedup is needed
+            sh_lists = []
+            counts = np.empty(n, dtype=np.int64)
             for i in range(n):
                 t = texts[i] if texts[i] is not None else ""
                 if len(t) < shingle:
-                    shingles = np.asarray([t], dtype=object)
+                    sh_lists.append([t])
                 else:
-                    shingles = np.asarray(
-                        list({t[j : j + shingle] for j in range(len(t) - shingle + 1)}),
-                        dtype=object,
+                    sh_lists.append(
+                        [t[j : j + shingle] for j in range(len(t) - shingle + 1)]
                     )
-                h = (pd.util.hash_array(shingles) % np.uint64(_MERSENNE)).astype(
-                    np.int64
-                )
-                # sig[k] = min over shingles of (a_k * h + b_k) mod p
-                prod = (h[:, None] * a[None, :] + b[None, :]) % _MERSENNE
-                sig = prod.min(axis=0).astype(np.int64)
-                bh = pd.util.hash_array(
-                    np.asarray(
-                        [sig[r * rows_per_band : (r + 1) * rows_per_band].tobytes()
-                         for r in range(bands)],
-                        dtype=object,
-                    )
-                ).astype(np.int64)
-                out_hash[i * bands : (i + 1) * bands] = bh
+                counts[i] = len(sh_lists[-1])
+            flat = np.asarray(
+                [s for lst in sh_lists for s in lst], dtype=object
+            )
+            h = (pd.util.hash_array(flat) % np.uint64(_MERSENNE)).astype(np.int64)
+            starts = np.zeros(n, dtype=np.int64)
+            np.cumsum(counts[:-1], out=starts[1:])
+            # sig[d, k] = min over doc d's shingles of (a_k*h + b_k) % p
+            sig = np.empty((n, n_hashes), dtype=np.int64)
+            for kk in range(n_hashes):
+                perm = (h * a[kk] + b[kk]) % _MERSENNE
+                sig[:, kk] = np.minimum.reduceat(perm, starts)
+            # band hash = hash of the band's signature slice bytes
+            band_bytes = np.asarray(
+                [
+                    sig[i, r * rows_per_band : (r + 1) * rows_per_band].tobytes()
+                    for i in range(n)
+                    for r in range(bands)
+                ],
+                dtype=object,
+            )
+            out_hash = pd.util.hash_array(band_bytes).astype(np.int64)
             yield pa.RecordBatch.from_arrays(
-                [pa.array(out_id), pa.array(out_band), pa.array(out_hash)],
+                [
+                    pa.array(np.repeat(np.asarray(ids, dtype=np.int64), bands)),
+                    pa.array(np.tile(np.arange(bands, dtype=np.int64), n)),
+                    pa.array(out_hash),
+                ],
                 names=["id", "band", "band_hash"],
             )
 
@@ -220,25 +233,32 @@ def simhash_signatures(
             n = len(ids)
             if n == 0:
                 continue
-            sigs = np.empty(n, dtype=np.int64)
+            gram_lists = []
+            counts = np.empty(n, dtype=np.int64)
             for i in range(n):
                 t = texts[i] if texts[i] is not None else ""
                 if len(t) < shingle:
-                    grams = np.asarray([t], dtype=object)
+                    gram_lists.append([t])
                 else:
-                    grams = np.asarray(
-                        [t[j : j + shingle] for j in range(len(t) - shingle + 1)],
-                        dtype=object,
+                    gram_lists.append(
+                        [t[j : j + shingle] for j in range(len(t) - shingle + 1)]
                     )
-                h = pd.util.hash_array(grams, hash_key=format(seed, "016x"))
-                bits = (h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
-                votes = 2 * bits.astype(np.int64).sum(axis=0) - len(grams)
-                sig = np.uint64(0)
-                for bidx in np.flatnonzero(votes > 0):
-                    sig |= np.uint64(1) << np.uint64(bidx)
-                sigs[i] = np.int64(sig.astype(np.int64))
+                counts[i] = len(gram_lists[-1])
+            flat = np.asarray([g for lst in gram_lists for g in lst], dtype=object)
+            h = pd.util.hash_array(flat, hash_key=format(seed, "016x"))
+            starts = np.zeros(n, dtype=np.int64)
+            np.cumsum(counts[:-1], out=starts[1:])
+            # per-bit votes, segment-summed per doc
+            sigs = np.zeros(n, dtype=np.uint64)
+            for bidx in range(64):
+                bit = ((h >> np.uint64(bidx)) & np.uint64(1)).astype(np.int64)
+                ones = np.add.reduceat(bit, starts)
+                sigs |= ((2 * ones > counts).astype(np.uint64)) << np.uint64(bidx)
             yield pa.RecordBatch.from_arrays(
-                [pa.array(np.asarray(ids, dtype=np.int64)), pa.array(sigs)],
+                [
+                    pa.array(np.asarray(ids, dtype=np.int64)),
+                    pa.array(sigs.astype(np.int64)),
+                ],
                 names=["id", "simhash"],
             )
 
