@@ -99,8 +99,21 @@ def sketch_agg(
             acc.merge(deserialize(b))
         return pd.DataFrame({"salt": [int(pdf["salt"].iloc[0])], "sketch": [acc.serialize()]})
 
-    partials = keyed.mapInArrow(build, _BLOB_SCHEMA)
-    combined = partials.groupBy("salt").applyInPandas(merge_group, _BLOB_SCHEMA)
+    # multi-level bounded-fan-in merge tree (see operators/topk.py
+    # _tree_merge): salt starts as partition id, divides by fan_in per
+    # level until <= fan_in blobs reach the driver
+    n_parts = max(keyed.rdd.getNumPartitions(), 1)
+    merge_groups = n_parts  # build closure salts by pid
+    combined = keyed.mapInArrow(build, _BLOB_SCHEMA)
+    groups = n_parts
+    fan_in = 8
+    while groups > fan_in:
+        combined = (
+            combined.withColumn("salt", (F.col("salt") / fan_in).cast("int"))
+            .groupBy("salt")
+            .applyInPandas(merge_group, _BLOB_SCHEMA)
+        )
+        groups = -(-groups // fan_in)
     blobs = [r["sketch"] for r in combined.select("sketch").collect()]
     if not blobs:
         return make()

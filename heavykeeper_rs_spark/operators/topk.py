@@ -164,16 +164,43 @@ def topk_sketch(
     if weighted:
         cols.append(F.col(weight_col).cast(LongType()).alias("__w"))
     keyed = df.select(*cols)  # column pruning: scan reads only these
+    n_parts = keyed.rdd.getNumPartitions()
     partials = keyed.mapInArrow(
-        _build_partial(params, merge_groups, weighted, variant), _BLOB_SCHEMA
+        _build_partial(params, max(n_parts, 1), weighted, variant), _BLOB_SCHEMA
     )
-    combined = partials.groupBy("salt").applyInPandas(
-        _merge_group_variant(variant), _BLOB_SCHEMA
-    )
+    combined = _tree_merge(partials, variant, n_parts, fan_in=merge_groups)
     blobs = [r["sketch"] for r in combined.select("sketch").collect()]
     if not blobs:
         return _make_sketch(variant, params, None)
     return _deserialize_variant(variant, _merge_variant_blobs(variant, blobs))
+
+
+def _tree_merge(
+    partials: DataFrame, variant: str, n_groups: int, fan_in: int = 8
+) -> DataFrame:
+    """Multi-level salted merge tree with bounded fan-in.
+
+    ``salt`` starts as the partition id; each level integer-divides it
+    by ``fan_in`` and merges within the group, shrinking the blob count
+    fan_in-fold, until at most ``fan_in`` blobs remain for the driver.
+    No reducer ever folds more than fan_in blobs, so the combine
+    stage's critical path is O(fan_in * log_{fan_in}(partitions))
+    merges — treeAggregate shape. (The reference's pairwise merge
+    chain, src/heavykeeper.rs:406-457, is the degenerate fan_in=2
+    depth=n version.) Level count is derived from the known partition
+    count, so small jobs keep a single shuffle.
+    """
+    merge_fn = _merge_group_variant(variant)
+    out = partials
+    groups = max(int(n_groups), 1)
+    while groups > fan_in:
+        out = (
+            out.withColumn("salt", (F.col("salt") / fan_in).cast("int"))
+            .groupBy("salt")
+            .applyInPandas(merge_fn, _BLOB_SCHEMA)
+        )
+        groups = -(-groups // fan_in)  # ceil div
+    return out
 
 
 def topk(
@@ -274,8 +301,10 @@ def topk_tokens(
             )
 
     keyed = df.select(F.col(text_col).cast(StringType()).alias("__text"))
+    n_parts = keyed.rdd.getNumPartitions()
+    merge_groups = max(n_parts, 1)
     partials = keyed.mapInArrow(build, _BLOB_SCHEMA)
-    combined = partials.groupBy("salt").applyInPandas(_merge_group, _BLOB_SCHEMA)
+    combined = _tree_merge(partials, "topk", n_parts, fan_in=8)
     blobs = [r["sketch"] for r in combined.select("sketch").collect()]
     sk = (
         HeavyKeeper(params)
