@@ -234,6 +234,18 @@ class HeavyKeeper:
         # Test hook: force decay outcomes, mirrors the reference unit
         # tests' threshold overwrites (src/heavykeeper.rs:766-794).
         self._force_decay: bool | None = None
+        self._ubuf = np.empty(0)
+        self._upos = 0
+
+    def _u(self) -> float:
+        """Buffered uniform draw (amortizes Generator call overhead in
+        the scalar duel residue)."""
+        if self._upos >= self._ubuf.shape[0]:
+            self._ubuf = self.rng.random(16384)
+            self._upos = 0
+        u = self._ubuf[self._upos]
+        self._upos += 1
+        return u
 
     # -- construction helpers (reference builder surface, O1/O2/O4) ----
     @classmethod
@@ -390,14 +402,28 @@ class HeavyKeeper:
         # (ownership churn) take the exact sequential path.
         one = sw == 1
         if one.any():
+            sv_one = np.flatnonzero(one)
+            cells1 = scells[sv_one]
             uc, inv_c, mult = np.unique(
-                scells[one], return_inverse=True, return_counts=True
+                cells1, return_inverse=True, return_counts=True
             )
             c_now = cnt_row[uc].astype(np.int64)
             safe = mult < c_now
             if safe.any():
                 cnt_row[uc[safe]] = (c_now[safe] - mult[safe]).astype(np.uint64)
-            churn = ~safe[inv_c]
+            # churn (mult >= count): each conditioned w==1 challenger
+            # decrements exactly once; challenger #count seizes with
+            # count 1 and every later one re-seizes at count 1 — so the
+            # cell deterministically ends at (fp of LAST challenger, 1).
+            churn_cells = ~safe
+            if churn_cells.any():
+                last = np.zeros(uc.shape[0], dtype=np.int64)
+                np.maximum.at(last, inv_c, np.arange(cells1.shape[0]))
+                tgt = uc[churn_cells]
+                winner_keys = skeys[sv_one[last[churn_cells]]]
+                fps_row[tgt] = fp[winner_keys]
+                cnt_row[tgt] = 1
+            churn = np.zeros(sv_one.shape[0], dtype=bool)  # all handled
         else:
             churn = np.zeros(0, dtype=bool)
         # Vectorized w>1 survivors where a kill is statistically
@@ -459,7 +485,6 @@ class HeavyKeeper:
         """
         remaining = w
         decay = self.params.decay
-        rng = self.rng
         c = int(cnt_row[cell])
         if c == 0:  # occupant died in an earlier residue duel this batch
             fps_row[cell] = new_fp
@@ -468,6 +493,7 @@ class HeavyKeeper:
         force = self._force_decay
         _log1p = math.log1p
         _expm1 = math.expm1
+        _u = self._u
         while remaining > 0 and c > 0:
             if force is True:
                 p = 1.0
@@ -483,7 +509,7 @@ class HeavyKeeper:
                     t = 1
                 else:
                     total = -_expm1(remaining * _log1p(-p))
-                    uu = rng.random() * total
+                    uu = _u() * total
                     t = int(math.ceil(_log1p(-uu) / _log1p(-p)))
                     t = min(max(t, 1), remaining)
                 first_success = False
@@ -492,12 +518,12 @@ class HeavyKeeper:
                     t = 1
                 elif p * remaining < 1e-12:
                     # survival shortcut: P(any success) ~ p*remaining
-                    if rng.random() < p * remaining:
-                        t = int(rng.integers(1, remaining + 1))
+                    if _u() < p * remaining:
+                        t = int(_u() * remaining) + 1
                     else:
                         return
                 else:
-                    t = int(math.ceil(_log1p(-rng.random()) / _log1p(-p)))
+                    t = int(math.ceil(_log1p(-_u()) / _log1p(-p)))
                     if t > remaining:
                         return
             remaining -= t
