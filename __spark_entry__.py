@@ -442,6 +442,49 @@ def _tdigest_value_quantiles_ok(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hll_distinct_users_by_type_ok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped HLL: distinct users per event_type, each within 3% of
+    exact (p=14 -> ~0.8% stderr)."""
+    from heavykeeper_rs_spark.operators.agg import hll_distinct_by_group
+
+    ev = _t(spark, sf_dir, "events")
+    est = {
+        r["group"]: r["n_distinct_est"]
+        for r in hll_distinct_by_group(ev, "event_type", "user_id").collect()
+    }
+    exact = {
+        r[0]: r[1]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    ok = all(abs(est[g] - n) / n < 0.03 for g, n in exact.items())
+    return spark.createDataFrame(
+        [(len(exact), bool(ok))], "n_groups bigint, within_bound boolean"
+    )
+
+
+def _tdigest_median_value_by_type_ok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped t-digest: median of value per event_type within rank
+    tolerance 0.02 of the exact median."""
+    from heavykeeper_rs_spark.operators.agg import tdigest_quantile_by_group
+
+    ev = _t(spark, sf_dir, "events")
+    est = {
+        r["group"]: r["quantile_est"]
+        for r in tdigest_quantile_by_group(ev, "event_type", "value", q=0.5).collect()
+    }
+    ok = True
+    for g, e in est.items():
+        grp = ev.filter(F.col("event_type") == g)
+        n = grp.count()
+        rank = grp.filter(F.col("value") <= float(e)).count() / n
+        ok = ok and abs(rank - 0.5) < 0.02
+    return spark.createDataFrame(
+        [(len(est), bool(ok))], "n_groups bigint, within_rank_bound boolean"
+    )
+
+
 def _tpch_q6_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     return li.filter(
@@ -532,6 +575,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_membership_ok": _bloom_membership_ok,
         "kll_price_quantiles_ok": _kll_price_quantiles_ok,
         "tdigest_value_quantiles_ok": _tdigest_value_quantiles_ok,
+        "hll_distinct_users_by_type_ok": _hll_distinct_users_by_type_ok,
+        "tdigest_median_value_by_type_ok": _tdigest_median_value_by_type_ok,
     }
 
 
@@ -749,5 +794,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         "tdigest_value_quantiles_ok": (
             "SELECT CAST(3 AS BIGINT) AS n_quantiles, TRUE AS within_rank_bound"
+        ),
+        "hll_distinct_users_by_type_ok": (
+            "SELECT COUNT(DISTINCT event_type) AS n_groups, TRUE AS within_bound "
+            "FROM events"
+        ),
+        "tdigest_median_value_by_type_ok": (
+            "SELECT COUNT(DISTINCT event_type) AS n_groups, "
+            "TRUE AS within_rank_bound FROM events"
         ),
     }

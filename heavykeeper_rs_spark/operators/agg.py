@@ -155,3 +155,78 @@ def tdigest_build(df: DataFrame, col: str, delta: float = 200.0, **kw) -> TDiges
     return sketch_agg(
         df, col, lambda: TDigest(delta), TDigest.deserialize, numeric=True, **kw
     )
+
+
+# ------------------------------------------------------- grouped variants
+
+def sketch_by_group(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    make: Callable[[], object],
+    finalize: Callable[[object], float],
+    numeric: bool = False,
+    out_col: str = "value",
+) -> DataFrame:
+    """One sketch per group via applyInPandas: (group, finalize(sketch)).
+
+    The group shuffle is the only row movement; within each group the
+    sketch folds vectorized. Hot groups cost bounded memory (that is
+    the point of the sketch); if a single group exceeds one task's
+    input comfortably, pre-partial with sketch_agg per (group, salt)
+    and merge — same pattern one level deeper.
+    """
+    out_schema = StructType(
+        [
+            StructField("group", StringType(), False),
+            StructField(out_col, DoubleType(), False),
+        ]
+    )
+    cast = DoubleType() if numeric else StringType()
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        sk = make()
+        v = pdf["__v"].to_numpy()
+        valid = pd.notna(v)
+        if numeric:
+            sk.add_batch(np.asarray(v[valid], dtype=np.float64))
+        else:
+            sk.add_batch(np.asarray(v[valid], dtype=object))
+        return pd.DataFrame(
+            {"group": [str(pdf["__g"].iloc[0])], out_col: [float(finalize(sk))]}
+        )
+
+    keyed = df.select(
+        F.col(group_col).cast(StringType()).alias("__g"),
+        F.col(value_col).cast(cast).alias("__v"),
+    )
+    return keyed.groupBy("__g").applyInPandas(fold, out_schema)
+
+
+def hll_distinct_by_group(
+    df: DataFrame, group_col: str, value_col: str, p: int = 14, seed: int = 12345
+) -> DataFrame:
+    """(group, n_distinct_est) — HLL per group."""
+    return sketch_by_group(
+        df,
+        group_col,
+        value_col,
+        lambda: HLL(p, seed),
+        lambda sk: sk.estimate(),
+        out_col="n_distinct_est",
+    )
+
+
+def tdigest_quantile_by_group(
+    df: DataFrame, group_col: str, value_col: str, q: float, delta: float = 200.0
+) -> DataFrame:
+    """(group, qXX) — t-digest quantile per group."""
+    return sketch_by_group(
+        df,
+        group_col,
+        value_col,
+        lambda: TDigest(delta),
+        lambda sk: float(sk.quantile(q)[0]),
+        numeric=True,
+        out_col="quantile_est",
+    )
