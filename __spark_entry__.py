@@ -349,6 +349,40 @@ def _doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish pre-tokenizer + whitespace token counting per lang."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "lang",
+            T.bpe_token_count("text").alias("nbpe"),
+            T.whitespace_token_count("text").alias("nws"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.sum("nbpe").cast("long").alias("total_bpe_tokens"),
+            F.sum("nws").cast("long").alias("total_ws_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _rolling_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rabin-Karp rolling-hash fingerprints: grouping structure must
+    equal exact normalized-text dedup (identical text <=> identical
+    polynomial hash, collisions ~2^-61)."""
+    from heavykeeper_rs_spark.operators.dedup import rolling_fingerprints
+
+    docs = _t(spark, sf_dir, "documents")
+    fps = rolling_fingerprints(docs, "doc_id", "text")
+    return (
+        fps.groupBy("rfp")
+        .agg(F.min("id").alias("keep_doc_id"), F.count("*").alias("dup_count"))
+        .orderBy("keep_doc_id")
+        .select("keep_doc_id", "dup_count")
+    )
+
+
 def _hll_distinct_users_ok(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL estimate within 3% of exact (p=14 -> ~0.8% stderr). The
     boolean makes the accuracy bound itself the verified value."""
@@ -569,6 +603,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # text analysis
         "lang_id_counts": _lang_id_counts,
         "quality_by_lang": _quality_by_lang,
+        "bpe_token_stats": _bpe_token_stats,
+        "rolling_fingerprint_dedup": _rolling_fingerprint_dedup,
         # sketch family bound checks
         "hll_distinct_users_ok": _hll_distinct_users_ok,
         "cms_event_counts_ok": _cms_event_counts_ok,
@@ -778,6 +814,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, "
             "event_type, COUNT(*) AS n FROM events "
             "GROUP BY 1, 2 ORDER BY hour, event_type"
+        ),
+        "bpe_token_stats": (
+            "SELECT lang, "
+            "CAST(SUM(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+'))) AS BIGINT) "
+            "AS total_bpe_tokens, "
+            "CAST(SUM(len(list_filter(regexp_split_to_array(text, '\\s+'), t -> length(t) > 0))) AS BIGINT) "
+            "AS total_ws_tokens "
+            "FROM documents GROUP BY lang ORDER BY lang"
+        ),
+        "rolling_fingerprint_dedup": (
+            "SELECT MIN(doc_id) AS keep_doc_id, COUNT(*) AS dup_count FROM ("
+            "  SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm "
+            "  FROM documents"
+            ") GROUP BY norm ORDER BY keep_doc_id"
         ),
         "hll_distinct_users_ok": (
             "SELECT COUNT(DISTINCT user_id) AS n_exact, TRUE AS within_bound FROM events"

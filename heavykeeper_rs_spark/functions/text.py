@@ -42,6 +42,31 @@ def token_count(col: str | Column) -> Column:
     return F.size(tokens(col))
 
 
+# BPE-ish pre-tokenizer: the GPT-2-style split classes reduced to
+# constructs Java regex and RE2 (DuckDB) share — leading-space word /
+# number / punctuation runs. This is the *pre*-tokenization stage of a
+# byte-pair encoder (the merge table itself is model data, not engine
+# work); counts from it track BPE token counts closely.
+BPE_RE = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def bpe_tokens(col: str | Column) -> Column:
+    """array<string> of BPE-style pre-tokens (word/number/punct runs
+    with leading-space attachment)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(BPE_RE), 0)
+
+
+def bpe_token_count(col: str | Column) -> Column:
+    return F.size(bpe_tokens(col))
+
+
+def whitespace_token_count(col: str | Column) -> Column:
+    """Plain whitespace-split token count."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.filter(F.split(c, r"\s+"), lambda t: F.length(t) > 0))
+
+
 def domain_of(url_col: str | Column) -> Column:
     """Registered host from a URL — the elephant-flow key for webtext.
 

@@ -52,6 +52,103 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+_RH_BASE = 1_000_003
+_RH_MOD = (1 << 61) - 1
+
+
+def rolling_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, normalize: bool = True
+) -> DataFrame:
+    """(id, rfp): Rabin–Karp polynomial rolling hash of each document.
+
+    fp(doc) = sum(byte_i * BASE^(L-1-i)) mod (2^61-1), computed fully
+    vectorized per Arrow batch: one byte buffer for the batch, a
+    modpow table indexed by doc-relative position, one segment-sum.
+    Identical normalized text => identical fingerprint; the rolling
+    form means a streaming producer can maintain it incrementally.
+    """
+    out_schema = StructType(
+        [StructField("id", LongType(), False), StructField("rfp", LongType(), False)]
+    )
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        pow_cache = np.ones(1, dtype=np.int64)
+        for batch in batches:
+            ids = batch.column(0).to_numpy(zero_copy_only=False)
+            texts = batch.column(1).to_numpy(zero_copy_only=False)
+            n = len(ids)
+            if n == 0:
+                continue
+            bufs = []
+            lens = np.empty(n, dtype=np.int64)
+            for i in range(n):
+                t = texts[i] if texts[i] is not None else ""
+                if normalize:
+                    t = " ".join(t.lower().split())
+                b = t.encode("utf-8")
+                bufs.append(np.frombuffer(b, dtype=np.uint8))
+                lens[i] = len(b)
+            maxlen = int(lens.max()) if n else 0
+            if pow_cache.shape[0] <= maxlen:
+                # extend modpow table: pow[j] = BASE^j mod p
+                old = pow_cache
+                pow_cache = np.empty(maxlen + 1, dtype=np.int64)
+                pow_cache[: old.shape[0]] = old
+                for j in range(old.shape[0], maxlen + 1):
+                    pow_cache[j] = (int(pow_cache[j - 1]) * _RH_BASE) % _RH_MOD
+            flat = np.concatenate(bufs) if bufs else np.zeros(0, dtype=np.uint8)
+            starts = np.zeros(n, dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            # doc-relative exponent: L-1-i  (highest power first)
+            pos = np.arange(flat.shape[0], dtype=np.int64) - np.repeat(starts, lens)
+            expo = np.repeat(lens - 1, lens) - pos
+            # (byte * BASE^expo) mod p summed per doc; products fit in
+            # float-free int64? byte(<256) * pow(<2^61) overflows int64
+            # -> use python-object-free trick: split pow into hi/lo 31b
+            pw = pow_cache[expo]
+            lo = pw & ((1 << 31) - 1)
+            hi = pw >> 31
+            bb = flat.astype(np.int64)
+            term = ((bb * hi % _RH_MOD) << 31) % _RH_MOD
+            term = (term + bb * lo) % _RH_MOD
+            # exact segment sum mod p without int64 overflow: split each
+            # term (< 2^61) into 31-bit halves, segment-sum the halves
+            # (hi < 2^30 so sums stay in int64 for docs < 2^33 bytes),
+            # recombine mod p per group (n groups, not n bytes)
+            hi_t = term >> 31
+            lo_t = term & ((1 << 31) - 1)
+            if flat.shape[0] == 0:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(np.asarray(ids, dtype=np.int64)),
+                        pa.array(np.zeros(n, dtype=np.int64)),
+                    ],
+                    names=["id", "rfp"],
+                )
+                continue
+            # segment-reduce over non-empty docs only (keeps reduceat
+            # boundaries strictly valid); empty docs fingerprint to 0
+            nz = lens > 0
+            starts_nz = starts[nz]
+            sh = np.add.reduceat(hi_t, starts_nz)
+            sl = np.add.reduceat(lo_t, starts_nz)
+            sums = np.zeros(n, dtype=np.int64)
+            sums[nz] = np.fromiter(
+                (((int(h) << 31) + int(l)) % _RH_MOD for h, l in zip(sh, sl)),
+                dtype=np.int64,
+                count=int(nz.sum()),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(np.asarray(ids, dtype=np.int64)), pa.array(sums)],
+                names=["id", "rfp"],
+            )
+
+    keyed = df.select(
+        F.col(id_col).cast("long").alias("__id"), F.col(text_col).alias("__t")
+    )
+    return keyed.mapInArrow(kernel, out_schema)
+
+
 def _minhash_params(n_hashes: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.default_rng(seed)
     a = rng.integers(1, _MERSENNE, n_hashes, dtype=np.int64)
