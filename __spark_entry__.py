@@ -349,6 +349,33 @@ def _doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hk_contested_accuracy_ok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HeavyKeeper in the CONTESTED regime (width=64*4 cells << ~1000
+    distinct users): paper-style bound check — recall of the true
+    top-20 >= 0.75 and ARE over the true top-20 < 0.25 (the reference's
+    CI floors, tests/accuracy_compare.rs:357-403)."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "u", F.col("user_id").cast("string")
+    )
+    sk = topk_sketch(ev, "u", k=20, width=64, depth=4)
+    truth = {
+        str(r[0]): r[1]
+        for r in ev.groupBy("u").count().orderBy(F.desc("count"), "u").limit(20).collect()
+    }
+    got = {item.decode(): c for item, c in sk.list()}
+    hits = [k for k in truth if k in got]
+    recall = len(hits) / len(truth)
+    are = (
+        sum(abs(got[k] - truth[k]) / truth[k] for k in hits) / len(hits)
+        if hits
+        else 1.0
+    )
+    return spark.createDataFrame(
+        [(len(truth), bool(recall >= 0.75), bool(are < 0.25))],
+        "n_top bigint, recall_ok boolean, are_ok boolean",
+    )
+
+
 def _bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish pre-tokenizer + whitespace token counting per lang."""
     docs = _t(spark, sf_dir, "documents")
@@ -580,6 +607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hk_contains_top_k": _hk_contains_top_k,
         "hk_bucketed_topk_event_type": _hk_bucketed_topk_event_type,
         "hk_cuckoo_topk_event_type": _hk_cuckoo_topk_event_type,
+        "hk_contested_accuracy_ok": _hk_contested_accuracy_ok,
         # relational / exact
         "exact_topk_tokens": _exact_topk_tokens,
         "salted_exact_topk_tokens": _salted_exact_topk_tokens,
@@ -662,6 +690,9 @@ def oracle_sql() -> dict[str, str]:
         "hk_cuckoo_topk_event_type": (
             "SELECT event_type AS item, COUNT(*) AS count FROM events "
             "GROUP BY 1 ORDER BY count DESC, item LIMIT 5"
+        ),
+        "hk_contested_accuracy_ok": (
+            "SELECT CAST(20 AS BIGINT) AS n_top, TRUE AS recall_ok, TRUE AS are_ok"
         ),
         "hk_topk_user": (
             "SELECT CAST(user_id AS VARCHAR) AS item, COUNT(*) AS count FROM events "
