@@ -47,18 +47,6 @@ _DOMAINS_N = 10_000
 _LANGS = np.asarray(["en", "en", "en", "en", "de", "fr", "es", "und"], dtype=object)
 
 
-def _zipf_ranks(rng: np.random.Generator, s: float, n_universe: int, size: int) -> np.ndarray:
-    """Zipf(s) ranks in [0, n_universe) via inverse-CDF sampling on a
-    truncated power law (same law as rand_distr::Zipf used by
-    tests/accuracy_compare.rs:29-41)."""
-    ranks = np.arange(1, n_universe + 1, dtype=np.float64)
-    w = ranks**-s
-    cdf = np.cumsum(w)
-    cdf /= cdf[-1]
-    u = rng.random(size)
-    return np.searchsorted(cdf, u, side="left").astype(np.int64)
-
-
 def html_wrap_expr():
     """Spark Column: the canonical html encoding of text (invertible)."""
     from pyspark.sql import functions as F
