@@ -69,12 +69,22 @@ def _hash_key_for_seed(seed: int) -> str:
 
 
 def hash_items(items: np.ndarray, seed: int) -> np.ndarray:
-    """Vectorized 64-bit hash of an object array of bytes/str keys.
+    """Vectorized 64-bit hash of a key batch.
 
-    One C-level SipHash pass per batch — the analog of the reference's
-    single ahash per item (src/hash_composition.rs:13-22). No per-row
-    Python.
+    bytes/str keys: one C-level SipHash pass (the analog of the
+    reference's single ahash per item, src/hash_composition.rs:13-22).
+    Integer keys: seed-mixed splitmix64 finalizer directly on the
+    int64 lanes — the u64 fast path the reference benches
+    (benches/topk_vs_bucketed.rs uses u64 keys). No per-row Python in
+    either path.
     """
+    arr = np.asarray(items)
+    if arr.dtype.kind in "iu":
+        x = arr.astype(np.uint64) ^ _U64((seed * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF)
+        with np.errstate(over="ignore"):
+            x = (x ^ (x >> _U64(30))) * _U64(0xBF58476D1CE4E5B9)
+            x = (x ^ (x >> _U64(27))) * _U64(0x94D049BB133111EB)
+            return x ^ (x >> _U64(31))
     arr = np.asarray(items, dtype=object)
     return pd.util.hash_array(arr, hash_key=_hash_key_for_seed(seed), categorize=False)
 
@@ -279,7 +289,9 @@ class HeavyKeeper:
         reference's first-class weighted ``add(item, n)``
         (src/heavykeeper.rs:273-279).
         """
-        arr = np.asarray(items, dtype=object)
+        arr = np.asarray(items)
+        if arr.dtype.kind not in "iu":
+            arr = np.asarray(items, dtype=object)
         if arr.size == 0:
             return
         # Pre-aggregate on the 64-bit hash instead of the raw keys:
@@ -331,7 +343,7 @@ class HeavyKeeper:
             order = sel[np.lexsort((np.asarray(keys[sel]), -est[sel]))]
             upsert = self.pq.upsert
             for i in order:
-                upsert(_as_bytes(keys[i]), int(est[i]))
+                upsert(_pq_key(keys[i]), int(est[i]))
 
     def _add_row(self, d: int, idx: np.ndarray, fp: np.ndarray, w: np.ndarray) -> None:
         fps_row = self.fps[d]
@@ -543,7 +555,9 @@ class HeavyKeeper:
         with a matching fingerprint, else 0 (src/heavykeeper.rs:220-246).
         ``use_heap=False`` is bucket_count() (src/heavykeeper.rs:248-271).
         """
-        arr = np.asarray(items, dtype=object)
+        arr = np.asarray(items)
+        if arr.dtype.kind not in "iu":
+            arr = np.asarray(items, dtype=object)
         n = arr.shape[0]
         p = self.params
         fp = hash_items(arr, p.seed)
@@ -562,7 +576,7 @@ class HeavyKeeper:
         if use_heap and self.pq.counts:
             get = self.pq.counts.get
             for i in range(n):
-                c = get(_as_bytes(arr[i]))
+                c = get(_pq_key(arr[i]))
                 if c is not None:
                     out[i] = c
         return out
@@ -571,9 +585,9 @@ class HeavyKeeper:
         """O9 (src/heavykeeper.rs:177-199)."""
         return bool(self.estimate(np.asarray([item], dtype=object))[0] > 0)
 
-    def contains_top_k(self, item: bytes | str) -> bool:
+    def contains_top_k(self, item: bytes | str | int) -> bool:
         """O11 (src/heavykeeper.rs:211-218)."""
-        return _as_bytes(item) in self.pq.counts
+        return _pq_key(item) in self.pq.counts
 
     # -- O12: ordered candidates ----------------------------------------
     def list(self) -> list[tuple[bytes, int]]:
@@ -587,13 +601,13 @@ class HeavyKeeper:
         # in both directions (src/bucketed.rs:377-401).
         other_items = list(other.pq.counts.items())
         if other_items:
-            keys = np.asarray([k for k, _ in other_items], dtype=object)
+            keys = _key_array([k for k, _ in other_items])
             self_fallback = self.estimate(keys, use_heap=True)
             for (item, ocount), sc in zip(other_items, self_fallback):
                 self.pq.upsert(item, int(ocount) + int(sc))
         mine = [k for k in self.pq.counts if k not in other.pq.counts]
         if mine:
-            keys = np.asarray(mine, dtype=object)
+            keys = _key_array(mine)
             oc = other.estimate(keys, use_heap=False)
             for item, extra in zip(mine, oc):
                 if extra > 0:
@@ -612,7 +626,7 @@ class HeavyKeeper:
         # their counts reflect other's mass when fingerprints lined up.
         own = [k for k in self.pq.counts if k not in other.pq.counts]
         if own:
-            keys = np.asarray(own, dtype=object)
+            keys = _key_array(own)
             probe = self.estimate(keys, use_heap=False)
             for item, pc in zip(own, probe):
                 self.pq.update_if_present(item, int(pc))
@@ -677,6 +691,22 @@ def _as_bytes(x: object) -> bytes:
     if isinstance(x, str):
         return x.encode("utf-8")
     return str(x).encode("utf-8")
+
+
+def _pq_key(x: object):
+    """Canonical candidate-dict key: python int for integer keys (the
+    u64 fast path), utf-8 bytes otherwise."""
+    if isinstance(x, (int, np.integer)):
+        return int(x)
+    return _as_bytes(x)
+
+
+def _key_array(keys: list) -> np.ndarray:
+    """Rebuild a key array whose dtype matches the insert path's
+    hashing (int64 lanes for integer keys, object otherwise)."""
+    if keys and all(isinstance(k, (int, np.integer)) for k in keys):
+        return np.asarray(keys, dtype=np.int64)
+    return np.asarray(keys, dtype=object)
 
 
 def merge_blobs(blobs: list[bytes]) -> bytes:

@@ -99,15 +99,25 @@ def _build_partial(
             if batch.num_rows == 0:
                 continue
             saw = True
-            col = batch.column(0)
-            keys = col.to_numpy(zero_copy_only=False)
             if weighted:
-                w = batch.column(1).to_numpy(zero_copy_only=False)
-                valid = pd.notna(keys) & pd.notna(w)
-                sk.add_batch(keys[valid], np.asarray(w[valid], dtype=np.int64))
+                import pyarrow.compute as pc
+
+                mask = pc.and_kleene(
+                    batch.column(0).is_valid(), batch.column(1).is_valid()
+                )
+                fb = batch.filter(mask)
+                if fb.num_rows == 0:
+                    continue
+                keys = fb.column(0).to_numpy(zero_copy_only=False)
+                w = fb.column(1).to_numpy(zero_copy_only=False)
+                sk.add_batch(keys, np.asarray(w, dtype=np.int64))
             else:
-                valid = pd.notna(keys)
-                sk.add_batch(keys[valid])
+                col = batch.column(0).drop_null()
+                if len(col) == 0:
+                    continue
+                # int64 columns come through as native int lanes (the
+                # u64 fast path); strings/binary as object arrays
+                sk.add_batch(col.to_numpy(zero_copy_only=False))
         if saw:
             yield pa.RecordBatch.from_pydict(
                 {
@@ -155,10 +165,17 @@ def topk_sketch(
     if variant not in VARIANTS:
         raise ValueError(f"unknown variant {variant!r}; one of {sorted(VARIANTS)}")
     params = HKParams(k=k, width=width, depth=depth, decay=decay, seed=seed)
-    # binary keys (e.g. 13-byte flow records, examples/ip_files.rs:6)
-    # pass through untouched; everything else becomes a UTF-8 string
+    # binary keys (13-byte flow records, examples/ip_files.rs:6) pass
+    # through untouched; integer keys stay int64 lanes end-to-end (the
+    # u64 fast path the reference benches); everything else becomes a
+    # UTF-8 string
     src_type = dict(df.dtypes).get(col)
-    key_cast = F.col(col) if src_type == "binary" else F.col(col).cast(StringType())
+    if src_type == "binary":
+        key_cast = F.col(col)
+    elif src_type in ("bigint", "int", "smallint", "tinyint"):
+        key_cast = F.col(col).cast(LongType())
+    else:
+        key_cast = F.col(col).cast(StringType())
     cols = [key_cast.alias("__key")]
     weighted = weight_col is not None
     if weighted:
@@ -234,11 +251,17 @@ def topk(
     rows = sk.list()
     if tie_break_key:
         rows = sorted(rows, key=lambda t: (-t[1], t[0]))[:k]
-    data = [(item.decode("utf-8", errors="replace"), int(c)) for item, c in rows]
+    data = [(_item_str(item), int(c)) for item, c in rows]
     schema = StructType(
         [StructField("item", StringType(), False), StructField("count", LongType(), False)]
     )
     return spark.createDataFrame(data, schema)
+
+
+def _item_str(item) -> str:
+    if isinstance(item, bytes):
+        return item.decode("utf-8", errors="replace")
+    return str(item)
 
 
 def topk_tokens(

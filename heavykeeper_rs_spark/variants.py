@@ -41,7 +41,7 @@ import pickle
 import numpy as np
 
 from .errors import SketchCompatError
-from .kernel import HKParams, TopKQueue, _as_bytes, hash_items
+from .kernel import HKParams, TopKQueue, _as_bytes, _key_array, _pq_key, hash_items
 
 _U64 = np.uint64
 _CUCKOO_SALT = _U64(0x9E3779B97F4A7C15)
@@ -147,13 +147,13 @@ class _VariantBase:
         if sel.size:
             order = sel[np.lexsort((np.asarray(keys[sel]), -counts[sel]))]
             for i in order:
-                self.pq.upsert(_as_bytes(keys[i]), int(counts[i]))
+                self.pq.upsert(_pq_key(keys[i]), int(counts[i]))
 
     def contains(self, item) -> bool:
         return bool(self.estimate(np.asarray([item], dtype=object))[0] > 0)
 
     def contains_top_k(self, item) -> bool:
-        return _as_bytes(item) in self.pq.counts
+        return _pq_key(item) in self.pq.counts
 
     def list(self) -> list[tuple[bytes, int]]:
         return self.pq.items_sorted()
@@ -268,7 +268,7 @@ class BucketedTopK(_VariantBase):
         if use_heap and self.pq.counts:
             get = self.pq.counts.get
             for i in range(arr.shape[0]):
-                c = get(_as_bytes(arr[i]))
+                c = get(_pq_key(arr[i]))
                 if c is not None:
                     out[i] = c
         return out
@@ -281,7 +281,7 @@ class BucketedTopK(_VariantBase):
             (k, c) for k, c in self.pq.counts.items() if k not in other.pq.counts
         ]
         if self_only:
-            keys = np.asarray([k for k, _ in self_only], dtype=object)
+            keys = _key_array([k for k, _ in self_only])
             ob = other.estimate(keys, use_heap=False)
             self_only_updates = [
                 (k, c + int(e)) for (k, c), e in zip(self_only, ob)
@@ -289,7 +289,7 @@ class BucketedTopK(_VariantBase):
         else:
             self_only_updates = []
         if other_items:
-            keys = np.asarray([k for k, _ in other_items], dtype=object)
+            keys = _key_array([k for k, _ in other_items])
             sb = self.estimate(keys, use_heap=False)
             for (item, oc), fb in zip(other_items, sb):
                 mine = self.pq.counts.get(item)
@@ -530,7 +530,7 @@ class CuckooTopK(_VariantBase):
         if use_heap and self.pq.counts:
             get = self.pq.counts.get
             for i in range(n):
-                c = get(_as_bytes(arr[i]))
+                c = get(_pq_key(arr[i]))
                 if c is not None:
                     out[i] = c
         return out
@@ -547,11 +547,11 @@ class CuckooTopK(_VariantBase):
         ]
         self_only_updates = []
         if self_only:
-            keys = np.asarray([k for k, _ in self_only], dtype=object)
+            keys = _key_array([k for k, _ in self_only])
             ob = other.estimate(keys, use_heap=False)
             self_only_updates = [(k, c + int(e)) for (k, c), e in zip(self_only, ob)]
         if other_items:
-            keys = np.asarray([k for k, _ in other_items], dtype=object)
+            keys = _key_array([k for k, _ in other_items])
             sb = self.estimate(keys, use_heap=False)
             for (item, oc), fb in zip(other_items, sb):
                 mine = self.pq.counts.get(item)
