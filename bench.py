@@ -63,6 +63,15 @@ def main() -> None:
     spark = get_spark(app="hk-bench", master=f"local[{cpus}]", shuffle_partitions=int(cpus))
     # warm the JVM + python workers once so per-query numbers are steady
     spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    from heavykeeper_rs_spark.operators.topk import topk
+
+    topk(
+        spark.read.parquet(f"{sf_dir}/events.parquet").limit(1000),
+        "event_type",
+        k=1,
+        width=64,
+        depth=1,
+    ).count()
     t0 = time.time()
     queries = run_suite(spark, sf_dir)
     total = round(time.time() - t0, 3)
