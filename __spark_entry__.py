@@ -546,6 +546,52 @@ def _tdigest_median_value_by_type_ok(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+def _hk_topk_types_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucketed sketches: top-3 event types per day (warc_ts-style
+    rollup — one sketch per tumbling window via topk_by_group)."""
+    from heavykeeper_rs_spark.operators.topk import topk_by_group
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "day", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+    )
+    return topk_by_group(ev, "day", "event_type", k=3, width=1024, depth=4).orderBy(
+        "group", F.desc("count"), "item"
+    )
+
+
+def _tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table join (region->nation->customer->orders->
+    lineitem->supplier with same-nation constraint), dim sides
+    broadcast, one agg."""
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    lineitem = _t(spark, sf_dir, "lineitem")
+    supplier = _t(spark, sf_dir, "supplier")
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(
+            F.broadcast(supplier),
+            (lineitem.l_suppkey == supplier.s_suppkey)
+            & (customer.c_nationkey == supplier.s_nationkey),
+        )
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
 def _tpch_q6_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     return li.filter(
@@ -617,6 +663,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats_per_lang": _token_stats_per_lang,
         "tpch_q6_revenue": _tpch_q6_revenue,
         "tpch_q3_shipping": _tpch_q3_shipping,
+        "tpch_q5_local_supplier_volume": _tpch_q5_local_supplier_volume,
+        "hk_topk_types_per_day": _hk_topk_types_per_day,
         "events_hourly_top_types": _events_hourly_top_types,
         # dedup family
         "exact_dedup_text": _exact_dedup_text,
@@ -840,6 +888,27 @@ def oracle_sql() -> dict[str, str]:
             "AND o_orderdate < TIMESTAMP '1995-03-15' "
             "AND l_shipdate > TIMESTAMP '1995-03-15' "
             "GROUP BY l_orderkey ORDER BY revenue DESC, l_orderkey LIMIT 10"
+        ),
+        "tpch_q5_local_supplier_volume": (
+            "SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+            "FROM lineitem "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1995-01-01' "
+            "AND o_orderdate < TIMESTAMP '1997-01-01' "
+            "GROUP BY n_name ORDER BY revenue DESC, n_name"
+        ),
+        "hk_topk_types_per_day": (
+            "SELECT \"group\", item, count FROM ("
+            "  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS \"group\", "
+            "  event_type AS item, COUNT(*) AS count, ROW_NUMBER() OVER ("
+            "    PARTITION BY date_trunc('day', ts) "
+            "    ORDER BY COUNT(*) DESC, event_type) AS rn "
+            "  FROM events GROUP BY date_trunc('day', ts), event_type"
+            ") WHERE rn <= 3 ORDER BY \"group\", count DESC, item"
         ),
         "events_hourly_top_types": (
             "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, "
