@@ -302,6 +302,23 @@ def _embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def _embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN over embeddings vs the vec_id=0 query. With n_probe ==
+    n_centroids the probe covers every list, so the result equals the
+    exact brute-force top-10 — making the IVF plumbing oracle-checkable;
+    the pruned (n_probe < n_centroids) mode is the scale path."""
+    from heavykeeper_rs_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "emb_d", F.col("embedding").cast("array<double>")
+    )
+    q = emb.filter(F.col("vec_id") == 0).select("emb_d").collect()[0][0]
+    return ivf_topk(
+        emb, "vec_id", "emb_d", [float(x) for x in q], k=10,
+        n_centroids=8, n_probe=8,
+    )
+
+
 def _embedding_sim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine threshold self-join (the verifier for the LSH
     path; oracle via DuckDB list_cosine_similarity)."""
@@ -676,6 +693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk_cosine": _embedding_topk_cosine,
         "embedding_near_dup": _embedding_near_dup,
         "embedding_sim_join": _embedding_sim_join,
+        "embedding_ivf_topk": _embedding_ivf_topk,
         # text analysis
         "lang_id_counts": _lang_id_counts,
         "quality_by_lang": _quality_by_lang,
@@ -832,6 +850,12 @@ def oracle_sql() -> dict[str, str]:
             "AS n_distinct_fp, COUNT(*) AS n_docs FROM documents"
         ),
         "embedding_topk_cosine": (
+            "SELECT vec_id, ROUND(list_cosine_similarity("
+            "embedding::DOUBLE[], "
+            "(SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 6) "
+            "AS cosine FROM embeddings ORDER BY cosine DESC, vec_id LIMIT 10"
+        ),
+        "embedding_ivf_topk": (
             "SELECT vec_id, ROUND(list_cosine_similarity("
             "embedding::DOUBLE[], "
             "(SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 6) "

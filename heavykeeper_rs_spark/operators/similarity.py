@@ -163,6 +163,91 @@ def brute_force_pairs(
     )
 
 
+def _kmeans(sample: np.ndarray, n_centroids: int, seed: int, iters: int = 10) -> np.ndarray:
+    """Deterministic Lloyd's k-means on a driver-side sample (coarse
+    quantizer training). L2-normalized so assignment order matches
+    cosine similarity."""
+    rng = np.random.default_rng(seed)
+    x = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    idx = rng.choice(x.shape[0], size=min(n_centroids, x.shape[0]), replace=False)
+    cents = x[idx].copy()
+    for _ in range(iters):
+        sims = x @ cents.T
+        assign = sims.argmax(axis=1)
+        for c in range(cents.shape[0]):
+            members = x[assign == c]
+            if members.shape[0]:
+                m = members.mean(axis=0)
+                cents[c] = m / max(np.linalg.norm(m), 1e-12)
+    return cents
+
+
+def ivf_assign(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: np.ndarray,
+) -> DataFrame:
+    """(id, centroid int): IVF coarse assignment — one broadcast matmul
+    per Arrow batch (the inverted-file 'list id' of FAISS-style IVF)."""
+    out_schema = StructType(
+        [StructField("id", LongType(), False), StructField("centroid", LongType(), False)]
+    )
+    cents = centroids.astype(np.float32)
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            ids = batch.column(0).to_numpy(zero_copy_only=False)
+            if len(ids) == 0:
+                continue
+            vecs = np.vstack(batch.column(1).to_numpy(zero_copy_only=False)).astype(
+                np.float32
+            )
+            vecs /= np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+            assign = (vecs @ cents.T).argmax(axis=1).astype(np.int64)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(np.asarray(ids, dtype=np.int64)), pa.array(assign)],
+                names=["id", "centroid"],
+            )
+
+    keyed = df.select(F.col(id_col).cast("long").alias("__id"), F.col(vec_col).alias("__v"))
+    return keyed.mapInArrow(kernel, out_schema)
+
+
+def ivf_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    qvec: list[float],
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    train_sample: int = 2048,
+    seed: int = 12345,
+) -> DataFrame:
+    """IVF approximate cosine top-k: train a coarse quantizer on a
+    driver sample, assign every vector to its nearest centroid, then
+    score ONLY vectors in the query's n_probe nearest lists.
+
+    At 10^12 vectors the assignment is a write-once index column
+    (partition the table by centroid and probing prunes whole
+    partitions); here it is computed inline. Recall is tuned by
+    n_probe/n_centroids; brute_force_topk is the verifier.
+    """
+    sample_rows = df.select(vec_col).limit(train_sample).collect()
+    sample = np.asarray([list(r[0]) for r in sample_rows], dtype=np.float32)
+    cents = _kmeans(sample, n_centroids, seed)
+    q = np.asarray(qvec, dtype=np.float32)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    probe = np.argsort(-(cents @ qn))[:n_probe].tolist()
+    assigned = ivf_assign(df, id_col, vec_col, cents)
+    cand_ids = assigned.filter(F.col("centroid").isin(probe)).select("id")
+    cands = df.join(
+        F.broadcast(cand_ids), df[id_col].cast("long") == cand_ids.id, "leftsemi"
+    )
+    return brute_force_topk(cands, id_col, vec_col, qvec, k)
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str,

@@ -132,6 +132,21 @@ class TestSimilarity:
         for a, b in got:
             assert a in (0, 1, 2) and b in (0, 1, 2)
 
+    def test_ivf_topk_recall(self, spark, vectors):
+        from heavykeeper_rs_spark.operators.similarity import ivf_topk
+
+        q = [r["embedding"] for r in vectors.filter("vec_id = 0").collect()][0]
+        exact = {
+            r["vec_id"]
+            for r in brute_force_topk(vectors, "vec_id", "embedding", q, k=5).collect()
+        }
+        approx = ivf_topk(
+            vectors, "vec_id", "embedding", q, k=5, n_centroids=8, n_probe=4
+        )
+        got = {r["vec_id"] for r in approx.collect()}
+        # near-dup cluster of the query must be found; recall >= 3/5
+        assert 0 in got and len(got & exact) >= 3
+
     def test_on_driver_embeddings_table(self, spark):
         emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
         q = [r["embedding"] for r in emb.limit(1).collect()][0]
