@@ -100,11 +100,17 @@ class _VariantBase:
         return arr[first[keep]], w[keep], uh[keep]
 
     # -- decay duel (exact distributionally; O(#decrements)) ---------------
-    def _duel(self, get_count, set_count, take_cell, w: int) -> int | None:
+    def _duel(
+        self, get_count, set_count, take_cell, w: int, first_success: bool = False
+    ) -> int | None:
         """Duel the cell whose count is read/written via callbacks.
         Returns the winner's count if the challenger took the cell,
         else None. Mirrors decay_and_maybe_evict
-        (src/bucketed.rs:452-476, src/cuckoo.rs:709-731)."""
+        (src/bucketed.rs:452-476, src/cuckoo.rs:709-731).
+        ``first_success`` = the caller's vectorized fast-reject already
+        established >= 1 decrement occurs within w trials, so the first
+        gap draws from the truncated geometric (kernel._duel_one
+        conditioning)."""
         remaining = w
         decay = self.params.decay
         rng = self.rng
@@ -122,7 +128,16 @@ class _VariantBase:
                 p = decay**c
             if p <= 0.0:
                 return None
-            if p >= 1.0:
+            if first_success:
+                if p >= 1.0:
+                    t = 1
+                else:
+                    total = -math.expm1(remaining * math.log1p(-p))
+                    uu = rng.random() * total
+                    t = int(math.ceil(math.log1p(-uu) / math.log1p(-p)))
+                    t = min(max(t, 1), remaining)
+                first_success = False
+            elif p >= 1.0:
                 t = 1
             elif p * remaining < 1e-12:
                 if rng.random() < p * remaining:
@@ -218,10 +233,28 @@ class BucketedTopK(_VariantBase):
         slot = m.argmax(axis=1)
         if has.any():
             np.add.at(flat_c, idx[has] * depth + slot[has], w[has].astype(np.uint64))
-        # residue: empty-claims and min-cell duels, heaviest first
+        # residue: empty-claims and min-cell duels, processed in
+        # vectorized waves (first-per-bucket each wave, heaviest first;
+        # same structure as kernel._add_row)
         rem = np.flatnonzero(~has)
-        for j in rem[np.argsort(-w[rem], kind="stable")]:
-            self._add_one(int(idx[j]), fp[j], int(w[j]))
+        order = rem[np.lexsort((-w[rem], idx[rem]))]
+        waves = 0
+        while order.size:
+            cells = idx[order]
+            is_first = np.empty(cells.shape[0], dtype=bool)
+            is_first[0] = True
+            np.not_equal(cells[1:], cells[:-1], out=is_first[1:])
+            winners = order[is_first]
+            waves += 1
+            if waves > 8 or winners.size < 64:
+                # long tail: per-key exact path
+                for j in order:
+                    self._add_one(int(idx[j]), fp[j], int(w[j]))
+                break
+            self._wave(winners, idx, fp, w)
+            rest = order[~is_first]
+            # rest keeps (bucket, -w) order for the next wave
+            order = rest
         # PQ: resulting count per key (re-probe the single bucket)
         bf = self.fps[idx]
         bc = self.counts[idx]
@@ -231,7 +264,54 @@ class BucketedTopK(_VariantBase):
         )
         self._pq_update_batch(keys, est)
 
-    def _add_one(self, b: int, fp: np.uint64, w: int) -> None:
+    def _wave(self, winners: np.ndarray, idx: np.ndarray, fp: np.ndarray, w: np.ndarray) -> None:
+        """One vectorized wave: unique-bucket winners get re-match /
+        first-empty install / min-cell duel fast-reject; only duel
+        survivors take the per-key exact path."""
+        b = idx[winners]
+        bf = self.fps[b]
+        bc = self.counts[b]
+        # re-match (state may have changed since the batch match phase)
+        m = (bf == fp[winners][:, None]) & (bc > 0)
+        hasm = m.any(axis=1)
+        if hasm.any():
+            flat_c = self.counts.reshape(-1)
+            np.add.at(
+                flat_c,
+                b[hasm] * self.params.depth + m.argmax(axis=1)[hasm],
+                w[winners[hasm]].astype(np.uint64),
+            )
+        rem = ~hasm
+        # first-empty install (winner buckets are unique this wave)
+        em = bc == 0
+        has_e = em.any(axis=1) & rem
+        if has_e.any():
+            eslot = em.argmax(axis=1)
+            tb = b[has_e]
+            ts = eslot[has_e]
+            src = winners[has_e]
+            self.fps[tb, ts] = fp[src]
+            self.counts[tb, ts] = w[src].astype(np.uint64)
+        # min-cell duel with vectorized fast-reject
+        duel = rem & ~has_e
+        if duel.any():
+            dw = w[winners[duel]].astype(np.float64)
+            minc = bc[duel].min(axis=1).astype(np.float64)
+            if self._force_decay is None:
+                pm = np.power(self.params.decay, minc)
+                with np.errstate(divide="ignore", under="ignore"):
+                    p_any = -np.expm1(dw * np.log1p(-np.minimum(pm, 1 - 1e-16)))
+                surv = self.rng.random(int(duel.sum())) < p_any
+            else:
+                surv = np.ones(int(duel.sum()), dtype=bool)
+            for j in np.asarray(winners[duel])[surv]:
+                self._add_one(
+                    int(idx[j]), fp[j], int(w[j]), first_success=True
+                )
+
+    def _add_one(
+        self, b: int, fp: np.uint64, w: int, first_success: bool = False
+    ) -> None:
         crow = self.counts[b]
         frow = self.fps[b]
         live = crow > 0
@@ -253,6 +333,7 @@ class BucketedTopK(_VariantBase):
             lambda c: crow.__setitem__(mi, c),
             lambda c: (frow.__setitem__(mi, fp), crow.__setitem__(mi, c)),
             w,
+            first_success=first_success,
         )
 
     def estimate(self, items: np.ndarray, use_heap: bool = True) -> np.ndarray:
