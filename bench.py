@@ -83,12 +83,61 @@ def main() -> None:
         "sf": float(sf),
         "cpus": int(cpus),
     }
+    spark.stop()
     if os.environ.get("BENCH_SCALING"):
-        spark.stop()
         result["scaling"] = run_scaling()
-    else:
-        spark.stop()
+    elif os.environ.get("BENCH_SCALING_LIGHT"):
+        # light two-parallelism check: same token-topk job on identical
+        # input at local[2] vs local[8] (a true 4x physical-core step).
+        # The authoritative scaling evidence (multiple runs + hardware
+        # control, per the north rule) lives in BENCH.md — this shared
+        # box's minute-to-minute contention makes single-shot numbers
+        # swing 2x, so it is not recorded by default.
+        result["scaling"] = run_scaling_light()
     print(json.dumps(result))
+
+
+def run_scaling_light() -> dict:
+    import tempfile
+
+    from heavykeeper_rs_spark.operators.topk import topk_tokens
+    from heavykeeper_rs_spark.sources.synth import webtext
+
+    n_docs = int(os.environ.get("BENCH_SCALE_DOCS", "1200000"))
+    data_dir = os.path.join(tempfile.gettempdir(), f"hk_scale_tok_{n_docs}")
+    if not os.path.exists(data_dir):
+        s = get_spark(app="hk-scale-gen", master="local[32]", shuffle_partitions=32)
+        webtext(s, n_docs, partitions=64).select("doc_id", "text").write.parquet(
+            data_dir, mode="overwrite"
+        )
+        s.stop()
+    out: dict = {"n_docs": n_docs, "job": "topk_tokens(k=100,w=16384,d=4)"}
+    for par in (2, 8):
+        s = get_spark(app=f"hk-scale-{par}", master=f"local[{par}]", shuffle_partitions=par)
+        s.conf.set("spark.sql.files.maxPartitionBytes", str(4 * 1024 * 1024))
+        df = s.read.parquet(data_dir)
+        topk_tokens(df, "text", k=100, width=16384, depth=4).count()  # warm
+        best = None
+        for _ in range(2):
+            t1 = time.time()
+            topk_tokens(df, "text", k=100, width=16384, depth=4).count()
+            dt = time.time() - t1
+            best = dt if best is None else min(best, dt)
+        out[f"local[{par}]"] = {
+            "sec": round(best, 3),
+            "docs_per_sec": round(n_docs / best, 1),
+        }
+        s.stop()
+    out["efficiency_2_to_8"] = round(
+        out["local[8]"]["docs_per_sec"] / out["local[2]"]["docs_per_sec"] / 4.0, 3
+    )
+    # the no-Spark CPU control: what 2->8 workers is physically worth
+    # on this box (see BENCH.md methodology)
+    out["raw_cpu_eff_2_to_8"] = _hw_ceiling()["raw_cpu_eff_2_to_8"]
+    out["efficiency_vs_hw_ceiling"] = round(
+        out["efficiency_2_to_8"] / max(out["raw_cpu_eff_2_to_8"], 1e-9), 3
+    )
+    return out
 
 
 def _hw_ceiling() -> dict:
