@@ -758,7 +758,8 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY 1 ORDER BY count DESC, item LIMIT 5"
         ),
         "hk_contested_accuracy_ok": (
-            "SELECT CAST(20 AS BIGINT) AS n_top, TRUE AS recall_ok, TRUE AS are_ok"
+            "SELECT CAST(LEAST(COUNT(DISTINCT user_id), 20) AS BIGINT) AS n_top, "
+            "TRUE AS recall_ok, TRUE AS are_ok FROM events"
         ),
         "hk_topk_user": (
             "SELECT CAST(user_id AS VARCHAR) AS item, COUNT(*) AS count FROM events "
