@@ -59,6 +59,18 @@ def _hk_topk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk(toks, "token", k=20, width=65536, depth=4, tie_break_key=True)
 
 
+def _hk_topk_tokens_inkernel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship scale path: tokenization INSIDE the sketch kernel (no
+    explode, no token shuffle) — must agree exactly with the explode
+    oracle in the exact regime."""
+    from heavykeeper_rs_spark.operators.topk import topk_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    return topk_tokens(
+        docs, "text", k=20, width=65536, depth=4, tie_break_key=True
+    )
+
+
 def _hk_weighted_topk_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted add (src/heavykeeper.rs:273): top parts by total quantity."""
     li = _t(spark, sf_dir, "lineitem").select(
@@ -664,6 +676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hk_topk_event_type": _hk_topk_event_type,
         "hk_topk_user": _hk_topk_user,
         "hk_topk_tokens": _hk_topk_tokens,
+        "hk_topk_tokens_inkernel": _hk_topk_tokens_inkernel,
         "hk_weighted_topk_part": _hk_weighted_topk_part,
         "hk_estimate_event_types": _hk_estimate_event_types,
         "hk_topk_type_per_user_bucket": _hk_topk_type_per_user_bucket,
@@ -766,6 +779,10 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY 1 ORDER BY count DESC, item LIMIT 20"
         ),
         "hk_topk_tokens": (
+            f"SELECT token AS item, COUNT(*) AS count FROM ({_TOKENS_SRC}) "
+            "GROUP BY 1 ORDER BY count DESC, item LIMIT 20"
+        ),
+        "hk_topk_tokens_inkernel": (
             f"SELECT token AS item, COUNT(*) AS count FROM ({_TOKENS_SRC}) "
             "GROUP BY 1 ORDER BY count DESC, item LIMIT 20"
         ),
