@@ -640,13 +640,75 @@ class CuckooTopK(_VariantBase):
                 self.pq.upsert(item, merged)
         for item, c in self_only_updates:
             self.pq.upsert(item, c)
-        # heavy cells of other, re-inserted with lobby folding
+        # heavy cells of other, re-inserted with lobby folding. The
+        # overwhelmingly common case when merging shards of one stream
+        # — fingerprint already heavy in self, no lobby involvement —
+        # is handled vectorized; everything else (installs, evictions,
+        # kick chains, lobby folds) takes the exact sequential path.
         w, d = self.params.width, self.params.depth
-        for b in range(w):
-            for j in range(d):
+        nz = other.heavy_c.reshape(-1) > 0
+        if nz.any():
+            ofps = other.heavy_fp.reshape(-1)[nz]
+            ocnt = other.heavy_c.reshape(-1)[nz]
+            vp, va = self._pair(ofps)
+            no_lobby = ~((self.lobby_c[vp] > 0) & (self.lobby_fp[vp] == ofps))
+            m1 = (self.heavy_fp[vp] == ofps[:, None]) & (self.heavy_c[vp] > 0)
+            h1 = m1.any(axis=1) & no_lobby
+            m2 = (self.heavy_fp[va] == ofps[:, None]) & (self.heavy_c[va] > 0)
+            h2 = m2.any(axis=1) & ~m1.any(axis=1) & no_lobby
+            flat = self.heavy_c.reshape(-1)
+            if h1.any():
+                np.add.at(flat, vp[h1] * d + m1.argmax(axis=1)[h1], ocnt[h1])
+            if h2.any():
+                np.add.at(flat, va[h2] * d + m2.argmax(axis=1)[h2], ocnt[h2])
+            handled_flat = np.zeros(other.heavy_c.size, dtype=bool)
+            handled_flat[np.flatnonzero(nz)[h1 | h2]] = True
+        else:
+            handled_flat = np.zeros(other.heavy_c.size, dtype=bool)
+        # vectorized install waves: unhandled cells whose primary bucket
+        # in self has an empty slot (first winner per unique bucket per
+        # wave); matches are re-checked each wave since installs mutate
+        # state. Lobby-fold cells always take the sequential path.
+        oc_flat = other.heavy_c.reshape(-1)
+        of_flat = other.heavy_fp.reshape(-1)
+        rem = np.flatnonzero(~handled_flat & (oc_flat > 0))
+        for _wave in range(6):
+            if rem.size == 0:
+                break
+            f = of_flat[rem]
+            c = oc_flat[rem]
+            vp, va = self._pair(f)
+            nl = ~((self.lobby_c[vp] > 0) & (self.lobby_fp[vp] == f))
+            m1 = (self.heavy_fp[vp] == f[:, None]) & (self.heavy_c[vp] > 0)
+            m2 = (self.heavy_fp[va] == f[:, None]) & (self.heavy_c[va] > 0)
+            h1 = m1.any(axis=1) & nl
+            h2 = m2.any(axis=1) & ~m1.any(axis=1) & nl
+            flat = self.heavy_c.reshape(-1)
+            if h1.any():
+                np.add.at(flat, vp[h1] * d + m1.argmax(axis=1)[h1], c[h1])
+            if h2.any():
+                np.add.at(flat, va[h2] * d + m2.argmax(axis=1)[h2], c[h2])
+            done = h1 | h2
+            # empty-primary installs: first candidate per unique bucket
+            cand = nl & ~done
+            em = self.heavy_c[vp] == 0
+            has_e = em.any(axis=1) & cand
+            if has_e.any():
+                idxs = np.flatnonzero(has_e)
+                _, firstpos = np.unique(vp[idxs], return_index=True)
+                winners = idxs[firstpos]
+                tb = vp[winners]
+                ts = em.argmax(axis=1)[winners]
+                self.heavy_fp[tb, ts] = f[winners]
+                self.heavy_c[tb, ts] = c[winners]
+                done = done.copy()
+                done[winners] = True
+            rem = rem[~done]
+        todo = rem
+        for t in todo:
+            b, j = divmod(int(t), d)
+            if True:
                 oc = int(other.heavy_c[b, j])
-                if oc == 0:
-                    continue
                 fp = other.heavy_fp[b, j]
                 p, a = self._pair(np.asarray([fp], dtype=np.uint64))
                 p, a = int(p[0]), int(a[0])
