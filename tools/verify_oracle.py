@@ -32,7 +32,9 @@ def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return round(v, 6)
+        # near-bit-exact: queries already ROUND() their float outputs,
+        # so Spark and DuckDB must agree to 12 significant digits
+        return float(f"{v:.12g}")
     if isinstance(v, int):
         return int(v)
     if hasattr(v, "isoformat"):
