@@ -6,26 +6,26 @@ aggregate, exactly the shape of Catalyst's HashAggregateExec pair:
 
   partial:  per-partition sketch build inside ``mapInArrow`` (Arrow
             batches → np.unique pre-aggregation → vectorized kernel)
-  combine:  salted ``groupBy(salt).applyInPandas`` tree merge — the
+  combine:  salted multi-level ``groupBy(salt).applyInPandas`` merge
+            tree with bounded fan-in (see ``_tree_merge``) — the
             explicit skew control demanded by the north rule: no
-            single reducer ever merges all partition blobs
-  final:    driver merges the ≤ merge_groups surviving blobs and emits
-            an ordered result DataFrame
+            single reducer ever merges more than ``fan_in`` blobs
+  final:    driver merges the ≤ fan_in surviving blobs and emits an
+            ordered result DataFrame
 
 Scale notes (100 TB / 1000-executor thinking):
-- The shuffle moves only ``num_partitions`` sketch blobs (~hundreds of
-  KiB each), never row data. Input rows are consumed map-side.
+- The shuffles move only sketch blobs (~KiB–MiB each), never row
+  data. Input rows are consumed map-side.
 - Column pruning: we select ONLY the key column before mapInArrow, so
   the parquet scan reads a single column (verify via .explain →
-  ReadSchema).
-- The merge tree is 2-level for any cluster size; blobs per reducer =
-  partitions / merge_groups, driver merges merge_groups blobs. For
-  10^5 partitions raise merge_groups, cost stays O(blob).
+  ReadSchema; PLANS.md captures the plans).
+- Tree depth = ceil(log_fan_in(partitions)) is derived from the known
+  partition count, so small jobs keep a single shuffle while 10^5
+  partitions get ~5 levels of 8-way merges.
 """
 
 from __future__ import annotations
 
-import math
 from collections.abc import Iterator
 
 import numpy as np
