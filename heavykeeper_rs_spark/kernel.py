@@ -43,7 +43,6 @@ from __future__ import annotations
 import heapq
 import io
 import math
-import pickle
 import struct
 from dataclasses import dataclass, field
 
@@ -51,6 +50,7 @@ import numpy as np
 import pandas as pd
 
 from .errors import InvalidDecay, InvalidDepth, InvalidK, InvalidWidth, SketchCompatError
+from .serde import dumps as serde_dumps, loads as serde_loads
 
 _U64 = np.uint64
 _HASH_COMPOSE_K = _U64(0x517CC1B727220A95)  # src/hash_composition.rs:15
@@ -662,7 +662,7 @@ class HeavyKeeper:
         cand = [
             (k, int(c), int(self.pq.seqs[k])) for k, c in self.pq.counts.items()
         ]
-        buf.write(pickle.dumps(cand, protocol=pickle.HIGHEST_PROTOCOL))
+        buf.write(serde_dumps(cand))
         return buf.getvalue()
 
     @classmethod
@@ -679,7 +679,7 @@ class HeavyKeeper:
         off += 8 * cells
         sk.counts = np.frombuffer(blob[off : off + 8 * cells], dtype=np.uint64).reshape(depth, width).copy()
         off += 8 * cells
-        cand = pickle.loads(blob[off:])
+        cand = serde_loads(blob[off:])
         for item, c, seq in sorted(cand, key=lambda t: t[2]):
             sk.pq.upsert(item, c)
         return sk

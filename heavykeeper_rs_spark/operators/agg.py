@@ -167,15 +167,22 @@ def sketch_by_group(
     finalize: Callable[[object], float],
     numeric: bool = False,
     out_col: str = "value",
+    deserialize: Callable[[bytes], object] | None = None,
+    fan_in: int = 8,
 ) -> DataFrame:
-    """One sketch per group via applyInPandas: (group, finalize(sketch)).
+    """One sketch per group: (group, finalize(sketch)) — scale-safe.
 
-    The group shuffle is the only row movement; within each group the
-    sketch folds vectorized. Hot groups cost bounded memory (that is
-    the point of the sketch); if a single group exceeds one task's
-    input comfortably, pre-partial with sketch_agg per (group, salt)
-    and merge — same pattern one level deeper.
+    Partial sketches are built per (partition, group) inside
+    ``mapInArrow``; the shuffle then carries only serialized blobs
+    through a bounded-fan-in per-group merge tree
+    (``operators.topk.grouped_blob_tree``). No row crosses the network,
+    so a Zipf-hot group costs each mapper bounded sketch memory rather
+    than landing its full row set on one reducer.
+
+    ``deserialize`` defaults to ``type(make()).deserialize``.
     """
+    from .topk import grouped_blob_tree
+
     out_schema = StructType(
         [
             StructField("group", StringType(), False),
@@ -183,24 +190,68 @@ def sketch_by_group(
         ]
     )
     cast = DoubleType() if numeric else StringType()
+    if deserialize is None:
+        deserialize = type(make()).deserialize
 
-    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
-        sk = make()
-        v = pdf["__v"].to_numpy()
-        valid = pd.notna(v)
-        if numeric:
-            sk.add_batch(np.asarray(v[valid], dtype=np.float64))
-        else:
-            sk.add_batch(np.asarray(v[valid], dtype=object))
-        return pd.DataFrame(
-            {"group": [str(pdf["__g"].iloc[0])], out_col: [float(finalize(sk))]}
-        )
+    def build(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        sketches: dict[str, object] = {}
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            g = batch.column(0).to_numpy(zero_copy_only=False)
+            v = batch.column(1).to_numpy(zero_copy_only=False)
+            valid = pd.notna(v)
+            if not valid.all():
+                g, v = g[valid], v[valid]
+            if v.size == 0:
+                continue
+            ug, inv = np.unique(np.asarray(g, dtype=object), return_inverse=True)
+            order = np.argsort(inv, kind="stable")
+            bounds = np.searchsorted(inv[order], np.arange(ug.shape[0] + 1))
+            for gi in range(ug.shape[0]):
+                sk = sketches.get(ug[gi])
+                if sk is None:
+                    sk = sketches[ug[gi]] = make()
+                    if hasattr(sk, "rng"):
+                        sk.rng = np.random.default_rng(
+                            np.random.PCG64((getattr(sk, "seed", 0) << 7) + pid)
+                        )
+                vals = v[order[bounds[gi] : bounds[gi + 1]]]
+                if numeric:
+                    sk.add_batch(np.asarray(vals, dtype=np.float64))
+                else:
+                    sk.add_batch(np.asarray(vals, dtype=object))
+        if sketches:
+            items = sorted(sketches.items())
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "group": pa.array([g for g, _ in items], type=pa.string()),
+                    "salt": pa.array([pid] * len(items), type=pa.int32()),
+                    "sketch": pa.array(
+                        [sk.serialize() for _, sk in items], type=pa.binary()
+                    ),
+                }
+            )
+
+    def merge_fn(blobs: list[bytes]) -> bytes:
+        acc = deserialize(blobs[0])
+        for b in blobs[1:]:
+            acc.merge(deserialize(b))
+        return acc.serialize()
+
+    def final(group: str, blobs: list[bytes]) -> pd.DataFrame:
+        acc = deserialize(blobs[0])
+        for b in blobs[1:]:
+            acc.merge(deserialize(b))
+        return pd.DataFrame({"group": [group], out_col: [float(finalize(acc))]})
 
     keyed = df.select(
-        F.col(group_col).cast(StringType()).alias("__g"),
+        F.coalesce(F.col(group_col).cast(StringType()), F.lit("None")).alias("__g"),
         F.col(value_col).cast(cast).alias("__v"),
     )
-    return keyed.groupBy("__g").applyInPandas(fold, out_schema)
+    return grouped_blob_tree(keyed, build, merge_fn, final, out_schema, fan_in=fan_in)
 
 
 def hll_distinct_by_group(

@@ -109,7 +109,11 @@ def rolling_fingerprints(
             lo = pw & ((1 << 31) - 1)
             hi = pw >> 31
             bb = flat.astype(np.int64)
-            term = ((bb * hi % _RH_MOD) << 31) % _RH_MOD
+            # term = byte * pow mod p, exactly, without int64 overflow:
+            # byte*hi < 2^38, and x*2^31 mod (2^61-1) is computed via
+            # 2^61 ≡ 1 (mod p): x = xh*2^30 + xl  =>  x*2^31 ≡ xh + xl*2^31
+            x = bb * hi
+            term = ((x >> 30) + ((x & ((1 << 30) - 1)) << 31)) % _RH_MOD
             term = (term + bb * lo) % _RH_MOD
             # exact segment sum mod p without int64 overflow: split each
             # term (< 2^61) into 31-bit halves, segment-sum the halves
@@ -240,28 +244,75 @@ def minhash_signatures(
     return keyed.mapInArrow(kernel, out_schema)
 
 
-def lsh_candidate_pairs(sig_df: DataFrame) -> DataFrame:
+def lsh_candidate_pairs(
+    sig_df: DataFrame, bucket_cap: int = 64, oversize: str = "star"
+) -> DataFrame:
     """Distinct (id_a < id_b) pairs sharing any LSH bucket.
 
     Self-join inside buckets only: groupBy collects ids per bucket
     (buckets are tiny at sane thresholds) and emits intra-bucket pairs
     — avoids the quadratic blowup of a raw self-join when AQE can't
-    see bucket sizes. Oversized buckets (degenerate shingles) are
-    capped and logged rather than exploded.
+    see bucket sizes.
+
+    Degenerate buckets (boilerplate-heavy corpora produce band hashes
+    shared by thousands of docs) must not explode O(m²). Buckets with
+    more than ``bucket_cap`` members are handled per ``oversize``:
+
+    - ``"star"`` (default): every member pairs with the bucket's min
+      id — m-1 edges. Connectivity (hence dedup grouping through
+      min-id label propagation) is fully preserved; only the explicit
+      all-pairs listing inside the one degenerate bucket is thinned,
+      and the downstream exact-Jaccard verify still sees every member.
+    - ``"allpairs"``: no cap (caller accepts the quadratic bucket).
+    - ``"drop"``: skip oversized buckets entirely.
+
+    Use ``lsh_bucket_stats`` to count/log oversized buckets — at scale,
+    run it on a sample as a data-quality probe before the full job.
     """
     bucket = sig_df.groupBy("band", "band_hash").agg(
         F.sort_array(F.collect_set("id")).alias("ids")
     )
-    small = bucket.filter((F.size("ids") >= 2) & (F.size("ids") <= 64))
-    pairs = small.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(ids, (x, i) -> "
-                "transform(slice(ids, i + 2, size(ids) - i - 1), y -> struct(x as a, y as b))))"
+    bucket = bucket.filter(F.size("ids") >= 2)
+    allpairs = F.expr(
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids) - i - 1), y -> struct(x as a, y as b))))"
+    )
+    if oversize == "allpairs":
+        expanded = bucket.select(F.explode(allpairs).alias("p"))
+    else:
+        small = bucket.filter(F.size("ids") <= bucket_cap).select(
+            F.explode(allpairs).alias("p")
+        )
+        if oversize == "star":
+            star = F.expr(
+                "transform(slice(ids, 2, size(ids) - 1), "
+                "y -> struct(ids[0] as a, y as b))"
             )
-        ).alias("p")
-    ).select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
+            big = bucket.filter(F.size("ids") > bucket_cap).select(
+                F.explode(star).alias("p")
+            )
+            expanded = small.unionByName(big)
+        elif oversize == "drop":
+            expanded = small
+        else:
+            raise ValueError(f"oversize must be star|allpairs|drop, got {oversize!r}")
+    pairs = expanded.select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
     return pairs.distinct()
+
+
+def lsh_bucket_stats(sig_df: DataFrame, bucket_cap: int = 64) -> DataFrame:
+    """Bucket-size distribution probe: one row —
+    (n_buckets, n_pair_buckets, n_oversized, max_bucket). Run on a
+    sample at scale to detect boilerplate-degenerate bands before the
+    pair-generation job; a nonzero n_oversized means ``star`` thinning
+    engaged (or ``drop`` lost pairs) in those buckets."""
+    sizes = sig_df.groupBy("band", "band_hash").agg(F.count("*").alias("m"))
+    return sizes.agg(
+        F.count("*").alias("n_buckets"),
+        F.sum((F.col("m") >= 2).cast("long")).alias("n_pair_buckets"),
+        F.sum((F.col("m") > bucket_cap).cast("long")).alias("n_oversized"),
+        F.max("m").alias("max_bucket"),
+    )
 
 
 def minhash_dedup_groups(
@@ -365,10 +416,18 @@ def simhash_signatures(
     return keyed.mapInArrow(kernel, out_schema)
 
 
-def simhash_near_pairs(sig_df: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Candidate pairs with Hamming(simhash) <= max_hamming via 4x16-bit
-    band blocking (pigeonhole: <=3 differing bits leave >=1 band equal),
-    verified with a JVM-side popcount."""
+def simhash_near_pairs(
+    sig_df: DataFrame, max_hamming: int = 3, bucket_cap: int = 64, n_bands: int = 4
+) -> DataFrame:
+    """Candidate pairs with Hamming(simhash) <= max_hamming via 16-bit
+    band blocking (pigeonhole: <=3 differing bits leave >=1 of 4 bands
+    equal), verified with a JVM-side popcount.
+
+    Oversized buckets (> bucket_cap members — boilerplate corpora) are
+    thinned to star edges against the bucket min instead of silently
+    dropped: connectivity is preserved, only the all-pairs listing
+    inside the degenerate bucket is thinned (same policy as
+    ``lsh_candidate_pairs``)."""
     banded = sig_df.select(
         "id",
         "simhash",
@@ -381,7 +440,7 @@ def simhash_near_pairs(sig_df: DataFrame, max_hamming: int = 3) -> DataFrame:
                         .bitwiseAND(F.lit(0xFFFF))
                         .alias("bh"),
                     )
-                    for i in range(4)
+                    for i in range(n_bands)
                 ]
             )
         ).alias("bb"),
@@ -389,8 +448,8 @@ def simhash_near_pairs(sig_df: DataFrame, max_hamming: int = 3) -> DataFrame:
     bucket = banded.groupBy("band", "bh").agg(
         F.sort_array(F.collect_set(F.struct("id", "simhash"))).alias("members")
     )
-    small = bucket.filter((F.size("members") >= 2) & (F.size("members") <= 64))
-    pairs = small.select(
+    bucket = bucket.filter(F.size("members") >= 2)
+    small = bucket.filter(F.size("members") <= bucket_cap).select(
         F.explode(
             F.expr(
                 "flatten(transform(members, (x, i) -> "
@@ -398,7 +457,21 @@ def simhash_near_pairs(sig_df: DataFrame, max_hamming: int = 3) -> DataFrame:
                 "y -> struct(x.id as id_a, x.simhash as sh_a, y.id as id_b, y.simhash as sh_b))))"
             )
         ).alias("p")
-    ).select("p.id_a", "p.sh_a", "p.id_b", "p.sh_b").distinct()
+    )
+    big = bucket.filter(F.size("members") > bucket_cap).select(
+        F.explode(
+            F.expr(
+                "transform(slice(members, 2, size(members) - 1), "
+                "y -> struct(members[0].id as id_a, members[0].simhash as sh_a, "
+                "y.id as id_b, y.simhash as sh_b))"
+            )
+        ).alias("p")
+    )
+    pairs = (
+        small.unionByName(big)
+        .select("p.id_a", "p.sh_a", "p.id_b", "p.sh_b")
+        .distinct()
+    )
     return pairs.withColumn(
         "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     ).filter(F.col("hamming") <= max_hamming).select("id_a", "id_b", "hamming")

@@ -46,11 +46,18 @@ def brute_force_topk(
     df: DataFrame, id_col: str, vec_col: str, qvec: list[float], k: int = 10
 ) -> DataFrame:
     """Exact cosine top-k: one scan, no shuffle of vectors (top-k is a
-    TakeOrderedAndProject with per-partition pruning)."""
+    TakeOrderedAndProject with per-partition pruning).
+
+    The vector column is cast to array<double> up front: zip_with
+    between an array<float> column and double literals trips Spark's
+    ArrowColumnVector getFloat limitation (UNSUPPORTED_CALL), so a raw
+    float[] embedding column would otherwise crash with a cryptic JVM
+    error."""
+    vd = df.withColumn("__vd", F.col(vec_col).cast("array<double>"))
     return (
-        df.select(
+        vd.select(
             F.col(id_col),
-            F.round(_cosine_col(vec_col, qvec), 6).alias("cosine"),
+            F.round(_cosine_col("__vd", qvec), 6).alias("cosine"),
         )
         .orderBy(F.desc("cosine"), id_col)
         .limit(k)
@@ -150,8 +157,14 @@ def brute_force_pairs(
     O(n^2) — the *verifier* for the LSH path, and the right choice only
     for small re-rank sets; at corpus scale use
     embedding_near_dup_pairs (bucket-pruned)."""
-    a = df.select(F.col(id_col).cast("long").alias("id_a"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).cast("long").alias("id_b"), F.col(vec_col).alias("vb"))
+    a = df.select(
+        F.col(id_col).cast("long").alias("id_a"),
+        F.col(vec_col).cast("array<double>").alias("va"),
+    )
+    b = df.select(
+        F.col(id_col).cast("long").alias("id_b"),
+        F.col(vec_col).cast("array<double>").alias("vb"),
+    )
     dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
     na = F.sqrt(F.aggregate("va", F.lit(0.0), lambda s, x: s + x * x))
     nb = F.sqrt(F.aggregate("vb", F.lit(0.0), lambda s, x: s + x * x))
@@ -214,6 +227,65 @@ def ivf_assign(
     return keyed.mapInArrow(kernel, out_schema)
 
 
+def _reservoir_sample(df: DataFrame, vec_col: str, n: int, seed: int) -> np.ndarray:
+    """Unbiased training sample: per-partition reservoir (every
+    partition contributes, every row in a partition has equal
+    probability) — unlike ``limit(n)``, which takes the head of the
+    first partition(s) and trains the quantizer on one shard's
+    distribution. One extra column-pruned pass, no count job."""
+    from pyspark import TaskContext
+
+    # array<double> end-to-end: collecting an array<float> back out of
+    # a mapInArrow stage trips Spark's ArrowColumnVector getFloat
+    # limitation (UNSUPPORTED_CALL) in the final projection
+    keyed = df.select(F.col(vec_col).cast("array<double>").alias("__v"))
+    n_parts = max(keyed.rdd.getNumPartitions(), 1)
+    m = max(-(-n // n_parts), 8)  # per-partition reservoir size
+    out_schema = StructType(
+        [StructField("v", keyed.schema["__v"].dataType, True)]
+    )
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        rng = np.random.default_rng(np.random.PCG64((seed << 13) ^ (pid * 0x9E3779B9)))
+        reservoir: list = []
+        seen = 0
+        for batch in batches:
+            col = batch.column(0)
+            if col.null_count:
+                valid_idx = np.flatnonzero(
+                    col.is_valid().to_numpy(zero_copy_only=False)
+                )
+            else:
+                valid_idx = np.arange(len(col))
+            nb = valid_idx.size
+            if nb == 0:
+                continue
+            gidx = seen + np.arange(nb)
+            fill = np.flatnonzero(gidx < m)
+            if fill.size:
+                reservoir.extend(col.take(pa.array(valid_idx[fill])).to_pylist())
+            rest = np.flatnonzero(gidx >= m)
+            if rest.size:
+                # accept row with prob m/(global_index+1); accepted rows
+                # overwrite uniform slots in arrival order — only the
+                # (few) accepted rows ever cross into Python
+                u = rng.random(rest.size)
+                acc = rest[u < m / (gidx[rest] + 1.0)]
+                if acc.size:
+                    slots = rng.integers(0, m, acc.size)
+                    vals = col.take(pa.array(valid_idx[acc])).to_pylist()
+                    for s, v in zip(slots, vals):
+                        reservoir[s] = v
+            seen += nb
+        if reservoir:
+            yield pa.RecordBatch.from_pydict({"v": reservoir})
+
+    rows = keyed.mapInArrow(kernel, out_schema).collect()
+    return np.asarray([list(r[0]) for r in rows], dtype=np.float32)
+
+
 def ivf_topk(
     df: DataFrame,
     id_col: str,
@@ -226,16 +298,16 @@ def ivf_topk(
     seed: int = 12345,
 ) -> DataFrame:
     """IVF approximate cosine top-k: train a coarse quantizer on a
-    driver sample, assign every vector to its nearest centroid, then
-    score ONLY vectors in the query's n_probe nearest lists.
+    partition-stratified reservoir sample, assign every vector to its
+    nearest centroid, then score ONLY vectors in the query's n_probe
+    nearest lists.
 
     At 10^12 vectors the assignment is a write-once index column
     (partition the table by centroid and probing prunes whole
     partitions); here it is computed inline. Recall is tuned by
     n_probe/n_centroids; brute_force_topk is the verifier.
     """
-    sample_rows = df.select(vec_col).limit(train_sample).collect()
-    sample = np.asarray([list(r[0]) for r in sample_rows], dtype=np.float32)
+    sample = _reservoir_sample(df, vec_col, train_sample, seed)
     cents = _kmeans(sample, n_centroids, seed)
     q = np.asarray(qvec, dtype=np.float32)
     qn = q / max(np.linalg.norm(q), 1e-12)
@@ -282,21 +354,39 @@ def embedding_near_dup_pairs(
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bh")
     bucket = banded.groupBy("band", "bh").agg(F.sort_array(F.collect_set("id")).alias("ids"))
-    small = bucket.filter((F.size("ids") >= 2) & (F.size("ids") <= 256))
+    bucket = bucket.filter(F.size("ids") >= 2)
+    # Oversized buckets (degenerate signature regions) thin to star
+    # edges against the bucket min instead of silently dropping —
+    # connectivity preserved, candidate count stays O(m) not O(m²)
+    # (same policy as dedup.lsh_candidate_pairs).
+    small = bucket.filter(F.size("ids") <= 256).select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (x, i) -> "
+                "transform(slice(ids, i + 2, size(ids) - i - 1), y -> struct(x as a, y as b))))"
+            )
+        ).alias("p")
+    )
+    big = bucket.filter(F.size("ids") > 256).select(
+        F.explode(
+            F.expr(
+                "transform(slice(ids, 2, size(ids) - 1), y -> struct(ids[0] as a, y as b))"
+            )
+        ).alias("p")
+    )
     pairs = (
-        small.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ids, (x, i) -> "
-                    "transform(slice(ids, i + 2, size(ids) - i - 1), y -> struct(x as a, y as b))))"
-                )
-            ).alias("p")
-        )
+        small.unionByName(big)
         .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
         .distinct()
     )
-    va = df.select(F.col(id_col).cast("long").alias("id_a"), F.col(vec_col).alias("va"))
-    vb = df.select(F.col(id_col).cast("long").alias("id_b"), F.col(vec_col).alias("vb"))
+    va = df.select(
+        F.col(id_col).cast("long").alias("id_a"),
+        F.col(vec_col).cast("array<double>").alias("va"),
+    )
+    vb = df.select(
+        F.col(id_col).cast("long").alias("id_b"),
+        F.col(vec_col).cast("array<double>").alias("vb"),
+    )
     dot = F.aggregate(F.zip_with("va", "vb", lambda a, b: a * b), F.lit(0.0), lambda s, x: s + x)
     na = F.sqrt(F.aggregate("va", F.lit(0.0), lambda s, x: s + x * x))
     nb = F.sqrt(F.aggregate("vb", F.lit(0.0), lambda s, x: s + x * x))

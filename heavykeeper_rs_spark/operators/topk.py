@@ -344,6 +344,70 @@ def topk_tokens(
     return df.sparkSession.createDataFrame(data, schema)
 
 
+_GROUP_BLOB_SCHEMA = StructType(
+    [
+        StructField("group", StringType(), False),
+        StructField("salt", IntegerType(), False),
+        StructField("sketch", BinaryType(), False),
+    ]
+)
+
+
+def grouped_blob_tree(
+    keyed: DataFrame,
+    build_partials,
+    merge_blobs_fn,
+    finalize_fn,
+    out_schema: StructType,
+    fan_in: int = 8,
+) -> DataFrame:
+    """Shared scaffold for per-group sketch aggregation that never
+    shuffles rows — only serialized sketch blobs.
+
+    Shape (the per-group analog of ``_tree_merge``):
+
+      partial:  ``build_partials`` runs in ``mapInArrow`` and emits one
+                (group, salt=partition_id, blob) row per (partition,
+                group) — rows are consumed map-side, so the shuffle
+                payload is O(partitions × groups) KiB-scale blobs,
+                independent of row count. A Zipf-hot group costs each
+                *mapper* bounded sketch memory instead of landing its
+                entire row set on one reducer.
+      combine:  multi-level ``groupBy(group, salt // fan_in)`` merge
+                tree — no reducer folds more than ``fan_in`` blobs per
+                level, so a group spread over 10^5 partitions merges in
+                ~log_fan_in(10^5) ≈ 6 levels rather than one 10^5-way
+                fold.
+      final:    ``groupBy(group)`` over the ≤ fan_in survivors runs
+                ``finalize_fn`` to emit result rows.
+    """
+    n_parts = max(keyed.rdd.getNumPartitions(), 1)
+    out = keyed.mapInArrow(build_partials, _GROUP_BLOB_SCHEMA)
+
+    def merge_level(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "group": [pdf["group"].iloc[0]],
+                "salt": [int(pdf["salt"].iloc[0])],
+                "sketch": [merge_blobs_fn(list(pdf["sketch"]))],
+            }
+        )
+
+    groups = n_parts
+    while groups > fan_in:
+        out = (
+            out.withColumn("salt", (F.col("salt") / fan_in).cast("int"))
+            .groupBy("group", "salt")
+            .applyInPandas(merge_level, _GROUP_BLOB_SCHEMA)
+        )
+        groups = -(-groups // fan_in)  # ceil div
+
+    def final(pdf: pd.DataFrame) -> pd.DataFrame:
+        return finalize_fn(str(pdf["group"].iloc[0]), list(pdf["sketch"]))
+
+    return out.groupBy("group").applyInPandas(final, out_schema)
+
+
 def topk_by_group(
     df: DataFrame,
     group_col: str,
@@ -354,15 +418,17 @@ def topk_by_group(
     decay: float = 0.9,
     seed: int = 12345,
     tie_break_key: bool = True,
+    fan_in: int = 8,
 ) -> DataFrame:
-    """Top-K keys within each group — one sketch per group.
+    """Top-K keys within each group — one sketch per group, built
+    scale-safe: partial sketches per (partition, group) map-side, then
+    a bounded-fan-in blob merge tree per group (``grouped_blob_tree``).
 
     SURVEY §2.4: the reference has no grouping sets; multi-dimension
-    top-K is done by running the sketch per group key. Here the group
-    shuffle is the only row shuffle (hash partition on group), then
-    each group folds through the vectorized kernel inside
-    ``applyInPandas``. Hot groups are absorbed by the sketch's bounded
-    memory; output is (group, item, count) with deterministic
+    top-K is done by running the sketch per group key. No row ever
+    crosses the network: a Zipf-hot group is absorbed by each mapper's
+    bounded sketch memory and its partials merge through the tree.
+    Output is (group, item, count) with deterministic
     (count desc, item asc) tie-breaking.
     """
     params = HKParams(
@@ -376,37 +442,73 @@ def topk_by_group(
         ]
     )
 
-    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
-        g = str(pdf["__group"].iloc[0])
+    def build(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
         rng = np.random.default_rng(
-            np.random.PCG64(params.seed ^ (hash(g) & 0xFFFFFFFF))
+            np.random.PCG64(((params.seed << 17) ^ 0x9E3779B97F4A7C15) + pid)
         )
-        sk = HeavyKeeper(params, rng=rng)
-        keys = pdf["__key"].to_numpy()
-        valid = pd.notna(keys)
-        sk.add_batch(keys[valid])
+        sketches: dict[str, HeavyKeeper] = {}
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            g = batch.column(0).to_numpy(zero_copy_only=False)
+            keys = batch.column(1).to_numpy(zero_copy_only=False)
+            valid = pd.notna(keys)
+            if not valid.all():
+                g, keys = g[valid], keys[valid]
+            if keys.size == 0:
+                continue
+            ug, inv = np.unique(np.asarray(g, dtype=object), return_inverse=True)
+            order = np.argsort(inv, kind="stable")
+            bounds = np.searchsorted(inv[order], np.arange(ug.shape[0] + 1))
+            for gi in range(ug.shape[0]):
+                sk = sketches.get(ug[gi])
+                if sk is None:
+                    sk = sketches[ug[gi]] = HeavyKeeper(params, rng=rng)
+                sk.add_batch(keys[order[bounds[gi] : bounds[gi + 1]]])
+        if sketches:
+            items = sorted(sketches.items())
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "group": pa.array([g for g, _ in items], type=pa.string()),
+                    "salt": pa.array([pid] * len(items), type=pa.int32()),
+                    "sketch": pa.array(
+                        [sk.serialize() for _, sk in items], type=pa.binary()
+                    ),
+                }
+            )
+
+    def finalize(group: str, blobs: list[bytes]) -> pd.DataFrame:
+        sk = HeavyKeeper.deserialize(merge_blobs(blobs))
         rows = sk.list()
         if tie_break_key:
             rows = sorted(rows, key=lambda t: (-t[1], t[0]))[:k]
         return pd.DataFrame(
             {
-                "group": [g] * len(rows),
+                "group": [group] * len(rows),
                 "item": [it.decode("utf-8", errors="replace") for it, _ in rows],
                 "count": [int(c) for _, c in rows],
             }
         )
 
     keyed = df.select(
-        F.col(group_col).cast(StringType()).alias("__group"),
+        F.coalesce(F.col(group_col).cast(StringType()), F.lit("None")).alias("__group"),
         F.col(key_col).cast(StringType()).alias("__key"),
     )
-    return keyed.groupBy("__group").applyInPandas(fold, out_schema)
+    return grouped_blob_tree(
+        keyed, build, merge_blobs, finalize, out_schema, fan_in=fan_in
+    )
 
 
 def contains_top_k(df: DataFrame, col: str, sketch: HeavyKeeper) -> DataFrame:
     """O11 (src/heavykeeper.rs:211-218) distributedly: semi-join the
-    DataFrame against the sketch's tracked top-K set (broadcast)."""
-    items = [it.decode("utf-8", errors="replace") for it, _ in sketch.list()]
+    DataFrame against the sketch's tracked top-K set (broadcast).
+
+    Integer-keyed sketches (the u64 fast path) track Python ints in the
+    PQ; ``_item_str`` normalizes both representations so the string
+    compare matches the cast column."""
+    items = [_item_str(it) for it, _ in sketch.list()]
     return df.filter(F.col(col).cast(StringType()).isin(items))
 
 

@@ -39,10 +39,21 @@ from pyspark.sql.types import BinaryType, IntegerType, StringType, StructField, 
 from ..kernel import HeavyKeeper, HKParams, merge_blobs
 
 
-def _params_token(params: HKParams, lineage: str) -> str:
+def _params_token(params: HKParams, lineage: str, n_parts: int) -> str:
+    """Job identity: sketch shape + input lineage + PARTITION LAYOUT.
+
+    The partition count is part of the identity because partial blobs
+    are keyed by partition id — a rerun that splits the same input
+    differently (changed spark.sql.files.maxPartitionBytes, different
+    parallelism, new files) would otherwise reuse blobs for partitions
+    that now hold different rows, silently dropping/double-counting.
+    A layout change makes the token mismatch and the job refuses the
+    stale checkpoint instead.
+    """
     return (
         f"k={params.k};w={params.width};d={params.depth};"
-        f"decay={params.decay};seed={params.seed};lineage={lineage}"
+        f"decay={params.decay};seed={params.seed};lineage={lineage};"
+        f"n_parts={n_parts}"
     )
 
 
@@ -76,7 +87,9 @@ def topk_checkpointed(
     token so stale checkpoints never silently merge.
     """
     os.makedirs(f"{ckpt_dir}/partials", exist_ok=True)
-    token = _params_token(params, lineage)
+    keyed = df.select(F.col(col).cast(StringType()).alias("__key"))
+    n_input_parts = max(keyed.rdd.getNumPartitions(), 1)
+    token = _params_token(params, lineage, n_input_parts)
     token_path = f"{ckpt_dir}/TOKEN"
     if os.path.exists(token_path):
         existing = open(token_path).read()
@@ -154,29 +167,37 @@ def topk_checkpointed(
             }
         )
 
-    keyed = df.select(F.col(col).cast(StringType()).alias("__key"))
     partials = keyed.mapInArrow(build, schema)
 
     def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
         blob = merge_blobs(list(pdf["sketch"]))
+        vals = list(pdf["status"])
+        # carry COUNTS, not a deduped set — a merge group folding many
+        # partitions must report every one of them
+        res = sum(1 for s in vals if s == "resumed")
+        comp = sum(1 for s in vals if s == "computed")
         return pd.DataFrame(
             {
                 "salt": [int(pdf["salt"].iloc[0])],
                 "sketch": [blob],
-                "status": [",".join(sorted(set(pdf["status"])))],
+                "status": [f"resumed:{res},computed:{comp}"],
             }
         )
 
     combined = partials.groupBy("salt").applyInPandas(merge_group, schema).collect()
-    statuses = ",".join(r["status"] for r in combined).split(",")
+    status_counts = {"resumed": 0, "computed": 0}
+    for r in combined:
+        for part in r["status"].split(","):
+            kind, _, n = part.partition(":")
+            status_counts[kind] += int(n)
     blobs = [r["sketch"] for r in combined]
     if not blobs:
         sk = HeavyKeeper(params)
     else:
         sk = HeavyKeeper.deserialize(merge_blobs(blobs))
     _atomic_write(final_path, sk.serialize())
-    resumed = sum(1 for s in statuses if s == "resumed")
-    computed = sum(1 for s in statuses if s == "computed")
+    resumed = status_counts["resumed"]
+    computed = status_counts["computed"]
     summary = {
         "token": token,
         "resumed": resumed,

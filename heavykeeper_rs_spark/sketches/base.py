@@ -10,7 +10,6 @@ operators/agg.py; anything implementing this protocol plugs in.
 
 from __future__ import annotations
 
-import pickle
 from typing import Protocol, runtime_checkable
 
 import numpy as np
@@ -26,15 +25,3 @@ class MergeableSketch(Protocol):
 
     def serialize(self) -> bytes: ...
 
-
-def generic_serialize(obj: object, kind: bytes) -> bytes:
-    return kind + pickle.dumps(obj, protocol=pickle.HIGHEST_PROTOCOL)
-
-
-def generic_deserialize(blob: bytes, kind: bytes, cls: type) -> object:
-    if blob[: len(kind)] != kind:
-        raise ValueError(f"expected {kind!r} sketch blob")
-    obj = pickle.loads(blob[len(kind) :])
-    if not isinstance(obj, cls):
-        raise ValueError(f"blob decoded to {type(obj)}, wanted {cls}")
-    return obj

@@ -12,7 +12,8 @@ Cross-checked against Spark's df.stat.bloomFilter semantics in tests.
 
 from __future__ import annotations
 
-import pickle
+
+from ..serde import dumps as serde_dumps, loads as serde_loads
 
 import numpy as np
 
@@ -75,17 +76,16 @@ class Bloom:
         return float((set_bits / self.m) ** self.k)
 
     def serialize(self) -> bytes:
-        return _KIND + pickle.dumps(
+        return _KIND + serde_dumps(
             {"m": self.m, "k": self.k, "seed": self.seed, "words": self.words,
-             "n": self.n_added},
-            protocol=pickle.HIGHEST_PROTOCOL,
+             "n": self.n_added}
         )
 
     @classmethod
     def deserialize(cls, blob: bytes) -> "Bloom":
         if blob[:4] != _KIND:
             raise ValueError("not a Bloom blob")
-        d = pickle.loads(blob[4:])
+        d = serde_loads(blob[4:])
         sk = cls(d["m"], d["k"], d["seed"])
         sk.words = d["words"]
         sk.n_added = d["n"]

@@ -14,7 +14,8 @@ against exact counts and Spark's df.stat.countMinSketch surface.
 
 from __future__ import annotations
 
-import pickle
+
+from ..serde import dumps as serde_dumps, loads as serde_loads
 
 import numpy as np
 
@@ -67,22 +68,21 @@ class CountMin:
         return self
 
     def serialize(self) -> bytes:
-        return _KIND + pickle.dumps(
+        return _KIND + serde_dumps(
             {
                 "width": self.width,
                 "depth": self.depth,
                 "seed": self.seed,
                 "table": self.table,
                 "total": self.total,
-            },
-            protocol=pickle.HIGHEST_PROTOCOL,
+            }
         )
 
     @classmethod
     def deserialize(cls, blob: bytes) -> "CountMin":
         if blob[:4] != _KIND:
             raise ValueError("not a CountMin blob")
-        d = pickle.loads(blob[4:])
+        d = serde_loads(blob[4:])
         sk = cls(d["width"], d["depth"], d["seed"])
         sk.table = d["table"]
         sk.total = d["total"]

@@ -13,7 +13,8 @@ built-in approx_count_distinct.
 
 from __future__ import annotations
 
-import pickle
+
+from ..serde import dumps as serde_dumps, loads as serde_loads
 
 import numpy as np
 
@@ -73,16 +74,13 @@ class HLL:
         return float(e)
 
     def serialize(self) -> bytes:
-        return _KIND + pickle.dumps(
-            {"p": self.p, "seed": self.seed, "regs": self.regs},
-            protocol=pickle.HIGHEST_PROTOCOL,
-        )
+        return _KIND + serde_dumps({"p": self.p, "seed": self.seed, "regs": self.regs})
 
     @classmethod
     def deserialize(cls, blob: bytes) -> "HLL":
         if blob[:4] != _KIND:
             raise ValueError("not an HLL blob")
-        d = pickle.loads(blob[4:])
+        d = serde_loads(blob[4:])
         sk = cls(d["p"], d["seed"])
         sk.regs = d["regs"]
         return sk

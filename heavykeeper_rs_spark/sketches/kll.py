@@ -14,7 +14,8 @@ no per-item Python.
 
 from __future__ import annotations
 
-import pickle
+
+from ..serde import dumps as serde_dumps, loads as serde_loads
 
 import numpy as np
 
@@ -121,16 +122,15 @@ class KLL:
         return cw[pos] / cw[-1]
 
     def serialize(self) -> bytes:
-        return _KIND + pickle.dumps(
-            {"k": self.k, "seed": self.seed, "levels": self.levels, "n": self.n},
-            protocol=pickle.HIGHEST_PROTOCOL,
+        return _KIND + serde_dumps(
+            {"k": self.k, "seed": self.seed, "levels": self.levels, "n": self.n}
         )
 
     @classmethod
     def deserialize(cls, blob: bytes) -> "KLL":
         if blob[:4] != _KIND:
             raise ValueError("not a KLL blob")
-        d = pickle.loads(blob[4:])
+        d = serde_loads(blob[4:])
         sk = cls(d["k"], d["seed"])
         sk.levels = d["levels"]
         sk.n = d["n"]

@@ -15,7 +15,8 @@ never over raw items.
 
 from __future__ import annotations
 
-import pickle
+
+from ..serde import dumps as serde_dumps, loads as serde_loads
 
 import numpy as np
 
@@ -121,17 +122,16 @@ class TDigest:
 
     def serialize(self) -> bytes:
         self._flush()
-        return _KIND + pickle.dumps(
+        return _KIND + serde_dumps(
             {"delta": self.delta, "means": self.means, "weights": self.weights,
-             "n": self.n},
-            protocol=pickle.HIGHEST_PROTOCOL,
+             "n": self.n}
         )
 
     @classmethod
     def deserialize(cls, blob: bytes) -> "TDigest":
         if blob[:4] != _KIND:
             raise ValueError("not a TDigest blob")
-        d = pickle.loads(blob[4:])
+        d = serde_loads(blob[4:])
         sk = cls(d["delta"])
         sk.means = d["means"]
         sk.weights = d["weights"]

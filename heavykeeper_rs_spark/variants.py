@@ -36,11 +36,11 @@ for their accuracy profiles (BASELINE.md: Bucketed/Cuckoo recall 0.985
 from __future__ import annotations
 
 import math
-import pickle
 
 import numpy as np
 
 from .errors import SketchCompatError
+from .serde import dumps as serde_dumps, loads as serde_loads
 from .kernel import HKParams, TopKQueue, _as_bytes, _key_array, _pq_key, hash_items
 
 _U64 = np.uint64
@@ -187,13 +187,13 @@ class _VariantBase:
             "cand": [(k, int(c), int(self.pq.seqs[k])) for k, c in self.pq.counts.items()],
             **self._state_dict(),
         }
-        return self.variant + pickle.dumps(d, protocol=pickle.HIGHEST_PROTOCOL)
+        return self.variant + serde_dumps(d)
 
     @classmethod
     def deserialize(cls, blob: bytes):
         if blob[:4] != cls.variant:
             raise ValueError(f"not a {cls.__name__} blob")
-        d = pickle.loads(blob[4:])
+        d = serde_loads(blob[4:])
         sk = cls(**d["params"])
         sk._load_state(d)
         for item, c, _seq in sorted(d["cand"], key=lambda t: t[2]):
@@ -447,7 +447,7 @@ class CuckooTopK(_VariantBase):
     def deserialize(cls, blob: bytes):
         if blob[:4] != cls.variant:
             raise ValueError(f"not a {cls.__name__} blob")
-        d = pickle.loads(blob[4:])
+        d = serde_loads(blob[4:])
         sk = cls(**d["params"], max_kicks=d["max_kicks"])
         sk._load_state(d)
         for item, c, _seq in sorted(d["cand"], key=lambda t: t[2]):

@@ -75,3 +75,36 @@ def test_results_match_unckpt_build(spark, events, tmp_path):
     sk, _ = topk_checkpointed(events, "event_type", PARAMS, ckpt, lineage="L")
     plain = topk_sketch(events, "event_type", k=10, width=2048, depth=4)
     assert dict(sk.list()) == dict(plain.list())
+
+
+def test_checkpoint_refuses_changed_partition_layout(spark, events, tmp_path):
+    """Partial blobs are keyed by partition id; a rerun that splits the
+    same input into a different number of partitions must refuse the
+    checkpoint instead of silently reusing blobs for partitions that
+    now hold different rows."""
+    ckpt = str(tmp_path / "ck_layout")
+    topk_checkpointed(events, "event_type", PARAMS, ckpt, lineage="L")
+    os.remove(f"{ckpt}/final.bin")  # force the partial path on rerun
+    relaid = events.repartition(3)
+    with pytest.raises(ValueError, match="different job"):
+        topk_checkpointed(relaid, "event_type", PARAMS, ckpt, lineage="L")
+
+
+def test_checkpoint_report_counts_every_partition(spark, events, tmp_path):
+    """Merge groups folding several partitions must report each one:
+    resumed+computed == total_partitions even when 6 partitions land in
+    fewer merge groups."""
+    ckpt = str(tmp_path / "ck_counts")
+    _, rep = topk_checkpointed(
+        events, "event_type", PARAMS, ckpt, lineage="L", merge_groups=2
+    )
+    assert rep.computed_partitions == rep.total_partitions == 6
+    os.remove(f"{ckpt}/final.bin")
+    # drop two partials -> rerun must report exactly 4 resumed + 2 computed
+    for pid in (1, 4):
+        os.remove(f"{ckpt}/partials/part-{pid:05d}.bin")
+    _, rep2 = topk_checkpointed(
+        events, "event_type", PARAMS, ckpt, lineage="L", merge_groups=2
+    )
+    assert rep2.resumed_partitions == 4
+    assert rep2.computed_partitions == 2

@@ -182,3 +182,88 @@ class TestMultimodal:
         plan = frame_sample_plan(media, "media_id", "blob", every_ms=1000)
         got = {(r["media_id"], r["sample_ms"]) for r in plan.collect()}
         assert {(1, 0), (1, 1000), (1, 2000), (1, 3000), (2, 0), (3, 0)} == got
+
+
+class TestRollingFingerprintExact:
+    """The vectorized Rabin–Karp must equal a scalar Horner evaluation
+    mod 2^61-1 (the documented polynomial), not merely be deterministic."""
+
+    def test_matches_scalar_horner(self, spark):
+        from heavykeeper_rs_spark.operators.dedup import (
+            _RH_BASE,
+            _RH_MOD,
+            rolling_fingerprints,
+        )
+
+        rng = np.random.default_rng(7)
+        texts = [
+            "".join(chr(rng.integers(32, 127)) for _ in range(int(rng.integers(1, 200))))
+            for _ in range(25)
+        ] + ["", "a", "éé unicode ☃"]
+        rows = [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+        df = spark.createDataFrame(rows)
+        got = {
+            r["id"]: r["rfp"]
+            for r in rolling_fingerprints(df, "doc_id", "text").collect()
+        }
+
+        def horner(t: str) -> int:
+            b = " ".join(t.lower().split()).encode("utf-8")
+            h = 0
+            for byte in b:
+                h = (h * _RH_BASE + byte) % _RH_MOD
+            return h
+
+        for i, t in enumerate(texts):
+            assert got[i] == horner(t), f"doc {i}"
+
+
+class TestOversizedBuckets:
+    """Degenerate (boilerplate) buckets must not silently drop pairs:
+    star thinning keeps every member connected."""
+
+    def test_star_preserves_connectivity(self, spark):
+        # 200 identical docs -> every band bucket has 200 members,
+        # far above bucket_cap
+        rows = [Row(doc_id=i, text=BASE) for i in range(200)]
+        df = spark.createDataFrame(rows)
+        sigs = minhash_signatures(df, "doc_id", "text", n_hashes=32, bands=4)
+        pairs = lsh_candidate_pairs(sigs, bucket_cap=64).collect()
+        # star edges: every doc is connected to doc 0
+        connected = {r["id_b"] for r in pairs if r["id_a"] == 0}
+        assert connected == set(range(1, 200))
+        # and dedup grouping resolves ALL of them into one group
+        groups = minhash_dedup_groups(
+            df, "doc_id", "text", n_hashes=32, bands=4, min_jaccard=0.8
+        ).collect()
+        assert {r["rep_id"] for r in groups} == {0}
+
+    def test_drop_mode_loses_and_stats_report(self, spark):
+        from heavykeeper_rs_spark.operators.dedup import lsh_bucket_stats
+
+        rows = [Row(doc_id=i, text=BASE) for i in range(100)]
+        df = spark.createDataFrame(rows)
+        sigs = minhash_signatures(df, "doc_id", "text", n_hashes=32, bands=4)
+        dropped = lsh_candidate_pairs(sigs, bucket_cap=64, oversize="drop")
+        assert dropped.count() == 0  # the old silent-loss behavior, now opt-in
+        stats = lsh_bucket_stats(sigs, bucket_cap=64).collect()[0]
+        assert stats["n_oversized"] >= 1
+        assert stats["max_bucket"] == 100
+
+
+class TestReservoirSample:
+    def test_covers_all_partitions(self, spark):
+        from heavykeeper_rs_spark.operators.similarity import _reservoir_sample
+
+        rows = [Row(vid=i, vec=[float(i), 0.0]) for i in range(4000)]
+        df = spark.createDataFrame(rows).repartition(8)
+        sample = _reservoir_sample(df, "vec", 256, seed=42)
+        assert sample.shape[1] == 2
+        assert sample.shape[0] >= 256
+        # unbiased across the id range: head-limit sampling would
+        # concentrate in one shard; reservoir must span the range
+        firsts = sample[:, 0]
+        assert firsts.min() < 1000 and firsts.max() > 3000
+        # deterministic
+        again = _reservoir_sample(df, "vec", 256, seed=42)
+        assert np.array_equal(np.sort(firsts), np.sort(again[:, 0]))

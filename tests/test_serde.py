@@ -1,0 +1,65 @@
+"""Blob codec: restricted, non-executable, tamper-tolerant."""
+
+import numpy as np
+import pytest
+
+from heavykeeper_rs_spark.serde import dumps, loads
+
+
+def test_roundtrip_all_types():
+    d = {
+        "i": 42, "neg": -7, "big": 1 << 70, "f": 2.5, "b": True, "none": None,
+        "s": "héllo ☃", "by": b"\x00\xff raw",
+        "u64": np.arange(5, dtype=np.uint64),
+        "mat": np.ones((2, 3), dtype=np.float32),
+        "empty": np.zeros(0, dtype=np.int64),
+        "nested": [[b"k", 3, 0], [5, 2, 1]],
+    }
+    r = loads(dumps(d))
+    assert r["i"] == 42 and r["big"] == 1 << 70 and r["b"] is True
+    assert r["none"] is None and r["s"] == "héllo ☃" and r["by"] == b"\x00\xff raw"
+    assert r["u64"].dtype == np.uint64 and (r["u64"] == np.arange(5)).all()
+    assert r["mat"].shape == (2, 3) and r["empty"].size == 0
+    assert r["nested"] == [[b"k", 3, 0], [5, 2, 1]]
+
+
+def test_rejects_object_dtype_and_unknown_types():
+    with pytest.raises(TypeError):
+        dumps(np.asarray(["a", object()], dtype=object))
+    with pytest.raises(TypeError):
+        dumps({"fn": lambda: 1})
+
+
+def test_tampered_blob_raises_not_executes():
+    blob = bytearray(dumps({"x": np.arange(4, dtype=np.int64)}))
+    blob[0] = 250  # unknown tag
+    with pytest.raises(ValueError):
+        loads(bytes(blob))
+    # truncated
+    with pytest.raises(Exception):
+        loads(dumps({"x": b"abcdef"})[:-3])
+
+
+def test_sketch_blobs_contain_no_pickle():
+    """No blob in the family may embed a pickle stream."""
+    from heavykeeper_rs_spark.kernel import HeavyKeeper, HKParams
+    from heavykeeper_rs_spark.sketches.bloom import Bloom
+    from heavykeeper_rs_spark.sketches.cms import CountMin
+    from heavykeeper_rs_spark.sketches.hll import HLL
+    from heavykeeper_rs_spark.sketches.kll import KLL
+    from heavykeeper_rs_spark.sketches.tdigest import TDigest
+    from heavykeeper_rs_spark.variants import BucketedTopK, CuckooTopK
+
+    hk = HeavyKeeper(HKParams(k=4, width=64, depth=2))
+    hk.add_batch(np.asarray([b"a", b"b", b"a"], dtype=object))
+    sketches = [hk, BucketedTopK(4, 64, 2), CuckooTopK(4, 64, 2),
+                Bloom(1 << 10, 3, 1), CountMin(64, 3, 1), HLL(8, 1),
+                KLL(64, 1), TDigest(100.0)]
+    for sk in sketches:
+        blob = sk.serialize()
+        # pickle protocol>=2 streams start with b'\x80'; also check the
+        # classic opcode tail b'.' isn't preceded by pickle marks
+        assert b"\x80\x04" not in blob and b"\x80\x05" not in blob, type(sk)
+        # roundtrip through the family deserializer
+        rt = type(sk).deserialize(blob)
+        assert rt.serialize() == blob
