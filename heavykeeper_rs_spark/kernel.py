@@ -104,7 +104,9 @@ def compose_indices(h1: np.ndarray, depth: int, width: int) -> np.ndarray:
     (src/heavykeeper.rs:153-157).
     """
     n = h1.shape[0]
-    out = np.empty((depth, n), dtype=np.uint64)
+    # intp output: every downstream fancy index (gather/scatter) would
+    # otherwise convert a uint64 index array per use
+    out = np.empty((depth, n), dtype=np.intp)
     with np.errstate(over="ignore"):
         h2 = (h1 >> _U64(32)) * _HASH_COMPOSE_K
         h = h1.copy()
@@ -113,7 +115,7 @@ def compose_indices(h1: np.ndarray, depth: int, width: int) -> np.ndarray:
         for d in range(depth):
             if d > 0:
                 h = _rotl64(h + h2, 5)
-            out[d] = (h & mask) if pow2 else (h % _U64(width))
+            out[d] = ((h & mask) if pow2 else (h % _U64(width))).astype(np.intp)
     return out
 
 
@@ -295,21 +297,29 @@ class HeavyKeeper:
         if arr.size == 0:
             return
         # Pre-aggregate on the 64-bit hash instead of the raw keys:
-        # uint64 sort is ~10x cheaper than object sort and the hash IS
-        # the sketch fingerprint anyway (full-64-bit collisions fold two
-        # keys together with probability ~n^2/2^65 — far below sketch
+        # hash-table factorize (pandas khash) is ~2.5x cheaper than a
+        # uint64 sort-based np.unique, and the hash IS the sketch
+        # fingerprint anyway (full-64-bit collisions fold two keys
+        # together with probability ~n^2/2^65 — far below sketch
         # error).
         h_all = hash_items(arr, self.params.seed)
-        uh, first, inv = np.unique(h_all, return_index=True, return_inverse=True)
+        inv, uh = pd.factorize(h_all, sort=False)
+        k = uh.shape[0]
+        # first-occurrence index per unique: reversed scatter (last
+        # write wins == first element when traversed back-to-front)
+        n = inv.shape[0]
+        first = np.empty(k, dtype=np.int64)
+        first[inv[::-1]] = np.arange(n - 1, -1, -1)
         if weights is None:
-            w = np.bincount(inv, minlength=uh.shape[0]).astype(np.int64)
+            w = np.bincount(inv, minlength=k).astype(np.int64)
         else:
             w = np.bincount(
                 inv,
                 weights=np.asarray(weights, dtype=np.float64),
-                minlength=uh.shape[0],
+                minlength=k,
             ).astype(np.int64)
         keep = w > 0  # inc == 0 is a no-op (src/heavykeeper.rs:286-288)
+        uh = np.asarray(uh, dtype=np.uint64)
         self._add_unique(arr[first[keep]], w[keep], fp=uh[keep])
 
     def _add_unique(
@@ -466,16 +476,144 @@ class HeavyKeeper:
         else:
             seq_parts.append(multi)
         seq = np.concatenate(seq_parts)
-        # Exact sequential residue, conditioned on >= 1 success.
-        for j in seq:
-            self._duel_one(
-                fps_row,
-                cnt_row,
-                int(scells[j]),
-                fp[skeys[j]],
-                int(sw[j]),
-                first_success=True,
-            )
+        if seq.size == 0:
+            return
+        # Exact residue, conditioned on >= 1 success: waves of unique
+        # cells, each wave a fully-vectorized decrement loop
+        # (_duel_wave); only pathological long duels drop to the scalar
+        # path inside it.
+        self._duel_wave(
+            fps_row,
+            cnt_row,
+            scells[seq],
+            fp[skeys[seq]],
+            sw[seq].astype(np.int64),
+        )
+
+    def _duel_wave(
+        self,
+        fps_row: np.ndarray,
+        cnt_row: np.ndarray,
+        cells: np.ndarray,
+        new_fp: np.ndarray,
+        w: np.ndarray,
+    ) -> None:
+        """Duel residue driver: duplicate target cells are processed in
+        waves (first occurrence per cell each round, preserving the
+        sequential within-cell challenger order); each wave's duels hit
+        unique cells and run through the vectorized ``_duel_vec``."""
+        pos = np.arange(cells.shape[0])
+        while pos.size:
+            _, firstpos = np.unique(cells[pos], return_index=True)
+            take = pos[firstpos]
+            self._duel_vec(fps_row, cnt_row, cells[take], new_fp[take], w[take])
+            if firstpos.size == pos.size:
+                return
+            mask = np.ones(pos.size, dtype=bool)
+            mask[firstpos] = False
+            pos = pos[mask]
+
+    def _duel_vec(
+        self,
+        fps_row: np.ndarray,
+        cnt_row: np.ndarray,
+        cells: np.ndarray,
+        new_fp: np.ndarray,
+        w: np.ndarray,
+        max_iter: int = 24,
+    ) -> None:
+        """Exact conditioned decay duels over UNIQUE cells, vectorized.
+
+        Same distribution as ``_duel_one`` (truncated-geometric first
+        gap, geometric gaps after), but the decrement loop runs across
+        the whole wave at once; 96%+ of residue duels have w<=4 and
+        c<=8, so the loop terminates in a handful of iterations.
+        Stragglers past ``max_iter`` fall back to the scalar path with
+        ``first_success=False`` (their conditioning is already spent).
+        """
+        remaining = w.copy()
+        c = cnt_row[cells].astype(np.int64)
+        # occupant died earlier in this batch -> immediate install
+        dead = c == 0
+        if dead.any():
+            tgt = cells[dead]
+            fps_row[tgt] = new_fp[dead]
+            cnt_row[tgt] = remaining[dead].astype(np.uint64)
+            if dead.all():
+                return
+        active = np.flatnonzero(~dead)
+        force = self._force_decay
+        if force is False:
+            return  # no decrement ever happens (test hook)
+        if force is True:
+            # deterministic: every trial decrements. w >= c kills and
+            # installs with remaining+1 (src/heavykeeper.rs:766-794:
+            # 3000 vs 1000 -> 2001); otherwise count just drops by w.
+            ac, ar, anf = cells[active], remaining[active], new_fp[active]
+            cc = c[active]
+            kill = ar >= cc
+            if kill.any():
+                fps_row[ac[kill]] = anf[kill]
+                cnt_row[ac[kill]] = (ar[kill] - cc[kill] + 1).astype(np.uint64)
+            if (~kill).any():
+                cnt_row[ac[~kill]] = (cc[~kill] - ar[~kill]).astype(np.uint64)
+            return
+        decay = self.params.decay
+        first = True
+        it = 0
+        while active.size:
+            it += 1
+            if it > max_iter:
+                for j in active:
+                    self._duel_one(
+                        fps_row,
+                        cnt_row,
+                        int(cells[j]),
+                        new_fp[j],
+                        int(remaining[j]),
+                        first_success=first,
+                    )
+                return
+            ca = c[active]
+            ra = remaining[active]
+            with np.errstate(under="ignore", divide="ignore", invalid="ignore"):
+                p = np.power(decay, ca.astype(np.float64))
+                log1m = np.log1p(-p)  # -inf when p == 1
+                u = self.rng.random(active.size)
+                if first:
+                    # truncated geometric on [1, remaining]
+                    total = -np.expm1(ra.astype(np.float64) * log1m)
+                    t = np.ceil(np.log1p(-u * total) / log1m)
+                else:
+                    t = np.ceil(np.log1p(-u) / log1m)
+            t = np.where(p >= 1.0, 1.0, t)
+            # p underflowed to 0 -> no decrement can ever occur; after
+            # the conditioned first gap, a gap beyond the remaining
+            # trials means the duel ends with no further decrement
+            dies_out = (p <= 0.0) if first else ((p <= 0.0) | (t > ra))
+            t = np.nan_to_num(t, nan=1.0, posinf=np.float64(1 << 62))
+            t = np.minimum(np.maximum(t, 1.0), ra).astype(np.int64)
+            go = ~dies_out
+            if go.any():
+                gi = active[go]
+                remaining[gi] -= t[go]
+                c[gi] -= 1
+                cnt_row[cells[gi]] = c[gi].astype(np.uint64)
+                kill = c[gi] == 0
+                if kill.any():
+                    ki = gi[kill]
+                    fps_row[cells[ki]] = new_fp[ki]
+                    # the converting trial is the first unit of the new
+                    # count (src/heavykeeper.rs:766-794)
+                    cnt_row[cells[ki]] = (remaining[ki] + 1).astype(np.uint64)
+                alive = go.copy()
+                alive[np.flatnonzero(go)[kill]] = False
+            else:
+                alive = go
+            alive &= ~dies_out
+            still = alive & (remaining[active] > 0) & (c[active] > 0)
+            active = active[still]
+            first = False
 
     def _duel_one(
         self,
