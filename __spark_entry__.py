@@ -212,6 +212,32 @@ def _hk_cuckoo_topk_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hk_topk_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """13-byte binary flow keys through the sketch — the reference's
+    headline workload (examples/ip_files.rs:6,53-93: src_ip(4) ‖
+    sport(2) ‖ dst_ip(4) ‖ dport(2) ‖ proto(1)). Keys are built as
+    real BinaryType values from events columns so the BinaryType key
+    path (arrow binary -> bytes -> SipHash) is what the oracle checks;
+    output is the hex of the key. Exact regime -> GROUP BY oracle."""
+    from heavykeeper_rs_spark.operators.topk import topk_sketch
+
+    ev = _t(spark, sf_dir, "events")
+    key = F.concat(
+        F.expr("unhex(lpad(hex(user_id % 4294967296), 8, '0'))"),      # src_ip
+        F.expr("unhex(lpad(hex(user_id % 65536), 4, '0'))"),           # sport
+        F.expr("unhex(lpad(hex((user_id * 2654435761) % 4294967296), 8, '0'))"),  # dst_ip
+        F.expr("unhex('01BB')"),                                       # dport 443
+        F.expr("CASE WHEN user_id % 2 = 1 THEN unhex('06') ELSE unhex('11') END"),
+    )
+    flows = ev.select(key.alias("flow_key"))
+    sk = topk_sketch(flows, "flow_key", k=20, width=4096, depth=4)
+    rows = sorted(sk.list(), key=lambda t: (-t[1], t[0]))[:10]
+    return spark.createDataFrame(
+        [(it.hex().upper(), int(c)) for it, c in rows],
+        "flow_hex string, count bigint",
+    )
+
+
 def _hk_topk_type_per_user_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group sketches: top-3 event types within each user bucket
     (user_id % 8). Exact regime -> window-function oracle."""
@@ -683,6 +709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hk_contains_top_k": _hk_contains_top_k,
         "hk_bucketed_topk_event_type": _hk_bucketed_topk_event_type,
         "hk_cuckoo_topk_event_type": _hk_cuckoo_topk_event_type,
+        "hk_topk_flows": _hk_topk_flows,
         "hk_contested_accuracy_ok": _hk_contested_accuracy_ok,
         # relational / exact
         "exact_topk_tokens": _exact_topk_tokens,
@@ -793,6 +820,16 @@ def oracle_sql() -> dict[str, str]:
         ),
         "hk_estimate_event_types": (
             "SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY 1"
+        ),
+        "hk_topk_flows": (
+            "SELECT upper("
+            "  lpad(to_hex(user_id % 4294967296), 8, '0') || "
+            "  lpad(to_hex(user_id % 65536), 4, '0') || "
+            "  lpad(to_hex((user_id * 2654435761) % 4294967296), 8, '0') || "
+            "  '01BB' || "
+            "  (CASE WHEN user_id % 2 = 1 THEN '06' ELSE '11' END)"
+            ") AS flow_hex, CAST(COUNT(*) AS BIGINT) AS count "
+            "FROM events GROUP BY 1 ORDER BY count DESC, flow_hex LIMIT 10"
         ),
         "hk_topk_type_per_user_bucket": (
             "SELECT CAST(bucket AS VARCHAR) AS \"group\", event_type AS item, cnt AS count FROM ("

@@ -108,35 +108,47 @@ def quality_score(col: str | Column) -> Column:
 
 
 def simhash64(col: str | Column) -> Column:
-    """64-bit SimHash over the token multiset, fully JVM-side.
+    """True 64-bit SimHash over the token multiset, fully JVM-side.
 
-    Each token votes with xxhash64(token) bits; the signature bit i is
-    the sign of the sum of votes. Expressed with aggregate() over the
-    token array — no Python UDF.
+    One ``aggregate()`` pass over the token array maintains a 64-lane
+    vote vector (each token's xxhash64 bit votes +1/-1 per lane); the
+    signature packs the vote signs MSB-first with a Horner fold. No
+    Python UDF, no per-bit re-scan of the token array (the earlier
+    formulation re-filtered the tokens once per bit, which is why it
+    stopped at 16 bits).
     """
     c = F.col(col) if isinstance(col, str) else col
     toks = tokens(c)
-    # for each of 64 bits, count tokens whose hash has that bit set,
-    # compare against half the token count
-    th = F.size(toks)
-    bits = [
-        (
-            F.size(
-                F.filter(
-                    toks,
-                    lambda t, i=i: F.xxhash64(t).bitwiseAND(F.lit(1 << i)) != 0,
-                )
-            )
-            * 2
-            > th
-        ).cast("long")
-        * F.lit(1 << i)
-        for i in range(16)  # 16-bit variant keeps the expression tree sane
-    ]
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out
+    # per-lane bitmasks as literals (shift functions need literal bit
+    # counts; bitwiseAND accepts a column) — bit 63 is the sign bit
+    masks = F.array(
+        *[F.lit(1 << i).cast("long") for i in range(63)],
+        F.lit(-(1 << 63)).cast("long"),
+    )
+    votes = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.transform(
+                masks,
+                lambda m: F.when(F.xxhash64(t).bitwiseAND(m) != 0, F.lit(1))
+                .otherwise(F.lit(-1))
+                .cast("long"),
+            ),
+            lambda a, b: a + b,
+        ),
+    )
+    # pack sign bits by summing the winning lanes' masks: lanes are
+    # disjoint bits (lane 63's mask is the negative sign-bit literal),
+    # so the sum is exact and can never overflow under ANSI mode
+    return F.aggregate(
+        F.zip_with(
+            votes, masks, lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long"))
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
 
 
 def doc_fingerprint(col: str | Column) -> Column:

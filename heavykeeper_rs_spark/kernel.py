@@ -234,8 +234,19 @@ class TopKQueue:
 class HeavyKeeper:
     """Mergeable top-K HeavyKeeper sketch over byte-string keys."""
 
-    def __init__(self, params: HKParams, rng: np.random.Generator | None = None) -> None:
+    def __init__(
+        self,
+        params: HKParams,
+        rng: np.random.Generator | None = None,
+        hasher=None,
+    ) -> None:
         self.params = params
+        # O3 (src/heavykeeper.rs:123-131 with_hasher): optional custom
+        # vectorized hash fn (items ndarray, seed) -> uint64 ndarray.
+        # Merging requires both sides to use the same hash family, and
+        # a custom-hasher sketch refuses serialize() (a blob can't
+        # carry code; the reference has the same same-hasher contract).
+        self._hasher = hasher
         self.fps = np.zeros((params.depth, params.width), dtype=np.uint64)
         self.counts = np.zeros((params.depth, params.width), dtype=np.uint64)
         self.pq = TopKQueue(params.k)
@@ -270,6 +281,24 @@ class HeavyKeeper:
     ) -> "HeavyKeeper":
         return cls(HKParams(k=k, width=width, depth=depth, decay=decay, seed=seed))
 
+    @classmethod
+    def with_hasher(
+        cls, k: int, width: int, depth: int, decay: float, seed: int, hasher
+    ) -> "HeavyKeeper":
+        """O3: user-supplied vectorized hash family
+        ``(items: ndarray, seed: int) -> uint64 ndarray``."""
+        return cls(
+            HKParams(k=k, width=width, depth=depth, decay=decay, seed=seed),
+            hasher=hasher,
+        )
+
+    def _hash(self, items: np.ndarray) -> np.ndarray:
+        if self._hasher is not None:
+            return np.asarray(
+                self._hasher(items, self.params.seed), dtype=np.uint64
+            )
+        return hash_items(items, self.params.seed)
+
     # ------------------------------------------------------------------
     def _decay_p(self, counts: np.ndarray) -> np.ndarray:
         """P(decrement) = decay**count (vectorized float64; underflows
@@ -283,26 +312,37 @@ class HeavyKeeper:
             return np.power(self.params.decay, counts.astype(np.float64))
 
     # -- O5/O6: weighted batch add -------------------------------------
-    def add_batch(self, items: np.ndarray, weights: np.ndarray | None = None) -> None:
+    def add_batch(
+        self,
+        items: np.ndarray,
+        weights: np.ndarray | None = None,
+        return_evicted: bool = False,
+    ) -> list | None:
         """Insert a batch of (item, weight) pairs.
 
-        Batch pre-aggregation (np.unique) collapses Zipf-skewed batches
-        to near-distinct weighted adds — the vectorized analog of the
+        Batch pre-aggregation collapses Zipf-skewed batches to
+        near-distinct weighted adds — the vectorized analog of the
         reference's first-class weighted ``add(item, n)``
         (src/heavykeeper.rs:273-279).
+
+        ``return_evicted=True`` returns the items that fell OUT of the
+        top-K queue during this batch, in eviction order — the batch
+        analog of ``add_with_evicted`` (src/heavykeeper.rs:281-354,
+        tested at src/heavykeeper.rs:1524-1562). Embedding callers use
+        the evicted stream to maintain side structures.
         """
         arr = np.asarray(items)
         if arr.dtype.kind not in "iu":
             arr = np.asarray(items, dtype=object)
         if arr.size == 0:
-            return
+            return [] if return_evicted else None
         # Pre-aggregate on the 64-bit hash instead of the raw keys:
         # hash-table factorize (pandas khash) is ~2.5x cheaper than a
         # uint64 sort-based np.unique, and the hash IS the sketch
         # fingerprint anyway (full-64-bit collisions fold two keys
         # together with probability ~n^2/2^65 — far below sketch
         # error).
-        h_all = hash_items(arr, self.params.seed)
+        h_all = self._hash(arr)
         inv, uh = pd.factorize(h_all, sort=False)
         k = uh.shape[0]
         # first-occurrence index per unique: reversed scatter (last
@@ -320,17 +360,23 @@ class HeavyKeeper:
             ).astype(np.int64)
         keep = w > 0  # inc == 0 is a no-op (src/heavykeeper.rs:286-288)
         uh = np.asarray(uh, dtype=np.uint64)
-        self._add_unique(arr[first[keep]], w[keep], fp=uh[keep])
+        return self._add_unique(
+            arr[first[keep]], w[keep], fp=uh[keep], return_evicted=return_evicted
+        )
 
     def _add_unique(
-        self, keys: np.ndarray, w: np.ndarray, fp: np.ndarray | None = None
-    ) -> None:
+        self,
+        keys: np.ndarray,
+        w: np.ndarray,
+        fp: np.ndarray | None = None,
+        return_evicted: bool = False,
+    ) -> list | None:
         n = keys.shape[0]
         if n == 0:
-            return
+            return [] if return_evicted else None
         p = self.params
         if fp is None:
-            fp = hash_items(keys, p.seed)
+            fp = self._hash(keys)
         idxs = compose_indices(fp, p.depth, p.width)
         for d in range(p.depth):
             self._add_row(d, idxs[d], fp, w)
@@ -347,13 +393,21 @@ class HeavyKeeper:
         # the heap (est > heap min) need Python-level upserts.
         mc = self.pq.min_count()
         sel = np.flatnonzero(est > mc)
+        evicted: list | None = [] if return_evicted else None
         if sel.size:
             # preserve deterministic order: weight-desc then key, so
             # equal-count ties get a stable insertion sequence
             order = sel[np.lexsort((np.asarray(keys[sel]), -est[sel]))]
             upsert = self.pq.upsert
-            for i in order:
-                upsert(_pq_key(keys[i]), int(est[i]))
+            if return_evicted:
+                for i in order:
+                    victim = upsert(_pq_key(keys[i]), int(est[i]))
+                    if victim is not None:
+                        evicted.append(victim)
+            else:
+                for i in order:
+                    upsert(_pq_key(keys[i]), int(est[i]))
+        return evicted
 
     def _add_row(self, d: int, idx: np.ndarray, fp: np.ndarray, w: np.ndarray) -> None:
         fps_row = self.fps[d]
@@ -698,7 +752,7 @@ class HeavyKeeper:
             arr = np.asarray(items, dtype=object)
         n = arr.shape[0]
         p = self.params
-        fp = hash_items(arr, p.seed)
+        fp = self._hash(arr)
         idxs = compose_indices(fp, p.depth, p.width)
         out = np.zeros(n, dtype=np.int64)
         seen = np.zeros(n, dtype=bool)
@@ -735,6 +789,8 @@ class HeavyKeeper:
     def merge(self, other: "HeavyKeeper") -> "HeavyKeeper":
         """In-place union; see module docstring for semantics & parity."""
         self.params.check_compatible(other.params)
+        if self._hasher is not other._hasher:
+            raise SketchCompatError("hasher", self._hasher, other._hasher)
         # Candidate merge FIRST, using pre-merge bucket_count fallback
         # in both directions (src/bucketed.rs:377-401).
         other_items = list(other.pq.counts.items())
@@ -787,8 +843,40 @@ class HeavyKeeper:
             "mem_bytes": self.mem_bytes(),
         }
 
+    def debug(self) -> dict:
+        """O15 parity (src/heavykeeper.rs:460-496): the non-zero bucket
+        dump sorted by count desc (ties by row, col) plus the queue
+        contents in (count desc, insertion seq) order, alongside the
+        summary stats."""
+        d, w = np.nonzero(self.counts)
+        cnt = self.counts[d, w].astype(np.int64)
+        order = np.lexsort((w, d, -cnt))
+        buckets = [
+            {
+                "row": int(d[i]),
+                "col": int(w[i]),
+                "fingerprint": int(self.fps[d[i], w[i]]),
+                "count": int(cnt[i]),
+            }
+            for i in order
+        ]
+        return {
+            **self.describe(),
+            "buckets": buckets,
+            "queue": [
+                {"item": _item_repr(it), "count": int(c)}
+                for it, c in self.pq.items_sorted()
+            ],
+        }
+
     # -- serialization ------------------------------------------------------
     def serialize(self) -> bytes:
+        if self._hasher is not None:
+            raise ValueError(
+                "sketch with a custom hasher cannot be serialized: the blob "
+                "format cannot carry the hash function; use the seeded "
+                "default family for distributed/persisted sketches"
+            )
         p = self.params
         head = struct.pack(
             "<4sBqqqdq", _MAGIC, 1, p.k, p.width, p.depth, p.decay, p.seed
@@ -821,6 +909,18 @@ class HeavyKeeper:
         for item, c, seq in sorted(cand, key=lambda t: t[2]):
             sk.pq.upsert(item, c)
         return sk
+
+
+def _item_repr(x: object):
+    """JSON-friendly item for debug(): utf-8 text when it decodes, hex
+    otherwise; ints pass through."""
+    if isinstance(x, (int, np.integer)):
+        return int(x)
+    b = x if isinstance(x, bytes) else str(x).encode()
+    try:
+        return b.decode("utf-8")
+    except UnicodeDecodeError:
+        return b.hex()
 
 
 def _as_bytes(x: object) -> bytes:

@@ -160,6 +160,82 @@ def _minhash_params(n_hashes: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
+_U64 = np.uint64
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    with np.errstate(over="ignore"):
+        x = (x ^ (x >> _U64(30))) * _U64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> _U64(27))) * _U64(0x94D049BB133111EB)
+        return x ^ (x >> _U64(31))
+
+
+def _string_buffers(col: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """(offsets int64 absolute, data uint8) views of an Arrow string
+    array — zero-copy access to every document's bytes at once."""
+    import pyarrow.compute as pc
+
+    if col.null_count:
+        col = pc.fill_null(col, "")
+    if pa.types.is_large_string(col.type) or pa.types.is_large_binary(col.type):
+        odt = np.int64
+    else:
+        odt = np.int32
+    off = np.frombuffer(col.buffers()[1], dtype=odt)
+    offsets = off[col.offset : col.offset + len(col) + 1].astype(np.int64)
+    data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+    return offsets, data
+
+
+def _window_hashes(
+    offsets: np.ndarray, data: np.ndarray, k: int, seed: int, mod: int | None = None
+) -> tuple[np.ndarray, np.ndarray]:
+    """All k-byte sliding-window hashes for every doc, vectorized.
+
+    Windows never cross doc boundaries; docs shorter than k get one
+    (zero-padded) window. k <= 8 windows pack injectively into a
+    uint64 before a splitmix64 finalizer — byte-exact shingle identity,
+    no per-shingle Python objects. Returns (uint64 hashes — int64 mod
+    ``mod`` when given — and windows-per-doc int64)."""
+    lens = np.diff(offsets)
+    n_sh = np.maximum(lens - k + 1, 1)
+    total = int(n_sh.sum())
+    starts_sh = np.zeros(n_sh.shape[0], dtype=np.int64)
+    np.cumsum(n_sh[:-1], out=starts_sh[1:])
+    pos = (
+        np.arange(total, dtype=np.int64)
+        - np.repeat(starts_sh, n_sh)
+        + np.repeat(offsets[:-1], n_sh)
+    )
+    padded = np.concatenate([data, np.zeros(k + 8, dtype=np.uint8)])
+    v = np.zeros(total, dtype=np.uint64)
+    short = lens < k  # only these docs have windows needing zero-pad
+    with np.errstate(over="ignore"):
+        if short.any():
+            # windows of short docs read past the doc end: mask those
+            # reads (rare path — one window per short doc)
+            end = np.repeat(offsets[1:], n_sh)
+            for j in range(min(k, 8)):
+                idx = pos + j
+                byte = np.where(idx < end, padded[idx], 0).astype(np.uint64)
+                v = (v << _U64(8)) | byte
+            for j in range(8, k):  # long shingles: rotate-xor fold the tail
+                idx = pos + j
+                byte = np.where(idx < end, padded[idx], 0).astype(np.uint64)
+                v = ((v << _U64(13)) | (v >> _U64(51))) ^ byte
+        else:
+            # full windows never cross the doc end: plain gathers
+            for j in range(min(k, 8)):
+                v = (v << _U64(8)) | padded[pos + j]
+            for j in range(8, k):
+                v = ((v << _U64(13)) | (v >> _U64(51))) ^ padded[pos + j]
+        v ^= _U64((seed * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF)
+        h = _splitmix64(v)
+        if mod is not None:
+            h = (h % _U64(mod)).astype(np.int64)
+    return h, n_sh
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -171,10 +247,13 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, band, band_hash) rows — one per (doc, band).
 
-    Vectorized Arrow kernel: per batch, all docs' shingles are hashed
-    in one pandas pass, then the (a*h+b mod p) permutation matrix is
-    evaluated with one NumPy outer-product-shaped op per doc-group
-    (segment-reduced, no per-shingle Python).
+    Fully vectorized Arrow kernel: shingle hashes come from packed
+    sliding byte-windows over the Arrow string buffers
+    (``_window_hashes`` — no per-shingle Python), (doc, shingle) pairs
+    are deduplicated with one hash-table factorize (min over the set ==
+    min over the multiset, and the 128-permutation loop then runs over
+    the smaller distinct set), and band hashes fold signature columns
+    with a vectorized splitmix64 chain.
     """
     assert n_hashes % bands == 0
     rows_per_band = n_hashes // bands
@@ -190,50 +269,44 @@ def minhash_signatures(
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
             ids = batch.column(0).to_numpy(zero_copy_only=False)
-            texts = batch.column(1).to_numpy(zero_copy_only=False)
             n = len(ids)
             if n == 0:
                 continue
-            # one flat shingle array for the whole batch + segment
-            # starts; the per-doc MIN over a multiset equals the min
-            # over the set, so no per-doc dedup is needed
-            sh_lists = []
-            counts = np.empty(n, dtype=np.int64)
-            for i in range(n):
-                t = texts[i] if texts[i] is not None else ""
-                if len(t) < shingle:
-                    sh_lists.append([t])
-                else:
-                    sh_lists.append(
-                        [t[j : j + shingle] for j in range(len(t) - shingle + 1)]
-                    )
-                counts[i] = len(sh_lists[-1])
-            flat = np.asarray(
-                [s for lst in sh_lists for s in lst], dtype=object
-            )
-            h = (pd.util.hash_array(flat) % np.uint64(_MERSENNE)).astype(np.int64)
-            starts = np.zeros(n, dtype=np.int64)
-            np.cumsum(counts[:-1], out=starts[1:])
-            # sig[d, k] = min over doc d's shingles of (a_k*h + b_k) % p
-            sig = np.empty((n, n_hashes), dtype=np.int64)
+            offsets, data = _string_buffers(batch.column(1))
+            h_all, n_sh = _window_hashes(offsets, data, shingle, seed, mod=_MERSENNE)
+            # dedup (doc, shingle): doc index in the high bits keeps
+            # first-appearance order grouped (and non-decreasing) by doc
+            doc_idx = np.repeat(np.arange(n, dtype=np.uint64), n_sh)
+            pair = (doc_idx << _U64(31)) | h_all.astype(np.uint64)
+            _, upair = pd.factorize(pair, sort=False)
+            upair = np.asarray(upair, dtype=np.uint64)
+            doc_of = (upair >> _U64(31)).astype(np.int64)
+            h = (upair & _U64(_MERSENNE)).astype(np.int64)
+            starts = np.searchsorted(doc_of, np.arange(n, dtype=np.int64))
+            # sig[d, k] = min over doc d's distinct shingles of (a_k*h+b_k) % p
+            sig = np.empty((n, n_hashes), dtype=np.uint64)
             for kk in range(n_hashes):
-                perm = (h * a[kk] + b[kk]) % _MERSENNE
-                sig[:, kk] = np.minimum.reduceat(perm, starts)
-            # band hash = hash of the band's signature slice bytes
-            band_bytes = np.asarray(
-                [
-                    sig[i, r * rows_per_band : (r + 1) * rows_per_band].tobytes()
-                    for i in range(n)
-                    for r in range(bands)
-                ],
-                dtype=object,
-            )
-            out_hash = pd.util.hash_array(band_bytes).astype(np.int64)
+                # (h*a+b) mod 2^31-1 via the Mersenne fold (x&M)+(x>>31)
+                # twice — h*a+b < 2^62 so two folds land in [0, M];
+                # avoids the integer-division modulo in the hot loop
+                x = h * a[kk] + b[kk]
+                x = (x & _MERSENNE) + (x >> 31)
+                x = (x & _MERSENNE) + (x >> 31)
+                x -= (x >= _MERSENNE) * _MERSENNE
+                sig[:, kk] = np.minimum.reduceat(x, starts).astype(np.uint64)
+            # band hash: splitmix64 chain over the band's columns
+            out_hash = np.empty((n, bands), dtype=np.int64)
+            with np.errstate(over="ignore"):
+                for r in range(bands):
+                    f = np.full(n, _U64(0x9E3779B97F4A7C15))
+                    for c in range(r * rows_per_band, (r + 1) * rows_per_band):
+                        f = _splitmix64(f ^ sig[:, c])
+                    out_hash[:, r] = f.astype(np.int64)
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array(np.repeat(np.asarray(ids, dtype=np.int64), bands)),
                     pa.array(np.tile(np.arange(bands, dtype=np.int64), n)),
-                    pa.array(out_hash),
+                    pa.array(out_hash.reshape(-1)),
                 ],
                 names=["id", "band", "band_hash"],
             )
@@ -241,7 +314,19 @@ def minhash_signatures(
     keyed = df.select(
         F.col(id_col).cast("long").alias("__id"), F.col(text_col).alias("__t")
     )
+    keyed = _ensure_parallelism(keyed)
     return keyed.mapInArrow(kernel, out_schema)
+
+
+def _ensure_parallelism(keyed: DataFrame) -> DataFrame:
+    """Small inputs (one parquet split) would run a compute-heavy
+    kernel on one core; round-robin them across the cluster. At
+    corpus scale the scan already yields >> defaultParallelism splits,
+    so this is a no-op — never a shuffle of a large table."""
+    par = keyed.sparkSession.sparkContext.defaultParallelism
+    if keyed.rdd.getNumPartitions() < par:
+        return keyed.repartition(par)
+    return keyed
 
 
 def lsh_candidate_pairs(
@@ -368,8 +453,9 @@ def minhash_dedup_groups(
 def simhash_signatures(
     df: DataFrame, id_col: str, text_col: str, shingle: int = 4, seed: int = 7
 ) -> DataFrame:
-    """(id, simhash long) — 64-bit SimHash over character shingles,
-    vectorized in Arrow/NumPy (bit-vote matrix per batch)."""
+    """(id, simhash long) — 64-bit SimHash over byte shingles,
+    vectorized in Arrow/NumPy: sliding byte-window hashes straight off
+    the Arrow string buffers, bit votes segment-summed per doc."""
     out_schema = StructType(
         [StructField("id", LongType(), False), StructField("simhash", LongType(), False)]
     )
@@ -377,23 +463,11 @@ def simhash_signatures(
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
             ids = batch.column(0).to_numpy(zero_copy_only=False)
-            texts = batch.column(1).to_numpy(zero_copy_only=False)
             n = len(ids)
             if n == 0:
                 continue
-            gram_lists = []
-            counts = np.empty(n, dtype=np.int64)
-            for i in range(n):
-                t = texts[i] if texts[i] is not None else ""
-                if len(t) < shingle:
-                    gram_lists.append([t])
-                else:
-                    gram_lists.append(
-                        [t[j : j + shingle] for j in range(len(t) - shingle + 1)]
-                    )
-                counts[i] = len(gram_lists[-1])
-            flat = np.asarray([g for lst in gram_lists for g in lst], dtype=object)
-            h = pd.util.hash_array(flat, hash_key=format(seed, "016x"))
+            offsets, data = _string_buffers(batch.column(1))
+            h, counts = _window_hashes(offsets, data, shingle, seed)
             starts = np.zeros(n, dtype=np.int64)
             np.cumsum(counts[:-1], out=starts[1:])
             # per-bit votes, segment-summed per doc
@@ -413,6 +487,7 @@ def simhash_signatures(
     keyed = df.select(
         F.col(id_col).cast("long").alias("__id"), F.col(text_col).alias("__t")
     )
+    keyed = _ensure_parallelism(keyed)
     return keyed.mapInArrow(kernel, out_schema)
 
 

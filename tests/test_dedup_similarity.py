@@ -267,3 +267,26 @@ class TestReservoirSample:
         # deterministic
         again = _reservoir_sample(df, "vec", 256, seed=42)
         assert np.array_equal(np.sort(firsts), np.sort(again[:, 0]))
+
+
+class TestJvmSimhash64:
+    def test_full_64_bits_and_locality(self, spark):
+        from heavykeeper_rs_spark.functions.text import simhash64
+
+        texts = [
+            Row(doc_id=0, text=BASE),
+            Row(doc_id=1, text=BASE),                       # identical
+            Row(doc_id=2, text=BASE.replace("fox", "wolf")),  # near
+            Row(doc_id=3, text="completely different content about "
+                               "numerical linear algebra and gpu kernels " * 3),
+        ]
+        df = spark.createDataFrame(texts).select(
+            "doc_id", simhash64("text").alias("sh")
+        )
+        got = {r["doc_id"]: r["sh"] for r in df.collect()}
+        assert got[0] == got[1]
+        def ham(a, b):
+            return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+        assert ham(got[0], got[2]) < ham(got[0], got[3])
+        # genuinely 64-bit: some signature uses bits above the low 16
+        assert any((abs(v) >> 16) != 0 for v in got.values())

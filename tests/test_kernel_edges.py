@@ -83,3 +83,103 @@ def test_min_shape_sketch():
     sk.add_batch(obj("a", "a", "b"))
     assert sk.contains_top_k("a")
     assert len(sk.pq) == 1
+
+
+class TestEvictionReporting:
+    """O6 add_with_evicted parity (src/heavykeeper.rs:281-354, tests at
+    src/heavykeeper.rs:1524-1562): items pushed out of the top-K queue
+    are reported, in eviction order."""
+
+    def test_eviction_stream(self):
+        import numpy as np
+        from heavykeeper_rs_spark.kernel import HeavyKeeper, HKParams
+
+        sk = HeavyKeeper(HKParams(k=2, width=1024, depth=4))
+        ev1 = sk.add_batch(np.asarray([b"a"] * 5 + [b"b"] * 3, dtype=object),
+                           return_evicted=True)
+        assert ev1 == []  # queue not full -> no eviction
+        # c (10) beats the min (b at 3): b must be reported evicted
+        ev2 = sk.add_batch(np.asarray([b"c"] * 10, dtype=object),
+                           return_evicted=True)
+        assert ev2 == [b"b"]
+        items = [it for it, _ in sk.list()]
+        assert items == [b"c", b"a"]
+
+    def test_no_eviction_when_not_beating_min(self):
+        import numpy as np
+        from heavykeeper_rs_spark.kernel import HeavyKeeper, HKParams
+
+        sk = HeavyKeeper(HKParams(k=2, width=1024, depth=4))
+        sk.add_batch(np.asarray([b"a"] * 50 + [b"b"] * 40, dtype=object))
+        ev = sk.add_batch(np.asarray([b"z"], dtype=object), return_evicted=True)
+        assert ev == []  # strictly-greater rule: z(1) <= min(40)
+
+    def test_default_path_returns_none(self):
+        import numpy as np
+        from heavykeeper_rs_spark.kernel import HeavyKeeper, HKParams
+
+        sk = HeavyKeeper(HKParams(k=2, width=64, depth=2))
+        assert sk.add_batch(np.asarray([b"x"], dtype=object)) is None
+
+
+class TestPluggableHasher:
+    """O3 with_hasher (src/heavykeeper.rs:123-131)."""
+
+    def test_custom_hasher_used_and_deterministic(self):
+        import numpy as np
+        from heavykeeper_rs_spark.kernel import HeavyKeeper
+
+        calls = []
+
+        def fnv(items, seed):
+            out = np.empty(len(items), dtype=np.uint64)
+            for i, it in enumerate(items):
+                h = np.uint64(1469598103934665603) ^ np.uint64(seed)
+                for byte in (it if isinstance(it, bytes) else str(it).encode()):
+                    with np.errstate(over="ignore"):
+                        h = (h ^ np.uint64(byte)) * np.uint64(1099511628211)
+                out[i] = h
+            calls.append(len(items))
+            return out
+
+        sk = HeavyKeeper.with_hasher(3, 256, 2, 0.9, 7, fnv)
+        data = np.asarray([b"x"] * 5 + [b"y"] * 3 + [b"z"], dtype=object)
+        sk.add_batch(data)
+        assert calls, "custom hasher was not invoked"
+        assert [it for it, _ in sk.list()] == [b"x", b"y", b"z"]
+        assert sk.estimate(np.asarray([b"x"], dtype=object))[0] == 5
+
+    def test_custom_hasher_blocks_serialize_and_mixed_merge(self):
+        import numpy as np
+        import pytest
+        from heavykeeper_rs_spark.errors import SketchCompatError
+        from heavykeeper_rs_spark.kernel import HeavyKeeper, HKParams
+
+        def h1(items, seed):
+            import pandas as pd
+            return pd.util.hash_array(np.asarray(items, dtype=object))
+
+        a = HeavyKeeper.with_hasher(2, 64, 2, 0.9, 1, h1)
+        a.add_batch(np.asarray([b"k"], dtype=object))
+        with pytest.raises(ValueError, match="custom hasher"):
+            a.serialize()
+        b = HeavyKeeper(HKParams(k=2, width=64, depth=2, decay=0.9, seed=1))
+        with pytest.raises(SketchCompatError):
+            a.merge(b)
+
+
+class TestDebugDump:
+    """O15 debug() parity (src/heavykeeper.rs:460-496)."""
+
+    def test_buckets_sorted_and_queue_present(self):
+        import numpy as np
+        from heavykeeper_rs_spark.kernel import HeavyKeeper, HKParams
+
+        sk = HeavyKeeper(HKParams(k=2, width=64, depth=2))
+        sk.add_batch(np.asarray([b"a"] * 9 + [b"b"] * 4 + [b"c"], dtype=object))
+        d = sk.debug()
+        counts = [b["count"] for b in d["buckets"]]
+        assert counts == sorted(counts, reverse=True)
+        assert all(b["count"] > 0 for b in d["buckets"])
+        assert d["queue"][0] == {"item": "a", "count": 9}
+        assert d["tracked"] == 2 and d["nonzero_cells"] == len(d["buckets"])
