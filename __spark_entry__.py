@@ -372,8 +372,11 @@ def _embedding_sim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _lang_id_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
+    # two-stage select: the per-family fold runs once per row; the
+    # argmax stage references the materialized score array
     return (
-        docs.select(T.lang_id("text").alias("lid"))
+        docs.select(T.lang_scores("text").alias("__s"))
+        .select(T.lang_from_scores("__s").alias("lid"))
         .groupBy("lid")
         .agg(F.count("*").alias("n"))
         .orderBy("lid")

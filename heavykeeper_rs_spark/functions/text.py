@@ -161,28 +161,51 @@ def doc_fingerprint(col: str | Column) -> Column:
     return F.xxhash64(F.lower(F.regexp_replace(c, r"\s+", " ")))
 
 
+_LANG_FAMS = {
+    "en": ["the", "and", "of", "to", "is", "you", "that"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ich"],
+    "fr": ["le", "la", "les", "et", "est", "que", "je"],
+    "es": ["el", "la", "los", "que", "es", "y", "no"],
+}
+
+
+def lang_scores(col: str | Column) -> Column:
+    """array<int> of per-family stopword hit counts — ONE pass over the
+    token array (a single aggregate fold), so the tokenizer regex is
+    evaluated once per row instead of once per family."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.aggregate(
+        tokens(c),
+        F.array_repeat(F.lit(0), len(_LANG_FAMS)),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.array(*[t.isin(ws).cast("int") for ws in _LANG_FAMS.values()]),
+            lambda a, b: a + b,
+        ),
+    )
+
+
+def lang_from_scores(scores_col: str | Column) -> Column:
+    """argmax family (earlier families win ties) or 'und' when no
+    stopword hit. Evaluate ``lang_scores`` into a named column first
+    (two-stage select) so the fold isn't duplicated per reference."""
+    s = F.col(scores_col) if isinstance(scores_col, str) else scores_col
+    langs = list(_LANG_FAMS)
+    best = F.array_max(s)
+    expr = F.lit("und")
+    # reverse order so earlier families win ties deterministically
+    for i in reversed(range(len(langs))):
+        expr = F.when((F.get(s, i) == best) & (best > 0), F.lit(langs[i])).otherwise(
+            expr
+        )
+    return expr
+
+
 def lang_id(col: str | Column) -> Column:
     """Tiny deterministic language-ID heuristic over stopword families.
 
-    Scores en/de/fr/es stopword hits over the token array; returns the
-    argmax or 'und'. SQL-expressible for the oracle.
+    Convenience single-expression form; for wide scans prefer
+    ``select(lang_scores(..).alias("s")).select(lang_from_scores("s"))``
+    so the token fold is computed once per row.
     """
-    c = F.col(col) if isinstance(col, str) else col
-    toks = tokens(c)
-    fams = {
-        "en": ["the", "and", "of", "to", "is", "you", "that"],
-        "de": ["der", "die", "und", "das", "ist", "nicht", "ich"],
-        "fr": ["le", "la", "les", "et", "est", "que", "je"],
-        "es": ["el", "la", "los", "que", "es", "y", "no"],
-    }
-    def _hits(ws: list[str]) -> Column:
-        # nb: a two-param lambda would be (element, index) to F.filter
-        return F.size(F.filter(toks, lambda t: t.isin(ws)))
-
-    scores = [(_hits(ws), lang) for lang, ws in fams.items()]
-    best = F.greatest(*[s for s, _ in scores])
-    expr = F.lit("und")
-    # reverse order so earlier families win ties deterministically
-    for s, lang in reversed(scores):
-        expr = F.when((s == best) & (best > 0), F.lit(lang)).otherwise(expr)
-    return expr
+    return lang_from_scores(lang_scores(col))

@@ -38,6 +38,7 @@ from __future__ import annotations
 import math
 
 import numpy as np
+import pandas as pd
 
 from .errors import SketchCompatError
 from .serde import dumps as serde_dumps, loads as serde_loads
@@ -85,18 +86,28 @@ class _VariantBase:
         return (h % _U64(w)).astype(np.int64)
 
     def _preagg(self, items: np.ndarray, weights: np.ndarray | None):
-        arr = np.asarray(items, dtype=object)
+        # mirror kernel.add_batch: int64 lanes stay native (splitmix
+        # fast path — no object conversion), hash-table factorize
+        # instead of sort-based unique
+        arr = np.asarray(items)
+        if arr.dtype.kind not in "iu":
+            arr = np.asarray(items, dtype=object)
         if arr.size == 0:
             return arr, np.zeros(0, np.int64), np.zeros(0, np.uint64)
         h_all = self._hash(arr)
-        uh, first, inv = np.unique(h_all, return_index=True, return_inverse=True)
+        inv, uh = pd.factorize(h_all, sort=False)
+        k = uh.shape[0]
+        n = inv.shape[0]
+        first = np.empty(k, dtype=np.int64)
+        first[inv[::-1]] = np.arange(n - 1, -1, -1)
         if weights is None:
-            w = np.bincount(inv, minlength=uh.shape[0]).astype(np.int64)
+            w = np.bincount(inv, minlength=k).astype(np.int64)
         else:
             w = np.bincount(
-                inv, weights=np.asarray(weights, dtype=np.float64), minlength=uh.shape[0]
+                inv, weights=np.asarray(weights, dtype=np.float64), minlength=k
             ).astype(np.int64)
         keep = w > 0
+        uh = np.asarray(uh, dtype=np.uint64)
         return arr[first[keep]], w[keep], uh[keep]
 
     # -- decay duel (exact distributionally; O(#decrements)) ---------------
