@@ -31,6 +31,14 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _local_df(spark: SparkSession, data, schema) -> DataFrame:
+    """Driver-side literal results without a Python-RDD job (see
+    operators.topk.local_result_df)."""
+    from heavykeeper_rs_spark.operators.topk import local_result_df
+
+    return local_result_df(spark, data, schema)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: HeavyKeeper top-20 most frequent tokens over documents
     (the word_count example lifted to a distributed corpus)."""
@@ -74,7 +82,9 @@ def _hk_topk_tokens_inkernel(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _hk_weighted_topk_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted add (src/heavykeeper.rs:273): top parts by total quantity."""
     li = _t(spark, sf_dir, "lineitem").select(
-        F.col("l_partkey").cast("string").alias("pk"),
+        # int64 lanes through the sketch (the u64 fast path); topk()
+        # renders items as strings, matching the VARCHAR oracle
+        F.col("l_partkey").cast("long").alias("pk"),
         F.col("l_quantity").cast("long").alias("q"),
     )
     return topk(
@@ -232,7 +242,7 @@ def _hk_topk_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
     flows = ev.select(key.alias("flow_key"))
     sk = topk_sketch(flows, "flow_key", k=20, width=4096, depth=4)
     rows = sorted(sk.list(), key=lambda t: (-t[1], t[0]))[:10]
-    return spark.createDataFrame(
+    return _local_df(spark,
         [(it.hex().upper(), int(c)) for it, c in rows],
         "flow_hex string, count bigint",
     )
@@ -428,7 +438,7 @@ def _hk_contested_accuracy_ok(spark: SparkSession, sf_dir: str) -> DataFrame:
         if hits
         else 1.0
     )
-    return spark.createDataFrame(
+    return _local_df(spark,
         [(len(truth), bool(recall >= 0.75), bool(are < 0.25))],
         "n_top bigint, recall_ok boolean, are_ok boolean",
     )
@@ -477,7 +487,7 @@ def _hll_distinct_users_ok(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = hll_distinct(ev, "user_id", p=14)
     exact = ev.select(F.countDistinct("user_id")).collect()[0][0]
     ok = abs(est - exact) / exact < 0.03
-    return spark.createDataFrame(
+    return _local_df(spark,
         [(int(exact), bool(ok))], "n_exact bigint, within_bound boolean"
     )
 
@@ -498,7 +508,7 @@ def _cms_event_counts_ok(spark: SparkSession, sf_dir: str) -> DataFrame:
     ok = all(
         truth[k] <= e <= truth[k] + eps * sk.total for k, e in zip(keys, est)
     )
-    return spark.createDataFrame(
+    return _local_df(spark,
         [(len(truth), bool(ok))], "n_keys bigint, within_bound boolean"
     )
 
@@ -515,7 +525,7 @@ def _bloom_membership_ok(spark: SparkSession, sf_dir: str) -> DataFrame:
         [r[0] for r in ev.select("event_type").distinct().collect()], dtype=object
     )
     ok = bool(sk.contains(present).all())
-    return spark.createDataFrame(
+    return _local_df(spark,
         [(len(present), ok)], "n_keys bigint, no_false_negatives boolean"
     )
 
@@ -535,7 +545,7 @@ def _kll_price_quantiles_ok(spark: SparkSession, sf_dir: str) -> DataFrame:
     for q, e in zip(qs, est):
         rank = li.filter(F.col("l_extendedprice") <= float(e)).count() / n
         ok = ok and abs(rank - q) < 0.02
-    return spark.createDataFrame(
+    return _local_df(spark,
         [(len(qs), bool(ok))], "n_quantiles bigint, within_rank_bound boolean"
     )
 
@@ -556,7 +566,7 @@ def _tdigest_value_quantiles_ok(spark: SparkSession, sf_dir: str) -> DataFrame:
     for q, e in zip(qs, est):
         rank = ev.filter(F.col("value") <= float(e)).count() / n
         ok = ok and abs(rank - q) < 0.01
-    return spark.createDataFrame(
+    return _local_df(spark,
         [(len(qs), bool(ok))], "n_quantiles bigint, within_rank_bound boolean"
     )
 
@@ -578,7 +588,7 @@ def _hll_distinct_users_by_type_ok(spark: SparkSession, sf_dir: str) -> DataFram
         .collect()
     }
     ok = all(abs(est[g] - n) / n < 0.03 for g, n in exact.items())
-    return spark.createDataFrame(
+    return _local_df(spark,
         [(len(exact), bool(ok))], "n_groups bigint, within_bound boolean"
     )
 
@@ -599,7 +609,7 @@ def _tdigest_median_value_by_type_ok(spark: SparkSession, sf_dir: str) -> DataFr
         n = grp.count()
         rank = grp.filter(F.col("value") <= float(e)).count() / n
         ok = ok and abs(rank - 0.5) < 0.02
-    return spark.createDataFrame(
+    return _local_df(spark,
         [(len(est), bool(ok))], "n_groups bigint, within_rank_bound boolean"
     )
 

@@ -878,16 +878,30 @@ class HeavyKeeper:
                 "default family for distributed/persisted sketches"
             )
         p = self.params
-        head = struct.pack(
-            "<4sBqqqdq", _MAGIC, 1, p.k, p.width, p.depth, p.decay, p.seed
-        )
-        buf = io.BytesIO()
-        buf.write(head)
-        buf.write(self.fps.tobytes())
-        buf.write(self.counts.tobytes())
         cand = [
             (k, int(c), int(self.pq.seqs[k])) for k, c in self.pq.counts.items()
         ]
+        buf = io.BytesIO()
+        nz_flat = np.flatnonzero(self.counts.reshape(-1))
+        cells = p.depth * p.width
+        # Sparse layout (v2) when the bucket array is mostly empty —
+        # an over-provisioned width (exact-regime sizing) would
+        # otherwise ship depth*width*16 bytes per partial through every
+        # shuffle; sparse ships 24 bytes per LIVE cell instead.
+        if nz_flat.size * 3 < cells:
+            buf.write(
+                struct.pack("<4sBqqqdq", _MAGIC, 2, p.k, p.width, p.depth, p.decay, p.seed)
+            )
+            buf.write(struct.pack("<q", nz_flat.size))
+            buf.write(nz_flat.astype(np.int64).tobytes())
+            buf.write(self.fps.reshape(-1)[nz_flat].tobytes())
+            buf.write(self.counts.reshape(-1)[nz_flat].tobytes())
+        else:
+            buf.write(
+                struct.pack("<4sBqqqdq", _MAGIC, 1, p.k, p.width, p.depth, p.decay, p.seed)
+            )
+            buf.write(self.fps.tobytes())
+            buf.write(self.counts.tobytes())
         buf.write(serde_dumps(cand))
         return buf.getvalue()
 
@@ -895,16 +909,32 @@ class HeavyKeeper:
     def deserialize(cls, blob: bytes) -> "HeavyKeeper":
         hs = struct.calcsize("<4sBqqqdq")
         magic, ver, k, width, depth, decay, seed = struct.unpack("<4sBqqqdq", blob[:hs])
-        if magic != _MAGIC or ver != 1:
-            raise ValueError("not a HeavyKeeper v1 blob")
+        if magic != _MAGIC or ver not in (1, 2):
+            raise ValueError("not a HeavyKeeper v1/v2 blob")
         params = HKParams(k=int(k), width=int(width), depth=int(depth), decay=float(decay), seed=int(seed))
         sk = cls(params)
         cells = depth * width
         off = hs
-        sk.fps = np.frombuffer(blob[off : off + 8 * cells], dtype=np.uint64).reshape(depth, width).copy()
-        off += 8 * cells
-        sk.counts = np.frombuffer(blob[off : off + 8 * cells], dtype=np.uint64).reshape(depth, width).copy()
-        off += 8 * cells
+        if ver == 1:
+            sk.fps = np.frombuffer(blob[off : off + 8 * cells], dtype=np.uint64).reshape(depth, width).copy()
+            off += 8 * cells
+            sk.counts = np.frombuffer(blob[off : off + 8 * cells], dtype=np.uint64).reshape(depth, width).copy()
+            off += 8 * cells
+        else:  # sparse
+            (nnz,) = struct.unpack_from("<q", blob, off)
+            off += 8
+            if nnz < 0 or off + 24 * nnz > len(blob):
+                raise ValueError("bad sparse cell count")
+            idx = np.frombuffer(blob[off : off + 8 * nnz], dtype=np.int64)
+            off += 8 * nnz
+            if nnz and (idx.min() < 0 or idx.max() >= cells):
+                raise ValueError("sparse cell index out of range")
+            fps_nz = np.frombuffer(blob[off : off + 8 * nnz], dtype=np.uint64)
+            off += 8 * nnz
+            cnt_nz = np.frombuffer(blob[off : off + 8 * nnz], dtype=np.uint64)
+            off += 8 * nnz
+            sk.fps.reshape(-1)[idx] = fps_nz
+            sk.counts.reshape(-1)[idx] = cnt_nz
         cand = serde_loads(blob[off:])
         for item, c, seq in sorted(cand, key=lambda t: t[2]):
             sk.pq.upsert(item, c)

@@ -147,8 +147,8 @@ def rolling_fingerprints(
                 names=["id", "rfp"],
             )
 
-    keyed = df.select(
-        F.col(id_col).cast("long").alias("__id"), F.col(text_col).alias("__t")
+    keyed = _ensure_parallelism(
+        df.select(F.col(id_col).cast("long").alias("__id"), F.col(text_col).alias("__t"))
     )
     return keyed.mapInArrow(kernel, out_schema)
 
@@ -319,14 +319,9 @@ def minhash_signatures(
 
 
 def _ensure_parallelism(keyed: DataFrame) -> DataFrame:
-    """Small inputs (one parquet split) would run a compute-heavy
-    kernel on one core; round-robin them across the cluster. At
-    corpus scale the scan already yields >> defaultParallelism splits,
-    so this is a no-op — never a shuffle of a large table."""
-    par = keyed.sparkSession.sparkContext.defaultParallelism
-    if keyed.rdd.getNumPartitions() < par:
-        return keyed.repartition(par)
-    return keyed
+    from .topk import ensure_parallelism
+
+    return ensure_parallelism(keyed)
 
 
 def lsh_candidate_pairs(

@@ -103,7 +103,11 @@ def signature_df(
                 names=["id", "sig"],
             )
 
-    keyed = df.select(F.col(id_col).cast("long").alias("__id"), F.col(vec_col).alias("__v"))
+    from .topk import ensure_parallelism
+
+    keyed = ensure_parallelism(
+        df.select(F.col(id_col).cast("long").alias("__id"), F.col(vec_col).alias("__v"))
+    )
     return keyed.mapInArrow(kernel, out_schema)
 
 

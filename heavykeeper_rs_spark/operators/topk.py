@@ -58,6 +58,37 @@ VARIANTS = {
 }
 
 
+def local_result_df(spark: SparkSession, data: list, schema) -> DataFrame:
+    """Tiny driver-side result list -> DataFrame via pandas/Arrow.
+
+    ``createDataFrame(list_of_tuples)`` schedules a
+    defaultParallelism-task Python-RDD job (~2s of worker round-trips
+    on local[32]) even for 10 rows; the pandas path converts to Arrow
+    on the driver and costs zero tasks."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    st = schema
+    if isinstance(st, str):
+        st = _parse_datatype_string(st)
+    pdf = pd.DataFrame(data, columns=[f.name for f in st.fields])
+    return spark.createDataFrame(pdf, schema=st)
+
+
+def ensure_parallelism(keyed: DataFrame) -> DataFrame:
+    """Round-robin a small (single-split) input to defaultParallelism.
+
+    Use ONLY in front of kernels whose per-row Python compute clearly
+    outweighs a row shuffle (measured: minhash/simhash shingling,
+    signature matmuls — 1.5s+/partition). The plain sketch builders are
+    ~10x cheaper than the exchange they'd pay, so they deliberately do
+    NOT use this; at corpus scale the scan yields >> defaultParallelism
+    splits and parallelism comes for free either way."""
+    par = keyed.sparkSession.sparkContext.defaultParallelism
+    if keyed.rdd.getNumPartitions() < par:
+        return keyed.repartition(par)
+    return keyed
+
+
 def _make_sketch(variant: str, params: HKParams, rng):
     if variant == "topk":
         return HeavyKeeper(params, rng=rng)
@@ -255,7 +286,7 @@ def topk(
     schema = StructType(
         [StructField("item", StringType(), False), StructField("count", LongType(), False)]
     )
-    return spark.createDataFrame(data, schema)
+    return local_result_df(spark, data, schema)
 
 
 def _item_str(item) -> str:
@@ -341,7 +372,7 @@ def topk_tokens(
     schema = StructType(
         [StructField("item", StringType(), False), StructField("count", LongType(), False)]
     )
-    return df.sparkSession.createDataFrame(data, schema)
+    return local_result_df(df.sparkSession, data, schema)
 
 
 _GROUP_BLOB_SCHEMA = StructType(
