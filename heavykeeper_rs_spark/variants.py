@@ -509,11 +509,124 @@ class CuckooTopK(_VariantBase):
                 mm2.any(1), self.heavy_c[b2][np.arange(n), mm2.argmax(1)], 0
             )
             est[hit] = np.where(c1[hit] > 0, c1[hit], c2[hit]).astype(np.int64)
-        # residue: lobby duels + promotion, heaviest first
+        # residue: lobby duels + promotion. Processed in waves of
+        # unique primary buckets (heaviest-first within a bucket), each
+        # wave vectorized: heavy recheck, lobby fast-path update, duel
+        # fast-reject, and the promote *decision*; only actual
+        # promotions and conditioned duel survivors drop to the scalar
+        # path (rare in steady state).
         rem = np.flatnonzero(~hit)
-        for j in rem[np.argsort(-w[rem], kind="stable")]:
-            est[j] = self._add_one(int(b1[j]), int(b2[j]), fp[j], int(w[j]))
+        if rem.size:
+            rem = rem[np.argsort(-w[rem], kind="stable")]
+        while rem.size:
+            _, firstpos = np.unique(b1[rem], return_index=True)
+            firstpos.sort()
+            sub = rem[firstpos]
+            self._add_wave(sub, b1, b2, fp, w, est)
+            if firstpos.size == rem.size:
+                break
+            mask = np.ones(rem.size, dtype=bool)
+            mask[firstpos] = False
+            rem = rem[mask]
         self._pq_update_batch(keys, est)
+
+    def _add_wave(
+        self,
+        sub: np.ndarray,
+        b1: np.ndarray,
+        b2: np.ndarray,
+        fp: np.ndarray,
+        w: np.ndarray,
+        est: np.ndarray,
+    ) -> None:
+        """One residue wave: ``b1[sub]`` are unique buckets, so lobby
+        writes never conflict. Mirrors ``_add_one`` semantics exactly;
+        the vector phases just batch the common outcomes."""
+        depth = self.params.depth
+        flat_c = self.heavy_c.reshape(-1)
+        bb1, bb2, f, ww = b1[sub], b2[sub], fp[sub], w[sub]
+        n = sub.shape[0]
+        # heavy recheck (earlier waves may have promoted this fp)
+        m1 = (self.heavy_fp[bb1] == f[:, None]) & (self.heavy_c[bb1] > 0)
+        h1 = m1.any(axis=1)
+        m2 = (self.heavy_fp[bb2] == f[:, None]) & (self.heavy_c[bb2] > 0)
+        h2 = m2.any(axis=1) & ~h1
+        if h1.any():
+            slots = bb1[h1] * depth + m1.argmax(axis=1)[h1]
+            np.add.at(flat_c, slots, ww[h1].astype(np.uint64))
+            est[sub[h1]] = flat_c[slots].astype(np.int64)
+        if h2.any():
+            slots = bb2[h2] * depth + m2.argmax(axis=1)[h2]
+            np.add.at(flat_c, slots, ww[h2].astype(np.uint64))
+            est[sub[h2]] = flat_c[slots].astype(np.int64)
+        todo = ~(h1 | h2)
+        if not todo.any():
+            return
+        # lobby fast path (src/cuckoo.rs:635-644): empty or same fp
+        lcnt = self.lobby_c[bb1]
+        fast = todo & ((lcnt == 0) | (self.lobby_fp[bb1] == f))
+        if fast.any():
+            tb = bb1[fast]
+            self.lobby_fp[tb] = f[fast]
+            self.lobby_c[tb] += ww[fast].astype(np.uint64)
+        # lobby duel (occupied by another fp): vectorized fast-reject,
+        # conditioned survivors take the exact scalar duel
+        duel = np.flatnonzero(todo & ~fast)
+        winners: list[int] = []
+        if duel.size:
+            force = self._force_decay
+            if force is True:
+                p_any = np.ones(duel.size)
+            elif force is False:
+                p_any = np.zeros(duel.size)
+            else:
+                c = self.lobby_c[bb1[duel]].astype(np.float64)
+                with np.errstate(under="ignore", divide="ignore", invalid="ignore"):
+                    pm = np.power(self.params.decay, c)
+                    p_any = -np.expm1(ww[duel].astype(np.float64) * np.log1p(-pm))
+                p_any = np.where(pm >= 1.0, 1.0, p_any)
+            u = self.rng.random(duel.size)
+            for i in duel[np.flatnonzero(u < p_any)]:
+                bb = int(bb1[i])
+                won = self._duel(
+                    lambda bb=bb: int(self.lobby_c[bb]),
+                    lambda c, bb=bb: self.lobby_c.__setitem__(bb, c),
+                    lambda c, bb=bb, fpi=f[i]: (
+                        self.lobby_fp.__setitem__(bb, fpi),
+                        self.lobby_c.__setitem__(bb, c),
+                    ),
+                    int(ww[i]),
+                    first_success=True,
+                )
+                if won is not None:
+                    winners.append(int(i))
+        # promote decision, vectorized over lobby holders
+        holders = np.flatnonzero(fast)
+        if winners:
+            holders = np.concatenate([holders, np.asarray(winners, dtype=np.int64)])
+        if holders.size == 0:
+            return
+        hb1, hb2 = bb1[holders], bb2[holders]
+        lc = self.lobby_c[hb1].astype(np.int64)
+        has_empty = (self.heavy_c[hb1] == 0).any(axis=1) | (
+            self.heavy_c[hb2] == 0
+        ).any(axis=1)
+        minc = np.minimum(
+            self.heavy_c[hb1].min(axis=1), self.heavy_c[hb2].min(axis=1)
+        ).astype(np.int64)
+        cand = np.flatnonzero(has_empty | (lc > minc))
+        # only actual promotions run scalar (evictions may relocate
+        # into other buckets, so they stay ordered)
+        for j in cand:
+            i = int(holders[j])
+            bb, ba = int(hb1[j]), int(hb2[j])
+            cur = int(self.lobby_c[bb])
+            if cur <= 0 or self.lobby_fp[bb] != f[i]:
+                continue  # an earlier promotion this wave displaced it
+            if self._promote(f[i], cur, bb, ba):
+                self.lobby_fp[bb] = 0
+                self.lobby_c[bb] = 0
+                est[sub[i]] = cur
 
     def _add_one(self, b1: int, b2: int, fp: np.uint64, w: int) -> int:
         # re-check heavy (residue ordering may have promoted this fp)
