@@ -147,9 +147,11 @@ def lsh_topk(
         )
         band_match = cond if band_match is None else (band_match | cond)
     cand_ids = sigs.filter(band_match).select("id")
-    cands = df.join(
-        F.broadcast(cand_ids), df[id_col].cast("long") == cand_ids.id, "leftsemi"
-    )
+    # no forced broadcast: a popular signature region can exceed driver
+    # memory at 10^12 rows — AQE broadcasts when the candidate set is
+    # under spark.sql.autoBroadcastJoinThreshold and falls back to a
+    # shuffle semi-join otherwise
+    cands = df.join(cand_ids, df[id_col].cast("long") == cand_ids.id, "leftsemi")
     return brute_force_topk(cands, id_col, vec_col, qvec, k)
 
 
@@ -318,9 +320,9 @@ def ivf_topk(
     probe = np.argsort(-(cents @ qn))[:n_probe].tolist()
     assigned = ivf_assign(df, id_col, vec_col, cents)
     cand_ids = assigned.filter(F.col("centroid").isin(probe)).select("id")
-    cands = df.join(
-        F.broadcast(cand_ids), df[id_col].cast("long") == cand_ids.id, "leftsemi"
-    )
+    # AQE picks broadcast vs shuffle semi-join by candidate size (an
+    # n_probe/n_centroids fraction of the corpus can exceed any driver)
+    cands = df.join(cand_ids, df[id_col].cast("long") == cand_ids.id, "leftsemi")
     return brute_force_topk(cands, id_col, vec_col, qvec, k)
 
 

@@ -295,6 +295,17 @@ def _item_str(item) -> str:
     return str(item)
 
 
+def _feed(sk, rex, chunk: list[str], max_token_len: int) -> None:
+    toks = rex.findall("\n".join(chunk).lower())
+    if not toks:
+        return
+    arr = np.asarray(toks, dtype=object)
+    if max_token_len:
+        lens = np.fromiter(map(len, toks), dtype=np.int64, count=len(toks))
+        arr = arr[lens <= max_token_len]
+    sk.add_batch(arr)
+
+
 def topk_tokens(
     df: DataFrame,
     text_col: str,
@@ -337,15 +348,22 @@ def topk_tokens(
                 continue
             saw = True
             texts = batch.column(0).to_numpy(zero_copy_only=False)
-            joined = "\n".join(t.lower() for t in texts if t is not None)
-            toks = rex.findall(joined)
-            if not toks:
-                continue
-            arr = np.asarray(toks, dtype=object)
-            if max_token_len:
-                lens = np.fromiter(map(len, toks), dtype=np.int64, count=len(toks))
-                arr = arr[lens <= max_token_len]
-            sk.add_batch(arr)
+            # chunked join: one C-level regex pass per ~4 MB of text —
+            # NOT one batch-wide string (64k multi-KB docs would build
+            # a transient multi-hundred-MB str)
+            chunk: list[str] = []
+            size = 0
+            for t in texts:
+                if t is None:
+                    continue
+                chunk.append(t)
+                size += len(t)
+                if size < (4 << 20):
+                    continue
+                _feed(sk, rex, chunk, max_token_len)
+                chunk, size = [], 0
+            if chunk:
+                _feed(sk, rex, chunk, max_token_len)
         if saw:
             yield pa.RecordBatch.from_pydict(
                 {
