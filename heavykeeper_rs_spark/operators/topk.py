@@ -89,6 +89,30 @@ def ensure_parallelism(keyed: DataFrame) -> DataFrame:
     return keyed
 
 
+def _dict_encodable(t: pa.DataType) -> bool:
+    return (
+        pa.types.is_string(t)
+        or pa.types.is_large_string(t)
+        or pa.types.is_binary(t)
+        or pa.types.is_large_binary(t)
+    )
+
+
+def _dict_preagg(col: pa.Array, w: np.ndarray | None):
+    """(distinct keys as object ndarray, per-key weight int64) via
+    Arrow dictionary_encode — the batch pre-aggregation done C-side."""
+    import pyarrow.compute as pc
+
+    d = pc.dictionary_encode(col)
+    idx = d.indices.to_numpy(zero_copy_only=False)
+    nd = len(d.dictionary)
+    if w is None:
+        wagg = np.bincount(idx, minlength=nd).astype(np.int64)
+    else:
+        wagg = np.bincount(idx, weights=w, minlength=nd).astype(np.int64)
+    return d.dictionary.to_numpy(zero_copy_only=False), wagg
+
+
 def _make_sketch(variant: str, params: HKParams, rng):
     if variant == "topk":
         return HeavyKeeper(params, rng=rng)
@@ -119,6 +143,8 @@ def _build_partial(
     """mapInArrow kernel: one sketch per input partition."""
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import pyarrow.compute as pc
+
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else 0
         rng = np.random.default_rng(
@@ -131,24 +157,37 @@ def _build_partial(
                 continue
             saw = True
             if weighted:
-                import pyarrow.compute as pc
-
                 mask = pc.and_kleene(
                     batch.column(0).is_valid(), batch.column(1).is_valid()
                 )
                 fb = batch.filter(mask)
                 if fb.num_rows == 0:
                     continue
-                keys = fb.column(0).to_numpy(zero_copy_only=False)
-                w = fb.column(1).to_numpy(zero_copy_only=False)
-                sk.add_batch(keys, np.asarray(w, dtype=np.int64))
+                kcol = fb.column(0)
+                w = np.asarray(
+                    fb.column(1).to_numpy(zero_copy_only=False), dtype=np.float64
+                )
+                if _dict_encodable(kcol.type):
+                    keys, wagg = _dict_preagg(kcol, w)
+                    sk.add_batch(keys, wagg)
+                else:
+                    sk.add_batch(
+                        kcol.to_numpy(zero_copy_only=False), w.astype(np.int64)
+                    )
             else:
                 col = batch.column(0).drop_null()
                 if len(col) == 0:
                     continue
-                # int64 columns come through as native int lanes (the
-                # u64 fast path); strings/binary as object arrays
-                sk.add_batch(col.to_numpy(zero_copy_only=False))
+                if _dict_encodable(col.type):
+                    # Arrow dictionary-encode: one C pass folds the
+                    # Zipf-repeated strings so Python only ever hashes
+                    # the distinct values (~3x on domain-string keys)
+                    keys, wagg = _dict_preagg(col, None)
+                    sk.add_batch(keys, wagg)
+                else:
+                    # int64 columns come through as native int lanes
+                    # (the u64 fast path)
+                    sk.add_batch(col.to_numpy(zero_copy_only=False))
         if saw:
             yield pa.RecordBatch.from_pydict(
                 {

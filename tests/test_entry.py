@@ -56,3 +56,35 @@ def test_binary_flow_keys_topk(spark):
     est = sk.estimate(np.asarray(list(truth), dtype=object))
     for (k, v), e in zip(truth.items(), est):
         assert abs(int(e) - v) <= max(2, 0.01 * v)
+
+
+def test_grouped_blob_tree_multilevel(spark):
+    """partitions >> fan_in exercises the intermediate
+    groupBy(group, salt // fan_in) merge levels; results must equal the
+    single-level path and the exact answer (exact regime)."""
+    from pyspark.sql import functions as F
+
+    from heavykeeper_rs_spark.operators.topk import topk_by_group
+
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .repartition(20)
+        .withColumn("bucket", (F.col("user_id") % 3).cast("string"))
+    )
+    got = topk_by_group(ev, "bucket", "event_type", k=2, width=1024, depth=4, fan_in=4)
+    rows = {(r["group"], r["item"], r["count"]) for r in got.collect()}
+    exact = (
+        ev.groupBy("bucket", "event_type")
+        .agg(F.count("*").alias("count"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                __import__("pyspark.sql.window", fromlist=["Window"]).Window.partitionBy(
+                    "bucket"
+                ).orderBy(F.desc("count"), "event_type")
+            ),
+        )
+        .filter("rn <= 2")
+    )
+    want = {(r["bucket"], r["event_type"], r["count"]) for r in exact.collect()}
+    assert rows == want
