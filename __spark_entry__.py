@@ -222,6 +222,55 @@ def _hk_cuckoo_topk_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _user_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity gap) — the event-
+    sequence operator a training-data pipeline uses to segment user
+    activity. Window-function formulation; DuckDB oracles it exactly."""
+    from heavykeeper_rs_spark.operators.window_ops import session_stats
+
+    ev = _t(spark, sf_dir, "events")
+    return (
+        session_stats(ev, "user_id", "ts", gap_minutes=30.0)
+        .filter(F.col("user_id") < 20)
+        .orderBy("user_id")
+    )
+
+
+def _events_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (Spark has no ASOF): for every event, the most recent
+    purchase by the same user at or before its timestamp; rolled up per
+    event_type. Implemented as the union + running-last window
+    composition (one shuffle, no range-join blowup); DuckDB's native
+    ASOF JOIN is the oracle."""
+    from heavykeeper_rs_spark.operators.window_ops import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), F.col("value").alias("p_value")
+    )
+    joined = asof_join(
+        ev.select("user_id", "ts", "event_type"),
+        purchases,
+        key_cols=["user_id"],
+        left_ts="ts",
+        right_ts="p_ts",
+        right_value_cols=["p_value"],
+    )
+    lag_sec = F.col("ts").cast("timestamp").cast("double") - F.col(
+        "__asof_matched_ts"
+    ).cast("double")
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count("p_value").alias("n_with_prior_purchase"),
+            F.round(F.avg(lag_sec), 2).alias("avg_lag_sec"),
+            F.round(F.sum("p_value"), 2).alias("sum_prior_purchase_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def _hk_topk_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """13-byte binary flow keys through the sketch — the reference's
     headline workload (examples/ip_files.rs:6,53-93: src_ip(4) ‖
@@ -723,6 +772,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hk_bucketed_topk_event_type": _hk_bucketed_topk_event_type,
         "hk_cuckoo_topk_event_type": _hk_cuckoo_topk_event_type,
         "hk_topk_flows": _hk_topk_flows,
+        "user_session_stats": _user_session_stats,
+        "events_asof_last_purchase": _events_asof_last_purchase,
         "hk_contested_accuracy_ok": _hk_contested_accuracy_ok,
         # relational / exact
         "exact_topk_tokens": _exact_topk_tokens,
@@ -833,6 +884,30 @@ def oracle_sql() -> dict[str, str]:
         ),
         "hk_estimate_event_types": (
             "SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY 1"
+        ),
+        "user_session_stats": (
+            "WITH s AS ("
+            "  SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL OR "
+            "    epoch(ts - lag(ts) OVER w) > 1800.0 THEN 1 ELSE 0 END AS ns "
+            "  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)"
+            "), s2 AS ("
+            "  SELECT user_id, SUM(ns) OVER (PARTITION BY user_id ORDER BY ts "
+            "    ROWS UNBOUNDED PRECEDING) AS session_id FROM s"
+            ") SELECT user_id, CAST(COUNT(DISTINCT session_id) AS BIGINT) AS n_sessions, "
+            "CAST(COUNT(*) AS BIGINT) AS n_events, "
+            "ROUND(COUNT(*) / CAST(COUNT(DISTINCT session_id) AS DOUBLE), 4) AS avg_session_events "
+            "FROM s2 WHERE user_id < 20 GROUP BY user_id ORDER BY user_id"
+        ),
+        "events_asof_last_purchase": (
+            "WITH p AS ("
+            "  SELECT user_id, ts AS p_ts, MAX(value) AS p_value FROM events "
+            "  WHERE event_type = 'purchase' GROUP BY user_id, ts"
+            ") SELECT e.event_type, CAST(COUNT(*) AS BIGINT) AS n_events, "
+            "CAST(COUNT(p.p_value) AS BIGINT) AS n_with_prior_purchase, "
+            "ROUND(AVG(epoch(e.ts - p.p_ts)), 2) AS avg_lag_sec, "
+            "ROUND(SUM(p.p_value), 2) AS sum_prior_purchase_value "
+            "FROM events e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.p_ts "
+            "GROUP BY e.event_type ORDER BY e.event_type"
         ),
         "hk_topk_flows": (
             "SELECT upper("

@@ -1,0 +1,65 @@
+"""Sessionization and as-of join semantics."""
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import Row
+
+
+def ts(m, s=0):
+    return datetime(2024, 1, 1, 12, m, s)
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    rows = [
+        # user 1: two sessions (gap 40 min > 30)
+        Row(user_id=1, ts=ts(0), event_type="view", value=1.0),
+        Row(user_id=1, ts=ts(10), event_type="purchase", value=5.0),
+        Row(user_id=1, ts=ts(50), event_type="click", value=2.0),
+        # user 2: one session, no purchase
+        Row(user_id=2, ts=ts(5), event_type="view", value=1.0),
+        Row(user_id=2, ts=ts(20), event_type="click", value=1.0),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_sessionize_gap_rule(spark, events):
+    from heavykeeper_rs_spark.operators.window_ops import sessionize
+
+    out = {
+        (r["user_id"], r["ts"].minute): r["session_id"]
+        for r in sessionize(events, "user_id", "ts", gap_minutes=30).collect()
+    }
+    assert out[(1, 0)] == 1 and out[(1, 10)] == 1 and out[(1, 50)] == 2
+    assert out[(2, 5)] == 1 and out[(2, 20)] == 1
+
+
+def test_sessionize_exact_gap_is_same_session(spark):
+    from heavykeeper_rs_spark.operators.window_ops import sessionize
+
+    rows = [Row(user_id=1, ts=ts(0)), Row(user_id=1, ts=ts(30))]  # == gap
+    out = sessionize(spark.createDataFrame(rows), "user_id", "ts", 30).collect()
+    assert {r["session_id"] for r in out} == {1}  # strictly-greater rule
+
+
+def test_asof_join_matches_most_recent_and_ties(spark, events):
+    from heavykeeper_rs_spark.operators.window_ops import asof_join
+
+    purchases = events.filter("event_type = 'purchase'").select(
+        "user_id", events.ts.alias("p_ts"), events.value.alias("p_value")
+    )
+    out = asof_join(
+        events.select("user_id", "ts", "event_type"),
+        purchases,
+        key_cols=["user_id"],
+        left_ts="ts",
+        right_ts="p_ts",
+        right_value_cols=["p_value"],
+    ).collect()
+    got = {(r["user_id"], r["ts"].minute): r["p_value"] for r in out}
+    assert got[(1, 0)] is None          # before any purchase
+    assert got[(1, 10)] == 5.0          # equal timestamp matches (<=)
+    assert got[(1, 50)] == 5.0          # carried forward
+    assert got[(2, 5)] is None and got[(2, 20)] is None  # no purchases
+    assert len(out) == 5                # every left row survives
