@@ -2,11 +2,12 @@
 columns with typed metadata.
 
 The Spark side — schemas, Arrow batch shapes, partition-size control,
-UDF signatures — is real and tested; the media *decode* step is a
-deliberate stub (the container ships no image/audio libs): pass
-``decoder=`` a real function in production, or use the deterministic
-fake (`fake_image_decoder`) in tests. Decoders that raise
-NotImplementedError mark rows as failed instead of killing the job —
+UDF signatures — is real and tested. AUDIO decode is real too
+(``wav_decoder``: stdlib ``wave`` PCM parsing, no external codec
+libs). Image/video decode remains a deliberate stub (no PIL/cv2/av in
+this container): pass ``decoder=`` a real function in production, or
+use the deterministic fake (``fake_image_decoder``) in tests.
+Decoders that raise mark rows as failed instead of killing the job —
 at 10^12 rows a 0.01% corrupt-media rate is a certainty, so per-row
 error capture is part of the operator contract.
 
@@ -57,12 +58,74 @@ FEATURE_SCHEMA = StructType(
 
 
 def stub_decoder(blob: bytes) -> np.ndarray:
-    """Placeholder for a real image/audio decode. Intentionally not
-    implemented in this container (no codec libs); swap in e.g. a
-    PIL/torchaudio-backed callable in production."""
+    """Placeholder for image/video decode. Intentionally not
+    implemented in this container (no PIL/cv2/av); swap in e.g. a
+    PIL/torchaudio-backed callable in production. AUDIO decode is real
+    — see ``wav_decoder``."""
     raise NotImplementedError(
         "media decode requires codec libraries not present in this environment"
     )
+
+
+def wav_decoder(blob: bytes) -> np.ndarray:
+    """REAL audio decode (stdlib ``wave`` — no external codec libs):
+    parses PCM WAV bytes and returns the feature vector
+    ``[duration_s, n_channels, sample_rate, rms, peak, zero_cross_rate]``.
+
+    Raises on malformed/truncated blobs; ``extract_features`` converts
+    that into per-row ok=false capture."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(blob), "rb") as w:
+        nch = w.getnchannels()
+        sw = w.getsampwidth()
+        fr = w.getframerate()
+        nf = w.getnframes()
+        raw = w.readframes(nf)
+    if sw not in (1, 2, 4):
+        raise ValueError(f"unsupported PCM sample width {sw}")
+    dtype = {1: np.uint8, 2: np.int16, 4: np.int32}[sw]
+    x = np.frombuffer(raw, dtype=dtype).astype(np.float64)
+    if sw == 1:
+        x -= 128.0  # 8-bit WAV is unsigned
+    if nch > 1:
+        x = x.reshape(-1, nch).mean(axis=1)
+    x /= float(1 << (8 * sw - 1))
+    if x.size == 0:
+        raise ValueError("empty audio stream")
+    rms = float(np.sqrt(np.mean(x * x)))
+    peak = float(np.abs(x).max())
+    zcr = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))
+    return np.asarray(
+        [nf / float(fr), float(nch), float(fr), rms, peak, zcr], dtype=np.float32
+    )
+
+
+def synth_wav(
+    freq_hz: float = 440.0,
+    seconds: float = 0.25,
+    rate: int = 8000,
+    channels: int = 1,
+    amplitude: float = 0.5,
+) -> bytes:
+    """Deterministic 16-bit PCM WAV bytes (pure sine) — the test-fixture
+    producer for the audio path; real corpora supply real WAV blobs."""
+    import io
+    import wave
+
+    n = int(seconds * rate)
+    t = np.arange(n, dtype=np.float64) / rate
+    x = (amplitude * np.sin(2 * np.pi * freq_hz * t) * 32767).astype(np.int16)
+    if channels > 1:
+        x = np.repeat(x[:, None], channels, axis=1).reshape(-1)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(x.tobytes())
+    return buf.getvalue()
 
 
 def fake_image_decoder(blob: bytes) -> np.ndarray:

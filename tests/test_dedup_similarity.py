@@ -290,3 +290,38 @@ class TestJvmSimhash64:
         assert ham(got[0], got[2]) < ham(got[0], got[3])
         # genuinely 64-bit: some signature uses bits above the low 16
         assert any((abs(v) >> 16) != 0 for v in got.values())
+
+
+class TestWavAudio:
+    """Real audio decode through the multimodal operator (stdlib wave)."""
+
+    def test_wav_roundtrip_features(self, spark):
+        from pyspark.sql import Row
+
+        from heavykeeper_rs_spark.operators.multimodal import (
+            extract_features,
+            synth_wav,
+            wav_decoder,
+        )
+
+        rows = [
+            Row(media_id=0, blob=synth_wav(440.0, 0.25, 8000)),
+            Row(media_id=1, blob=synth_wav(880.0, 0.5, 16000, channels=2)),
+            Row(media_id=2, blob=b"RIFFgarbage-not-a-wav"),
+            Row(media_id=3, blob=None),
+        ]
+        df = spark.createDataFrame(rows)
+        out = {
+            r["id"]: r
+            for r in extract_features(df, "media_id", "blob", decoder=wav_decoder).collect()
+        }
+        f0 = out[0]["feature"]
+        assert out[0]["ok"] and abs(f0[0] - 0.25) < 1e-3   # duration
+        assert f0[2] == 8000.0                              # sample rate
+        assert abs(f0[3] - 0.5 / 2**0.5) < 0.01             # sine rms = A/sqrt(2)
+        # 440 Hz -> 880 zero crossings/s -> zcr = 880/8000
+        assert abs(f0[5] - 880.0 / 8000.0) < 0.005
+        f1 = out[1]["feature"]
+        assert out[1]["ok"] and abs(f1[0] - 0.5) < 1e-3 and f1[1] == 2.0
+        assert not out[2]["ok"] and out[2]["error"]
+        assert not out[3]["ok"]  # null blob -> captured failure
