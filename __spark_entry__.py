@@ -399,6 +399,24 @@ def _embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def _embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH ANN top-10 vs the vec_id=0 query. With 8 one-bit bands
+    a true near neighbor misses only if ALL EIGHT hyperplane signs
+    differ — P ≈ (θ/π)^8, ~1e-4 at θ/π≈0.33 — so on this data the
+    bucket-pruned result equals the exact top-10 and the brute-force
+    SQL oracles it; fewer/wider bands is the recall-vs-cost knob at
+    corpus scale."""
+    from heavykeeper_rs_spark.operators.similarity import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "emb_d", F.col("embedding").cast("array<double>")
+    )
+    q = emb.filter(F.col("vec_id") == 0).select("emb_d").collect()[0][0]
+    return lsh_topk(
+        emb, "vec_id", "emb_d", [float(x) for x in q], k=10, n_bits=8, bands=8
+    )
+
+
 def _embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN over embeddings vs the vec_id=0 query. With n_probe ==
     n_centroids the probe covers every list, so the result equals the
@@ -798,6 +816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": _embedding_near_dup,
         "embedding_sim_join": _embedding_sim_join,
         "embedding_ivf_topk": _embedding_ivf_topk,
+        "embedding_lsh_topk": _embedding_lsh_topk,
         # text analysis
         "lang_id_counts": _lang_id_counts,
         "quality_by_lang": _quality_by_lang,
@@ -993,6 +1012,12 @@ def oracle_sql() -> dict[str, str]:
             "AS n_distinct_fp, COUNT(*) AS n_docs FROM documents"
         ),
         "embedding_topk_cosine": (
+            "SELECT vec_id, ROUND(list_cosine_similarity("
+            "embedding::DOUBLE[], "
+            "(SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 6) "
+            "AS cosine FROM embeddings ORDER BY cosine DESC, vec_id LIMIT 10"
+        ),
+        "embedding_lsh_topk": (
             "SELECT vec_id, ROUND(list_cosine_similarity("
             "embedding::DOUBLE[], "
             "(SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 6) "

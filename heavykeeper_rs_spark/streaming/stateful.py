@@ -103,6 +103,169 @@ def stateful_topk_stream(
     )
 
 
+#: windowed variant output: window_start is epoch seconds; final is
+#: 0 (running update) or 1 (watermark-closed, state removed)
+_WOUT_SCHEMA = StructType(
+    [
+        StructField("window_start", LongType(), False),
+        StructField("shard", IntegerType(), False),
+        StructField("rows_seen", LongType(), False),
+        StructField("final", IntegerType(), False),
+        StructField("sketch", BinaryType(), False),
+    ]
+)
+
+
+def stateful_windowed_topk_stream(
+    stream_df: DataFrame,
+    col: str,
+    ts_col: str,
+    params: HKParams,
+    window: str = "1 hour",
+    watermark: str = "10 minutes",
+    n_shards: int = 4,
+) -> DataFrame:
+    """Per-event-time-window sketches with late-data handling.
+
+    Keys are (window_start, shard); each group owns one serialized
+    HeavyKeeper in the state store. Rows later than ``watermark`` are
+    dropped by Spark's watermark; when the watermark passes a window's
+    end, the group's EventTimeTimeout fires and the state emits one
+    last row with final=1 and is removed — the streaming analog of the
+    batch ``topk_by_group`` over ``date_trunc`` windows, with bounded
+    state (open windows × shards blobs).
+    """
+
+    def fold(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        wstart, shard = int(key[0]), int(key[1])
+        if state.hasTimedOut:
+            rows_seen, blob = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "window_start": [wstart],
+                    "shard": [shard],
+                    "rows_seen": [rows_seen],
+                    "final": [1],
+                    "sketch": [blob],
+                }
+            )
+            return
+        if state.exists:
+            rows_seen, blob = state.get
+            sk = HeavyKeeper.deserialize(blob)
+        else:
+            rows_seen = 0
+            sk = HeavyKeeper(
+                params,
+                rng=np.random.default_rng(
+                    np.random.PCG64((params.seed << 9) ^ (wstart * 31 + shard))
+                ),
+            )
+        for pdf in pdfs:
+            keys = pdf["__key"].to_numpy()
+            valid = pd.notna(keys)
+            rows_seen += int(valid.sum())
+            sk.add_batch(keys[valid])
+        blob = sk.serialize()
+        end_ms = int(key[2]) * 1000
+        # arbitrary-stateful ops don't auto-drop late input: if the
+        # watermark already passed this window's end (stragglers within
+        # the allowed lateness arriving out of order), finalize now —
+        # a timeout in the past cannot be registered
+        if end_ms <= state.getCurrentWatermarkMs():
+            if state.exists:
+                state.remove()
+            yield pd.DataFrame(
+                {
+                    "window_start": [wstart],
+                    "shard": [shard],
+                    "rows_seen": [rows_seen],
+                    "final": [1],
+                    "sketch": [blob],
+                }
+            )
+            return
+        state.update((rows_seen, blob))
+        # finalize when the event-time watermark passes the window end
+        state.setTimeoutTimestamp(end_ms)
+        yield pd.DataFrame(
+            {
+                "window_start": [wstart],
+                "shard": [shard],
+                "rows_seen": [rows_seen],
+                "final": [0],
+                "sketch": [blob],
+            }
+        )
+
+    keyed = (
+        stream_df.withColumn("__ts", F.col(ts_col).cast("timestamp"))
+        .withWatermark("__ts", watermark)
+        .select(
+            F.unix_timestamp(F.window("__ts", window).getField("start")).alias(
+                "__wstart"
+            ),
+            (F.abs(F.xxhash64(F.col(col).cast("string"))) % n_shards)
+            .cast("int")
+            .alias("__shard"),
+            F.unix_timestamp(F.window("__ts", window).getField("end")).alias(
+                "__wend"
+            ),
+            F.col(col).cast("string").alias("__key"),
+            # the watermark-tagged event-time column must survive the
+            # projection for EventTimeTimeout to be allowed
+            F.col("__ts").alias("__evt"),
+        )
+    )
+    return keyed.groupBy("__wstart", "__shard", "__wend").applyInPandasWithState(
+        fold,
+        outputStructType=_WOUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def merge_window_blobs(rows: list) -> dict[int, HeavyKeeper]:
+    """Fold windowed-stream output rows into one sketch per window.
+
+    Consumer contract: per (window, shard) take every final=1 row
+    (each closes a disjoint state life — stragglers after a
+    finalization start a new life that always ends in its own
+    immediate final) plus, when a shard never finalized (the stream
+    ended before the watermark passed the window end), its
+    largest-rows_seen update row (updates are cumulative within a
+    life). Merging those blobs yields the window's exact-regime
+    sketch."""
+    finals: dict[tuple[int, int], list[bytes]] = {}
+    best_update: dict[tuple[int, int], tuple[int, bytes]] = {}
+    for r in rows:
+        k = (int(r["window_start"]), int(r["shard"]))
+        if int(r["final"]) == 1:
+            finals.setdefault(k, []).append(r["sketch"])
+        else:
+            seen = int(r["rows_seen"])
+            if k not in best_update or seen > best_update[k][0]:
+                best_update[k] = (seen, r["sketch"])
+    per_window: dict[int, list[bytes]] = {}
+    keys = set(finals) | set(best_update)
+    for k in keys:
+        blobs = finals.get(k, [])
+        if not blobs:
+            blobs = [best_update[k][1]]
+        per_window.setdefault(k[0], []).extend(blobs)
+    out: dict[int, HeavyKeeper] = {}
+    for w, blobs in per_window.items():
+        acc = HeavyKeeper.deserialize(blobs[0])
+        for b in blobs[1:]:
+            acc.merge(HeavyKeeper.deserialize(b))
+        out[w] = acc
+    return out
+
+
 def merge_shard_blobs(rows: list) -> HeavyKeeper:
     """Merge the latest blob per shard into one sketch (driver-side)."""
     latest: dict[int, bytes] = {}

@@ -122,3 +122,78 @@ def test_stateful_stream_restart_resumes_state(spark, tmp_path):
     }
     # counts include BOTH halves => state carried across the restart
     assert got == truth
+
+
+def test_stateful_windowed_topk_stream(spark, tmp_path):
+    """Per-window sketches finalize when the event-time watermark
+    passes the window end; finalized windows must equal the batch
+    per-window exact top-K (exact regime)."""
+    import glob
+    import shutil
+
+    from heavykeeper_rs_spark.streaming.stateful import (
+        stateful_windowed_topk_stream,
+    )
+
+    src = str(tmp_path / "wsrc")
+    os.makedirs(src)
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    # arrivals must be (roughly) event-time ordered — a stream that
+    # replays a month of history in random order is all "late data"
+    # and the watermark correctly drops it
+    tsd = F.col("ts").cast("timestamp").cast("double")
+    bounds = ev.select(
+        F.percentile_approx(tsd, [0.33, 0.66], 10000).alias("b")
+    ).collect()[0]["b"]
+    parts = [
+        ev.filter(tsd <= bounds[0]),
+        ev.filter((tsd > bounds[0]) & (tsd <= bounds[1])),
+        ev.filter(tsd > bounds[1]),
+    ]
+    for i, part in enumerate(parts):
+        part.coalesce(1).write.parquet(f"{src}/b{i}", mode="overwrite")
+        f = glob.glob(f"{src}/b{i}/*.parquet")[0]
+        shutil.copy(f, f"{src}/warrival-{i}.parquet")
+        shutil.rmtree(f"{src}/b{i}")
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    # track 2k then cut to k so equal-count boundary ties resolve like
+    # ORDER BY count DESC, key (the entry queries' tie_break_key trick)
+    params = HKParams(k=6, width=1024, depth=4, decay=0.9, seed=12345)
+    out = stateful_windowed_topk_stream(
+        stream, "event_type", "ts", params,
+        window="12 hours", watermark="1 minute", n_shards=2,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("windowed_sketches")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "wck"))
+        .start()
+    )
+    q.awaitTermination(240)
+    rows = spark.sql("select * from windowed_sketches").collect()
+    finals = [r for r in rows if r["final"] == 1]
+    assert finals, "no window finalized despite watermark passing"
+    from heavykeeper_rs_spark.streaming.stateful import merge_window_blobs
+
+    merged = merge_window_blobs(rows)
+    checked = 0
+    for wstart, acc in list(merged.items())[:5]:
+        got = sorted(acc.list(), key=lambda t: (-t[1], t[0]))[:3]
+        lo = F.from_unixtime(F.lit(wstart)).cast("timestamp")
+        hi = F.from_unixtime(F.lit(wstart + 12 * 3600)).cast("timestamp")
+        truth = (
+            ev.filter((F.col("ts").cast("timestamp") >= lo) & (F.col("ts").cast("timestamp") < hi))
+            .groupBy("event_type").count()
+            .orderBy(F.desc("count"), "event_type").limit(3).collect()
+        )
+        want = [(r[0].encode(), r[1]) for r in truth]
+        assert got == want, f"window {wstart}"
+        checked += 1
+    assert checked >= 1
