@@ -339,10 +339,18 @@ def _feed(sk, rex, chunk: list[str], max_token_len: int) -> None:
     if not toks:
         return
     arr = np.asarray(toks, dtype=object)
+    # factorize on CPython's cached str hashes first (khash — much
+    # cheaper than SipHash over every occurrence), then the kernel only
+    # SipHashes the distinct tokens; length filter runs on uniques
+    inv, uniq = pd.factorize(arr)
+    uniq = np.asarray(uniq, dtype=object)
+    w = np.bincount(inv, minlength=uniq.shape[0]).astype(np.int64)
     if max_token_len:
-        lens = np.fromiter(map(len, toks), dtype=np.int64, count=len(toks))
-        arr = arr[lens <= max_token_len]
-    sk.add_batch(arr)
+        lens = np.fromiter(map(len, uniq), dtype=np.int64, count=uniq.shape[0])
+        keep = lens <= max_token_len
+        uniq, w = uniq[keep], w[keep]
+    if uniq.size:
+        sk.add_batch(uniq, weights=w)
 
 
 def topk_tokens(
