@@ -169,6 +169,7 @@ def sketch_by_group(
     out_col: str = "value",
     deserialize: Callable[[bytes], object] | None = None,
     fan_in: int = 8,
+    max_live_groups: int = 4096,
 ) -> DataFrame:
     """One sketch per group: (group, finalize(sketch)) — scale-safe.
 
@@ -193,47 +194,23 @@ def sketch_by_group(
     if deserialize is None:
         deserialize = type(make()).deserialize
 
-    def build(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        ctx = TaskContext.get()
-        pid = ctx.partitionId() if ctx is not None else 0
-        sketches: dict[str, object] = {}
-        for batch in batches:
-            if batch.num_rows == 0:
-                continue
-            g = batch.column(0).to_numpy(zero_copy_only=False)
-            v = batch.column(1).to_numpy(zero_copy_only=False)
-            valid = pd.notna(v)
-            if not valid.all():
-                g, v = g[valid], v[valid]
-            if v.size == 0:
-                continue
-            ug, inv = np.unique(np.asarray(g, dtype=object), return_inverse=True)
-            order = np.argsort(inv, kind="stable")
-            bounds = np.searchsorted(inv[order], np.arange(ug.shape[0] + 1))
-            for gi in range(ug.shape[0]):
-                sk = sketches.get(ug[gi])
-                if sk is None:
-                    sk = sketches[ug[gi]] = make()
-                    if hasattr(sk, "rng"):
-                        sk.rng = np.random.default_rng(
-                            np.random.PCG64((getattr(sk, "seed", 0) << 7) + pid)
-                        )
-                vals = v[order[bounds[gi] : bounds[gi + 1]]]
-                if numeric:
-                    sk.add_batch(np.asarray(vals, dtype=np.float64))
-                else:
-                    sk.add_batch(np.asarray(vals, dtype=object))
-        if sketches:
-            items = sorted(sketches.items())
-            yield pa.RecordBatch.from_pydict(
-                {
-                    "group": pa.array([g for g, _ in items], type=pa.string()),
-                    "salt": pa.array([pid] * len(items), type=pa.int32()),
-                    "sketch": pa.array(
-                        [sk.serialize() for _, sk in items], type=pa.binary()
-                    ),
-                }
+    from .topk import grouped_partial_builder
+
+    def new_sketch(pid: int):
+        sk = make()
+        if hasattr(sk, "rng"):
+            sk.rng = np.random.default_rng(
+                np.random.PCG64((getattr(sk, "seed", 0) << 7) + pid)
             )
+        return sk
+
+    def feed(sk, vals) -> None:
+        if numeric:
+            sk.add_batch(np.asarray(vals, dtype=np.float64))
+        else:
+            sk.add_batch(np.asarray(vals, dtype=object))
+
+    build = grouped_partial_builder(new_sketch, feed, max_live_groups)
 
     def merge_fn(blobs: list[bytes]) -> bytes:
         acc = deserialize(blobs[0])

@@ -449,6 +449,75 @@ _GROUP_BLOB_SCHEMA = StructType(
 )
 
 
+def grouped_partial_builder(
+    new_sketch,
+    feed,
+    max_live_groups: int = 4096,
+):
+    """mapInArrow kernel factory for per-(partition, group) partials
+    with BOUNDED memory in the group dimension.
+
+    ``new_sketch(pid) -> sketch`` and ``feed(sketch, values)`` define
+    the sketch family. Each mapper keeps at most ``max_live_groups``
+    live sketches; when a batch pushes it past the cap, the
+    least-recently-touched half is serialized, emitted early, and
+    evicted — the per-group merge tree downstream folds multiple blobs
+    per (partition, group), so early emission is merely more partials,
+    never wrong. High-cardinality group keys (urls, users) therefore
+    cost O(max_live_groups × sketch size) per mapper instead of
+    O(all groups seen).
+    """
+
+    def build(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        sketches: dict[str, object] = {}
+        touch: dict[str, int] = {}
+        t = 0
+
+        def flush(groups_to_flush: list[str]) -> pa.RecordBatch:
+            items = sorted((g, sketches.pop(g)) for g in groups_to_flush)
+            for g in groups_to_flush:
+                touch.pop(g, None)
+            return pa.RecordBatch.from_pydict(
+                {
+                    "group": pa.array([g for g, _ in items], type=pa.string()),
+                    "salt": pa.array([pid] * len(items), type=pa.int32()),
+                    "sketch": pa.array(
+                        [sk.serialize() for _, sk in items], type=pa.binary()
+                    ),
+                }
+            )
+
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            t += 1
+            g = batch.column(0).to_numpy(zero_copy_only=False)
+            v = batch.column(1).to_numpy(zero_copy_only=False)
+            valid = pd.notna(v)
+            if not valid.all():
+                g, v = g[valid], v[valid]
+            if v.size == 0:
+                continue
+            ug, inv = np.unique(np.asarray(g, dtype=object), return_inverse=True)
+            order = np.argsort(inv, kind="stable")
+            bounds = np.searchsorted(inv[order], np.arange(ug.shape[0] + 1))
+            for gi in range(ug.shape[0]):
+                sk = sketches.get(ug[gi])
+                if sk is None:
+                    sk = sketches[ug[gi]] = new_sketch(pid)
+                feed(sk, v[order[bounds[gi] : bounds[gi + 1]]])
+                touch[ug[gi]] = t
+            if len(sketches) > max_live_groups:
+                olds = sorted(touch, key=touch.get)[: len(sketches) // 2]
+                yield flush(olds)
+        if sketches:
+            yield flush(list(sketches))
+
+    return build
+
+
 def grouped_blob_tree(
     keyed: DataFrame,
     build_partials,
@@ -515,6 +584,7 @@ def topk_by_group(
     seed: int = 12345,
     tie_break_key: bool = True,
     fan_in: int = 8,
+    max_live_groups: int = 4096,
 ) -> DataFrame:
     """Top-K keys within each group — one sketch per group, built
     scale-safe: partial sketches per (partition, group) map-side, then
@@ -538,42 +608,17 @@ def topk_by_group(
         ]
     )
 
-    def build(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        ctx = TaskContext.get()
-        pid = ctx.partitionId() if ctx is not None else 0
-        rng = np.random.default_rng(
-            np.random.PCG64(((params.seed << 17) ^ 0x9E3779B97F4A7C15) + pid)
+    def new_sketch(pid: int) -> HeavyKeeper:
+        return HeavyKeeper(
+            params,
+            rng=np.random.default_rng(
+                np.random.PCG64(((params.seed << 17) ^ 0x9E3779B97F4A7C15) + pid)
+            ),
         )
-        sketches: dict[str, HeavyKeeper] = {}
-        for batch in batches:
-            if batch.num_rows == 0:
-                continue
-            g = batch.column(0).to_numpy(zero_copy_only=False)
-            keys = batch.column(1).to_numpy(zero_copy_only=False)
-            valid = pd.notna(keys)
-            if not valid.all():
-                g, keys = g[valid], keys[valid]
-            if keys.size == 0:
-                continue
-            ug, inv = np.unique(np.asarray(g, dtype=object), return_inverse=True)
-            order = np.argsort(inv, kind="stable")
-            bounds = np.searchsorted(inv[order], np.arange(ug.shape[0] + 1))
-            for gi in range(ug.shape[0]):
-                sk = sketches.get(ug[gi])
-                if sk is None:
-                    sk = sketches[ug[gi]] = HeavyKeeper(params, rng=rng)
-                sk.add_batch(keys[order[bounds[gi] : bounds[gi + 1]]])
-        if sketches:
-            items = sorted(sketches.items())
-            yield pa.RecordBatch.from_pydict(
-                {
-                    "group": pa.array([g for g, _ in items], type=pa.string()),
-                    "salt": pa.array([pid] * len(items), type=pa.int32()),
-                    "sketch": pa.array(
-                        [sk.serialize() for _, sk in items], type=pa.binary()
-                    ),
-                }
-            )
+
+    build = grouped_partial_builder(
+        new_sketch, lambda sk, vals: sk.add_batch(vals), max_live_groups
+    )
 
     def finalize(group: str, blobs: list[bytes]) -> pd.DataFrame:
         sk = HeavyKeeper.deserialize(merge_blobs(blobs))

@@ -88,3 +88,36 @@ def test_grouped_blob_tree_multilevel(spark):
     )
     want = {(r["bucket"], r["event_type"], r["count"]) for r in exact.collect()}
     assert rows == want
+
+
+def test_grouped_builder_bounded_memory_eviction(spark):
+    """max_live_groups far below the group count forces early partial
+    emission + LRU eviction; the merge tree must still produce exact
+    results (exact regime) — high-cardinality group keys cost bounded
+    mapper memory."""
+    from pyspark.sql import functions as F
+
+    from heavykeeper_rs_spark.operators.topk import topk_by_group
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").withColumn(
+        "bucket", (F.col("user_id") % 50).cast("string")
+    )
+    got = topk_by_group(
+        ev, "bucket", "event_type", k=2, width=1024, depth=4, max_live_groups=8
+    )
+    rows = {(r["group"], r["item"], r["count"]) for r in got.collect()}
+    from pyspark.sql.window import Window
+
+    exact = (
+        ev.groupBy("bucket", "event_type")
+        .agg(F.count("*").alias("count"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("bucket").orderBy(F.desc("count"), "event_type")
+            ),
+        )
+        .filter("rn <= 2")
+    )
+    want = {(r["bucket"], r["event_type"], r["count"]) for r in exact.collect()}
+    assert rows == want
