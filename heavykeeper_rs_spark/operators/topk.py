@@ -667,17 +667,23 @@ def estimate(
     )
 
     def probe(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import pyarrow.compute as pc
+
         sk = HeavyKeeper.deserialize(bc.value)
         for batch in batches:
             if batch.num_rows == 0:
                 continue
-            keys = batch.column(batch.schema.get_field_index("__probe_key")).to_numpy(
-                zero_copy_only=False
-            )
-            valid = pd.notna(keys)
-            est = np.zeros(len(keys), dtype=np.int64)
+            col_a = batch.column(batch.schema.get_field_index("__probe_key"))
+            # probe distinct keys only (dictionary_encode is one C
+            # pass); scatter estimates back through the indices
+            d = pc.dictionary_encode(col_a)
+            idx = d.indices.to_numpy(zero_copy_only=False)  # float w/ NaN on null
+            uniq = d.dictionary.to_numpy(zero_copy_only=False)
+            est_u = sk.estimate(uniq) if len(uniq) else np.zeros(0, dtype=np.int64)
+            est = np.zeros(len(col_a), dtype=np.int64)
+            valid = pd.notna(idx)
             if valid.any():
-                est[valid] = sk.estimate(keys[valid])
+                est[valid] = est_u[idx[valid].astype(np.int64)]
             out = batch.drop_columns(["__probe_key"]).append_column(
                 out_col, pa.array(est, type=pa.int64())
             )

@@ -50,6 +50,32 @@ domains = np.asarray(
 )
 run("domain strings (10k distinct) width=16384 K=100", domains, HKParams(k=100, width=16384, depth=4))
 
+
+def run_dict(name, strs, params):
+    """What the distributed path actually does for string columns:
+    Arrow dictionary_encode per batch, kernel hashes only uniques."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import time as _t
+
+    col = pa.array(list(strs), type=pa.string())
+    sk = HeavyKeeper(params)
+    t0 = _t.time()
+    for i in range(0, len(col), B):
+        d = pc.dictionary_encode(col.slice(i, B))
+        idx = d.indices.to_numpy(zero_copy_only=False)
+        w = np.bincount(idx, minlength=len(d.dictionary)).astype(np.int64)
+        sk.add_batch(d.dictionary.to_numpy(zero_copy_only=False), weights=w)
+    dt = _t.time() - t0
+    print(f"{name:55s} {len(col)/dt/1e6:6.2f} M keys/s")
+
+
+run_dict(
+    "domain strings via arrow dict-encode (distributed path)",
+    domains,
+    HKParams(k=100, width=16384, depth=4),
+)
+
 run("bucketed variant u64 width=65536 K=100", u64[: N // 2],
     HKParams(k=100, width=65536, depth=4), cls=BucketedTopK)
 run("cuckoo variant u64 width=65536 K=100", u64[: N // 2],
