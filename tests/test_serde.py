@@ -63,3 +63,30 @@ def test_sketch_blobs_contain_no_pickle():
         # roundtrip through the family deserializer
         rt = type(sk).deserialize(blob)
         assert rt.serialize() == blob
+
+
+def test_sparse_blob_roundtrip_edges():
+    """v2 sparse layout: empty sketch, single live cell, and the
+    dense/sparse boundary all roundtrip byte-stably."""
+    import numpy as np
+
+    from heavykeeper_rs_spark.kernel import HeavyKeeper, HKParams
+
+    empty = HeavyKeeper(HKParams(k=2, width=4096, depth=4))
+    rt = HeavyKeeper.deserialize(empty.serialize())
+    assert rt.list() == [] and (rt.counts == 0).all()
+
+    one = HeavyKeeper(HKParams(k=2, width=4096, depth=4))
+    one.add_batch(np.asarray([b"solo"], dtype=object))
+    blob = one.serialize()
+    assert blob[4] == 2  # sparse version byte
+    rt = HeavyKeeper.deserialize(blob)
+    assert rt.list() == [(b"solo", 1)]
+    assert (rt.counts == one.counts).all() and (rt.fps == one.fps).all()
+
+    dense = HeavyKeeper(HKParams(k=4, width=8, depth=1))
+    dense.add_batch(np.asarray([f"k{i}".encode() for i in range(40)], dtype=object))
+    blob = dense.serialize()
+    assert blob[4] == 1  # dense version byte (fill >= 1/3)
+    rt = HeavyKeeper.deserialize(blob)
+    assert (rt.counts == dense.counts).all() and rt.list() == dense.list()

@@ -63,3 +63,18 @@ def test_asof_join_matches_most_recent_and_ties(spark, events):
     assert got[(1, 50)] == 5.0          # carried forward
     assert got[(2, 5)] is None and got[(2, 20)] is None  # no purchases
     assert len(out) == 5                # every left row survives
+
+
+def test_asof_join_null_left_ts(spark):
+    from heavykeeper_rs_spark.operators.window_ops import asof_join
+
+    left = spark.createDataFrame(
+        [(1, None, "x"), (1, ts(30), "y")], "user_id bigint, ts timestamp, tag string"
+    )
+    right = spark.createDataFrame(
+        [(1, ts(10), 7.0)], "user_id bigint, p_ts timestamp, v double"
+    )
+    out = {r["tag"]: r["v"] for r in asof_join(
+        left, right, ["user_id"], "ts", "p_ts", ["v"]).collect()}
+    assert out["y"] == 7.0
+    assert out["x"] is None  # null timestamp matches nothing
