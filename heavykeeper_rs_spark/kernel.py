@@ -378,17 +378,25 @@ class HeavyKeeper:
         if fp is None:
             fp = self._hash(keys)
         idxs = compose_indices(fp, p.depth, p.width)
-        for d in range(p.depth):
-            self._add_row(d, idxs[d], fp, w)
+        # Flatten all depth rows into ONE namespaced pass: cell id =
+        # d*width + idx never collides across rows, the (fps, counts)
+        # state flattens to a view, and every vector op in _add_row runs
+        # once over depth*n elements instead of depth times over n —
+        # same memory traffic, ~4x fewer Python-level numpy dispatches.
+        flat_idx = (
+            idxs + (np.arange(p.depth, dtype=np.intp) * p.width)[:, None]
+        ).reshape(-1)
+        fp_flat = np.tile(fp, p.depth)
+        w_flat = np.tile(w, p.depth)
+        self._add_row(self.fps.reshape(-1), self.counts.reshape(-1), flat_idx, fp_flat, w_flat)
         # Final re-probe: resulting count per key = max over rows where
         # the key currently owns the cell (paper Algorithm 1's monotone
         # heap rule uses the per-add max; probing after the batch is
         # equivalent up to intra-batch eviction races).
-        est = np.zeros(n, dtype=np.int64)
-        for d in range(p.depth):
-            idx = idxs[d]
-            m = (self.fps[d, idx] == fp) & (self.counts[d, idx] > 0)
-            np.maximum(est, np.where(m, self.counts[d, idx].astype(np.int64), 0), out=est)
+        fps_f = self.fps.reshape(-1)[flat_idx]
+        cnt_f = self.counts.reshape(-1)[flat_idx]
+        owned = np.where((fps_f == fp_flat) & (cnt_f > 0), cnt_f, 0)
+        est = owned.reshape(p.depth, n).max(axis=0).astype(np.int64)
         # PQ update, vectorized pre-filter: only keys that can change
         # the heap (est > heap min) need Python-level upserts.
         mc = self.pq.min_count()
@@ -409,9 +417,18 @@ class HeavyKeeper:
                     upsert(_pq_key(keys[i]), int(est[i]))
         return evicted
 
-    def _add_row(self, d: int, idx: np.ndarray, fp: np.ndarray, w: np.ndarray) -> None:
-        fps_row = self.fps[d]
-        cnt_row = self.counts[d]
+    def _add_row(
+        self,
+        fps_row: np.ndarray,
+        cnt_row: np.ndarray,
+        idx: np.ndarray,
+        fp: np.ndarray,
+        w: np.ndarray,
+    ) -> None:
+        """One vectorized insert pass over a (flattened) cell array.
+
+        ``idx`` are cell ids into ``fps_row``/``cnt_row`` (the whole
+        depth×width state viewed flat, ids namespaced per row)."""
         cfp = fps_row[idx]
         ccnt = cnt_row[idx]
         # Fast path 1: fingerprint match on a live cell -> count += w
@@ -424,7 +441,18 @@ class HeavyKeeper:
         if rem.size == 0:
             return
         # Group remaining challengers by target cell, heaviest first.
-        order = rem[np.lexsort((-w[rem], idx[rem]))]
+        # Packed single-key sort: (cell << 21) | (2^21-1 - clamp(w))
+        # orders by (cell asc, w desc) with one stable argsort instead
+        # of lexsort's two passes; huge weights (>= 2^20) fall back to
+        # the exact two-key sort.
+        wr = w[rem]
+        if int(wr.max(initial=0)) < (1 << 20) and idx.size and int(idx.max()) < (1 << 42):
+            packed = (idx[rem].astype(np.uint64) << _U64(21)) | (
+                _U64((1 << 21) - 1) - wr.astype(np.uint64)
+            )
+            order = rem[np.argsort(packed, kind="stable")]
+        else:
+            order = rem[np.lexsort((-wr, idx[rem]))]
         cells = idx[order]
         is_winner = np.empty(cells.shape[0], dtype=bool)
         is_winner[0] = True

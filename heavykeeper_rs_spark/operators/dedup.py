@@ -339,10 +339,14 @@ def lsh_candidate_pairs(
     more than ``bucket_cap`` members are handled per ``oversize``:
 
     - ``"star"`` (default): every member pairs with the bucket's min
-      id — m-1 edges. Connectivity (hence dedup grouping through
-      min-id label propagation) is fully preserved; only the explicit
-      all-pairs listing inside the one degenerate bucket is thinned,
-      and the downstream exact-Jaccard verify still sees every member.
+      id — m-1 edges. Connectivity of the CANDIDATE graph is preserved
+      (every member reaches the bucket min), which keeps dedup
+      grouping intact when bucket members really are near-dups of each
+      other. When a downstream verify step rejects the star edges
+      (members similar to each other but not to the bucket min), pairs
+      internal to the oversized bucket can be missed — use
+      ``"allpairs"`` when listing fidelity inside degenerate buckets
+      matters more than the O(m²) cost.
     - ``"allpairs"``: no cap (caller accepts the quadratic bucket).
     - ``"drop"``: skip oversized buckets entirely.
 
@@ -495,9 +499,20 @@ def simhash_near_pairs(
 
     Oversized buckets (> bucket_cap members — boilerplate corpora) are
     thinned to star edges against the bucket min instead of silently
-    dropped: connectivity is preserved, only the all-pairs listing
-    inside the degenerate bucket is thinned (same policy as
-    ``lsh_candidate_pairs``)."""
+    dropped (same policy and caveats as ``lsh_candidate_pairs``).
+
+    Recall guarantee: COMPLETE only when ``max_hamming < n_bands``
+    (pigeonhole — fewer differing bits than bands forces an equal
+    band). With ``max_hamming >= n_bands`` the banding is best-effort
+    blocking: a pair whose differing bits spread across every band is
+    missed. The default (3 < 4) is the guaranteed regime."""
+    if max_hamming < 0:
+        raise ValueError(f"max_hamming must be >= 0, got {max_hamming}")
+    if n_bands * 16 < 64:
+        raise ValueError(
+            f"{n_bands} 16-bit bands cover only {n_bands * 16} of the 64 "
+            "signature bits; use n_bands=4 (or wider bands)"
+        )
     banded = sig_df.select(
         "id",
         "simhash",

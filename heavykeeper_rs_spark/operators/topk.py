@@ -497,6 +497,14 @@ def grouped_partial_builder(
             v = batch.column(1).to_numpy(zero_copy_only=False)
             valid = pd.notna(v)
             if not valid.all():
+                # a group whose values are ALL null must still exist in
+                # the output (SQL GROUP BY semantics: the group appears,
+                # its aggregate sees zero values) — materialize an empty
+                # sketch for any group dropped by the null filter
+                for gn in np.unique(np.asarray(g[~valid], dtype=object)):
+                    if gn not in sketches:
+                        sketches[gn] = new_sketch(pid)
+                        touch[gn] = t
                 g, v = g[valid], v[valid]
             if v.size == 0:
                 continue

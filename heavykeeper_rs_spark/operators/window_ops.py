@@ -86,8 +86,9 @@ def asof_join(
 
     Right payload columns come back with their own names; rows with no
     prior right match keep NULLs. Ties on equal timestamps match (<=),
-    and multiple right rows at the same (key, ts) resolve to the one
-    with the greatest payload tuple — pre-aggregate the right side if
+    NULL right timestamps never match, and multiple right rows at the
+    same (key, ts) resolve to the one row with the greatest payload
+    tuple (lexicographic struct max) — pre-aggregate the right side if
     a different rule is needed.
     """
     lcols = left.columns
@@ -96,15 +97,26 @@ def asof_join(
     L = left.withColumn(tag, F.lit(1)).withColumn(
         ts, F.col(left_ts).cast("timestamp")
     )
-    # deterministic tie resolution inside equal (key, ts): keep max
+    # deterministic tie resolution inside equal (key, ts): keep the
+    # row with the greatest payload TUPLE (a struct max — per-column
+    # independent maxes would stitch a synthetic row); rows with a
+    # NULL right_ts can never satisfy right_ts <= left_ts and are
+    # dropped (matching SQL ASOF semantics)
+    payload = F.max(F.struct(*[F.col(c) for c in right_value_cols])).alias("__p")
     R = (
-        right.select(
+        right.filter(F.col(right_ts).isNotNull())
+        .select(
             *key_cols,
             F.col(right_ts).cast("timestamp").alias(ts),
             *[F.col(c) for c in right_value_cols],
         )
         .groupBy(*key_cols, ts)
-        .agg(*[F.max(c).alias(c) for c in right_value_cols])
+        .agg(payload)
+        .select(
+            *key_cols,
+            ts,
+            *[F.col(f"__p.{c}").alias(c) for c in right_value_cols],
+        )
         .withColumn(tag, F.lit(0))
     )
     merged = L.unionByName(R, allowMissingColumns=True)

@@ -10,7 +10,7 @@ None/bool/int/float/str/bytes, numpy ndarrays (dtype + shape + raw
 buffer), and lists/dicts of those — as length-prefixed tagged fields.
 Decoding allocates buffers and builds plain containers; there is no
 object construction hook, so untrusted blobs can at worst raise
-ValueError.
+ValueError (truncation and hostile nesting are converted/capped).
 
 Format (little-endian): each value is ``tag:u8`` followed by a
 tag-specific payload. Arrays are ``dtype-str, ndim, shape[i]:i64...,
@@ -102,14 +102,25 @@ def _enc(o, out: list[bytes]) -> None:
         raise TypeError(f"unsupported type for sketch blob: {type(o)}")
 
 
+#: nesting bound: sketch state is at most ~3 levels (dict -> list ->
+#: tuple); 32 leaves huge headroom while stopping hostile deep-nest
+#: blobs from exhausting the Python stack
+_MAX_DEPTH = 32
+
+
 def loads(blob: bytes):
-    v, off = _dec(blob, 0)
+    try:
+        v, off = _dec(blob, 0, 0)
+    except struct.error as e:  # truncated/corrupt framing
+        raise ValueError(f"corrupt blob: {e}") from None
     if off != len(blob):
         raise ValueError(f"trailing {len(blob) - off} bytes after value")
     return v
 
 
-def _dec(b: bytes, off: int):
+def _dec(b: bytes, off: int, depth: int):
+    if depth > _MAX_DEPTH:
+        raise ValueError("blob nesting exceeds depth cap")
     (tag,) = struct.unpack_from("<B", b, off)
     off += 1
     if tag == _T_NONE:
@@ -141,7 +152,7 @@ def _dec(b: bytes, off: int):
             raise ValueError("bad list length")
         out = []
         for _ in range(n):
-            v, off = _dec(b, off)
+            v, off = _dec(b, off, depth + 1)
             out.append(v)
         return out, off
     if tag == _T_DICT:
@@ -151,10 +162,10 @@ def _dec(b: bytes, off: int):
             raise ValueError("bad dict length")
         d = {}
         for _ in range(n):
-            k, off = _dec(b, off)
+            k, off = _dec(b, off, depth + 1)
             if not isinstance(k, str):
                 raise ValueError("dict key must decode to str")
-            v, off = _dec(b, off)
+            v, off = _dec(b, off, depth + 1)
             d[k] = v
         return d, off
     if tag == _T_NDARRAY:

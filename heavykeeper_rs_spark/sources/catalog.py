@@ -36,10 +36,19 @@ def iceberg_available(spark: SparkSession) -> bool:
         )
     except Exception:
         return False
-    confs = spark.sparkContext.getConf().getAll()
+    pairs = dict(spark.sparkContext.getConf().getAll())
+    try:
+        # session-level settings (spark.conf.set / SQL SET) live in the
+        # RuntimeConfig, not the static SparkConf
+        it = spark._jsparkSession.conf().getAll().iterator()
+        while it.hasNext():
+            kv = it.next()
+            pairs[kv._1()] = kv._2()
+    except Exception:
+        pass  # static conf alone (non-JVM test doubles)
     return any(
-        k.startswith("spark.sql.catalog.") and "iceberg" in v.lower()
-        for k, v in confs
+        k.startswith("spark.sql.catalog.") and "iceberg" in str(v).lower()
+        for k, v in pairs.items()
     )
 
 

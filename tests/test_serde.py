@@ -90,3 +90,14 @@ def test_sparse_blob_roundtrip_edges():
     assert blob[4] == 1  # dense version byte (fill >= 1/3)
     rt = HeavyKeeper.deserialize(blob)
     assert (rt.counts == dense.counts).all() and rt.list() == dense.list()
+
+
+def test_truncated_and_deep_blobs_raise_valueerror():
+    import pytest
+
+    with pytest.raises(ValueError):
+        loads(b"\x02")  # int tag, no payload
+    deep = b"\x06" + (1).to_bytes(8, "little")
+    blob = deep * 50 + b"\x00"  # 50-deep nested single-element lists
+    with pytest.raises(ValueError, match="depth"):
+        loads(blob)

@@ -36,13 +36,32 @@ def run(name, keys, params, cls=None, reps=1):
 
 
 rng = np.random.default_rng(42)
+
+# THE reference bench fixture (benches/topk_vs_bucketed.rs:13-23):
+# bounded Zipf(universe=1e6, s=1.2) u64 keys, K=100, width=4096,
+# depth=4, decay=0.9 — reference single-thread result: ~21 M elem/s
+ranks = np.arange(1, 1_000_001, dtype=np.float64)
+cdf = np.cumsum(ranks ** -1.2)
+cdf /= cdf[-1]
+bounded = (np.searchsorted(cdf, rng.random(N), side="left") + 1).astype(np.int64)
+run(
+    "REFERENCE fixture: bounded Zipf(1e6,1.2) w=4096 d=4 K=100",
+    bounded,
+    HKParams(k=100, width=4096, depth=4),
+)
+
+# adversarial variant: unbounded Zipf tail mixed over u64 — more
+# distinct keys (~10% of stream) than cells, duels never stop
 zipf = rng.zipf(1.2, N)
+with np.errstate(over="ignore"):
+    u64 = (
+        (zipf.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+        % np.uint64(1 << 40)
+    ).astype(np.int64)
+run("adversarial unbounded-Zipf u64 width=65536 K=100", u64, HKParams(k=100, width=65536, depth=4))
+run("adversarial unbounded-Zipf u64 width=4096  K=100", u64, HKParams(k=100, width=4096, depth=4))
 
-u64 = (zipf * 0x9E3779B97F4A7C15 % (1 << 40)).astype(np.int64)
-run("u64 int64-lanes Zipf(1.2) width=65536 K=100", u64, HKParams(k=100, width=65536, depth=4))
-run("u64 int64-lanes Zipf(1.2) width=4096  K=100", u64, HKParams(k=100, width=4096, depth=4))
-
-as_str = np.asarray([str(x) for x in u64[: N // 2]], dtype=object)
+as_str = np.asarray([str(x) for x in bounded[: N // 2]], dtype=object)
 run("u64-as-string Zipf(1.2)  width=4096  K=100", as_str, HKParams(k=100, width=4096, depth=4))
 
 domains = np.asarray(
@@ -76,7 +95,7 @@ run_dict(
     HKParams(k=100, width=16384, depth=4),
 )
 
-run("bucketed variant u64 width=65536 K=100", u64[: N // 2],
-    HKParams(k=100, width=65536, depth=4), cls=BucketedTopK)
-run("cuckoo variant u64 width=65536 K=100", u64[: N // 2],
-    HKParams(k=100, width=65536, depth=4), cls=CuckooTopK)
+run("bucketed variant, reference fixture w=4096 K=100", bounded[: N // 2],
+    HKParams(k=100, width=4096, depth=4), cls=BucketedTopK)
+run("cuckoo variant, reference fixture w=4096 K=100", bounded[: N // 2],
+    HKParams(k=100, width=4096, depth=4), cls=CuckooTopK)
