@@ -189,6 +189,30 @@ class _VariantBase:
             raise SketchCompatError("variant", type(self).__name__, type(other).__name__)
         self.params.check_compatible(other.params)
 
+    # -- vectorized duel machinery (borrowed from the kernel) ----------
+    # HeavyKeeper._duel_vec only touches params.decay / rng /
+    # _force_decay / _duel_one, all of which exist here; _duel_one is
+    # adapted onto the callback-based _duel below.
+    from .kernel import HeavyKeeper as _HK
+
+    _duel_vec = _HK._duel_vec
+    del _HK
+
+    def _duel_one(
+        self, fps_row, cnt_row, cell, new_fp, w, first_success: bool
+    ) -> None:
+        cell = int(cell)
+        self._duel(
+            lambda: int(cnt_row[cell]),
+            lambda c: cnt_row.__setitem__(cell, c),
+            lambda c: (
+                fps_row.__setitem__(cell, new_fp),
+                cnt_row.__setitem__(cell, c),
+            ),
+            int(w),
+            first_success=first_success,
+        )
+
     def _state_dict(self) -> dict:
         raise NotImplementedError
 
@@ -257,7 +281,7 @@ class BucketedTopK(_VariantBase):
             np.not_equal(cells[1:], cells[:-1], out=is_first[1:])
             winners = order[is_first]
             waves += 1
-            if waves > 8 or winners.size < 64:
+            if waves > 32 or winners.size < 8:
                 # long tail: per-key exact path
                 for j in order:
                     self._add_one(int(idx[j]), fp[j], int(w[j]))
@@ -303,10 +327,13 @@ class BucketedTopK(_VariantBase):
             src = winners[has_e]
             self.fps[tb, ts] = fp[src]
             self.counts[tb, ts] = w[src].astype(np.uint64)
-        # min-cell duel with vectorized fast-reject
+        # min-cell duel with vectorized fast-reject; survivors run the
+        # exact conditioned duel VECTORIZED against their bucket's min
+        # cell (buckets unique this wave -> unique flat cells)
         duel = rem & ~has_e
         if duel.any():
             dw = w[winners[duel]].astype(np.float64)
+            minslot = bc[duel].argmin(axis=1)
             minc = bc[duel].min(axis=1).astype(np.float64)
             if self._force_decay is None:
                 pm = np.power(self.params.decay, minc)
@@ -315,9 +342,15 @@ class BucketedTopK(_VariantBase):
                 surv = self.rng.random(int(duel.sum())) < p_any
             else:
                 surv = np.ones(int(duel.sum()), dtype=bool)
-            for j in np.asarray(winners[duel])[surv]:
-                self._add_one(
-                    int(idx[j]), fp[j], int(w[j]), first_success=True
+            if surv.any():
+                sv = np.flatnonzero(duel)[surv]
+                cells = b[sv] * self.params.depth + minslot[surv]
+                self._duel_vec(
+                    self.fps.reshape(-1),
+                    self.counts.reshape(-1),
+                    cells,
+                    fp[winners[sv]],
+                    w[winners[sv]].astype(np.int64),
                 )
 
     def _add_one(
@@ -570,7 +603,8 @@ class CuckooTopK(_VariantBase):
             self.lobby_fp[tb] = f[fast]
             self.lobby_c[tb] += ww[fast].astype(np.uint64)
         # lobby duel (occupied by another fp): vectorized fast-reject,
-        # conditioned survivors take the exact scalar duel
+        # conditioned survivors duel VECTORIZED against their lobby cell
+        # (primary buckets are unique this wave)
         duel = np.flatnonzero(todo & ~fast)
         winners: list[int] = []
         if duel.size:
@@ -586,20 +620,18 @@ class CuckooTopK(_VariantBase):
                     p_any = -np.expm1(ww[duel].astype(np.float64) * np.log1p(-pm))
                 p_any = np.where(pm >= 1.0, 1.0, p_any)
             u = self.rng.random(duel.size)
-            for i in duel[np.flatnonzero(u < p_any)]:
-                bb = int(bb1[i])
-                won = self._duel(
-                    lambda bb=bb: int(self.lobby_c[bb]),
-                    lambda c, bb=bb: self.lobby_c.__setitem__(bb, c),
-                    lambda c, bb=bb, fpi=f[i]: (
-                        self.lobby_fp.__setitem__(bb, fpi),
-                        self.lobby_c.__setitem__(bb, c),
-                    ),
-                    int(ww[i]),
-                    first_success=True,
+            sv = duel[np.flatnonzero(u < p_any)]
+            if sv.size:
+                cells = bb1[sv]
+                self._duel_vec(
+                    self.lobby_fp,
+                    self.lobby_c,
+                    cells,
+                    f[sv],
+                    ww[sv].astype(np.int64),
                 )
-                if won is not None:
-                    winners.append(int(i))
+                won = (self.lobby_fp[cells] == f[sv]) & (self.lobby_c[cells] > 0)
+                winners = [int(i) for i in sv[won]]
         # promote decision, vectorized over lobby holders
         holders = np.flatnonzero(fast)
         if winners:
@@ -669,11 +701,13 @@ class CuckooTopK(_VariantBase):
         return None
 
     def _promote(self, fp: np.uint64, count: int, b1: int, b2: int) -> bool:
-        """src/cuckoo.rs:653-676."""
+        """src/cuckoo.rs:653-676. argmin doubles as the first-empty
+        probe (first minimal slot IS the first zero when one exists),
+        halving the numpy dispatches on this hot scalar path."""
         for b in (b1, b2) if b1 != b2 else (b1,):
-            empt = np.flatnonzero(self.heavy_c[b] == 0)
-            if empt.size:
-                i = int(empt[0])
+            row = self.heavy_c[b]
+            i = int(row.argmin())
+            if row[i] == 0:
                 self.heavy_fp[b, i] = fp
                 self.heavy_c[b, i] = count
                 return True
@@ -696,30 +730,45 @@ class CuckooTopK(_VariantBase):
         c2 = int(self.heavy_c[b2, i2])
         return (b2, i2, c2) if c2 < c1 else (b1, i1, c1)
 
+    def _pair_one(self, fp) -> tuple[int, int]:
+        """Scalar bucket_pair (src/cuckoo.rs:569-580) without the
+        1-element-array overhead of the vectorized ``_pair``."""
+        w = self.params.width
+        f = int(fp)
+        b1 = f & (w - 1) if w & (w - 1) == 0 else f % w
+        if w == 1:
+            return b1, b1
+        x = (f ^ 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+        x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+        x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+        x ^= x >> 31
+        b2 = x & (w - 1) if w & (w - 1) == 0 else x % w
+        if b2 == b1:
+            b2 = (b2 + 1) % w
+        return b1, b2
+
     def _relocate(self, fp: np.uint64, count: int, from_b: int) -> None:
         """Bounded kick chain (src/cuckoo.rs:678-707)."""
         for _ in range(self.max_kicks):
             if count == 0:
                 return
-            p, a = self._pair(np.asarray([fp], dtype=np.uint64))
-            p, a = int(p[0]), int(a[0])
+            p, a = self._pair_one(fp)
             target = a if from_b == p else p
             if target == from_b:
                 return
-            empt = np.flatnonzero(self.heavy_c[target] == 0)
-            if empt.size:
-                i = int(empt[0])
+            row = self.heavy_c[target]
+            i = int(row.argmin())
+            tc = int(row[i])
+            if tc == 0:
                 self.heavy_fp[target, i] = fp
                 self.heavy_c[target, i] = count
                 return
-            i = int(self.heavy_c[target].argmin())
-            tc = int(self.heavy_c[target, i])
             if count <= tc:
                 return
-            ofp, oc = self.heavy_fp[target, i], tc
+            ofp = self.heavy_fp[target, i]
             self.heavy_fp[target, i] = fp
             self.heavy_c[target, i] = count
-            fp, count, from_b = ofp, oc, target
+            fp, count, from_b = ofp, tc, target
 
     def estimate(self, items: np.ndarray, use_heap: bool = True) -> np.ndarray:
         arr = np.asarray(items, dtype=object)
