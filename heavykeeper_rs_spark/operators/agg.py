@@ -53,7 +53,7 @@ def sketch_agg(
     deserialize: Callable[[bytes], object],
     numeric: bool = False,
     weight_col: str | None = None,
-    merge_groups: int = 8,
+    merge_groups: int = 64,
 ):
     """Fold df[col] into a mergeable sketch; returns the merged sketch."""
     cast = DoubleType() if numeric else StringType()
@@ -106,7 +106,7 @@ def sketch_agg(
     merge_groups = n_parts  # build closure salts by pid
     combined = keyed.mapInArrow(build, _BLOB_SCHEMA)
     groups = n_parts
-    fan_in = 8
+    fan_in = max(int(merge_groups), 2)
     while groups > fan_in:
         combined = (
             combined.withColumn("salt", (F.col("salt") / fan_in).cast("int"))
@@ -168,7 +168,7 @@ def sketch_by_group(
     numeric: bool = False,
     out_col: str = "value",
     deserialize: Callable[[bytes], object] | None = None,
-    fan_in: int = 8,
+    fan_in: int = 64,
     max_live_groups: int = 4096,
 ) -> DataFrame:
     """One sketch per group: (group, finalize(sketch)) — scale-safe.
