@@ -572,23 +572,31 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard on candidate pairs (the verify step after
     LSH recall): JVM-side array_intersect/array_union over distinct
-    shingle arrays — no Python."""
+    shingle arrays — no Python.
+
+    Texts join to the candidate pairs FIRST and the shingle arrays are
+    built only for joined rows: the candidate set is output-
+    proportional, so the expensive char_ngrams/array_distinct transform
+    runs O(|pairs|) times instead of once per corpus document."""
     from ..functions.text import char_ngrams
 
-    grams = df.select(
-        F.col(id_col).cast("long").alias("gid"),
-        F.array_distinct(char_ngrams(text_col, n)).alias("grams"),
+    texts = df.select(
+        F.col(id_col).cast("long").alias("gid"), F.col(text_col).alias("__t")
     )
-    ga = grams.select(F.col("gid").alias("id_a"), F.col("grams").alias("ga"))
-    gb = grams.select(F.col("gid").alias("id_b"), F.col("grams").alias("gb"))
+    ta = texts.select(F.col("gid").alias("id_a"), F.col("__t").alias("__ta"))
+    tb = texts.select(F.col("gid").alias("id_b"), F.col("__t").alias("__tb"))
+    ga = F.array_distinct(char_ngrams(F.col("__ta"), n))
+    gb = F.array_distinct(char_ngrams(F.col("__tb"), n))
     return (
-        candidates.join(ga, "id_a")
-        .join(gb, "id_b")
+        candidates.join(ta, "id_a")
+        .join(tb, "id_b")
+        .withColumn("__ga", ga)
+        .withColumn("__gb", gb)
         .withColumn(
             "jaccard",
             F.round(
-                F.size(F.array_intersect("ga", "gb"))
-                / F.greatest(F.size(F.array_union("ga", "gb")), F.lit(1)),
+                F.size(F.array_intersect("__ga", "__gb"))
+                / F.greatest(F.size(F.array_union("__ga", "__gb")), F.lit(1)),
                 6,
             ),
         )
