@@ -103,10 +103,10 @@ def sketch_agg(
     # _tree_merge): salt starts as partition id, divides by fan_in per
     # level until <= fan_in blobs reach the driver
     n_parts = max(keyed.rdd.getNumPartitions(), 1)
+    fan_in = max(int(merge_groups), 2)  # caller's fan-in, BEFORE rebinding
     merge_groups = n_parts  # build closure salts by pid
     combined = keyed.mapInArrow(build, _BLOB_SCHEMA)
     groups = n_parts
-    fan_in = max(int(merge_groups), 2)
     while groups > fan_in:
         combined = (
             combined.withColumn("salt", (F.col("salt") / fan_in).cast("int"))

@@ -285,6 +285,7 @@ def _tree_merge(
     merge_fn = _merge_group_variant(variant)
     out = partials
     groups = max(int(n_groups), 1)
+    fan_in = max(int(fan_in), 2)  # fan_in <= 1 would never converge
     while groups > fan_in:
         out = (
             out.withColumn("salt", (F.col("salt") / fan_in).cast("int"))
@@ -426,9 +427,10 @@ def topk_tokens(
 
     keyed = df.select(F.col(text_col).cast(StringType()).alias("__text"))
     n_parts = keyed.rdd.getNumPartitions()
+    fan_in = merge_groups  # caller's fan-in, BEFORE the salt rebinding
     merge_groups = max(n_parts, 1)
     partials = keyed.mapInArrow(build, _BLOB_SCHEMA)
-    combined = _tree_merge(partials, "topk", n_parts, fan_in=merge_groups)
+    combined = _tree_merge(partials, "topk", n_parts, fan_in=fan_in)
     blobs = [r["sketch"] for r in combined.select("sketch").collect()]
     sk = (
         HeavyKeeper(params)
@@ -560,6 +562,7 @@ def grouped_blob_tree(
                 ``finalize_fn`` to emit result rows.
     """
     n_parts = max(keyed.rdd.getNumPartitions(), 1)
+    fan_in = max(int(fan_in), 2)  # fan_in <= 1 would never converge
     out = keyed.mapInArrow(build_partials, _GROUP_BLOB_SCHEMA)
 
     def merge_level(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -215,3 +215,51 @@ def test_accuracy_floor_zipf12(cls):
     got = {item for item, _ in sk.list()}
     hit = len(got & top) / 100
     assert hit >= 0.50, hit
+
+
+def test_pair_one_matches_vectorized_pair():
+    """_relocate's scalar bucket_pair must stay bit-identical to the
+    vectorized _pair — drift would relocate victims into buckets where
+    lookups never find them."""
+    import numpy as np
+
+    from heavykeeper_rs_spark.variants import CuckooTopK
+
+    rng = np.random.default_rng(7)
+    fps = rng.integers(0, 2**63, 2000).astype(np.uint64)
+    for width in (4096, 4000, 1):
+        sk = CuckooTopK(4, width, 4)
+        b1v, b2v = sk._pair(fps)
+        for i in range(len(fps)):
+            assert (int(b1v[i]), int(b2v[i])) == sk._pair_one(fps[i]), (width, i)
+
+
+def test_merge_tree_engages_past_fan_in(spark):
+    """Caller-supplied merge_groups must control the tree fan-in: with
+    fan_in=2 over 8 partitions the merge levels must run (and results
+    stay exact) — guards the fan_in-clobbered-by-salt-rebinding bug."""
+    from pyspark.sql import functions as F
+
+    from heavykeeper_rs_spark.operators.agg import hll_build
+    from heavykeeper_rs_spark.operators.topk import topk, topk_tokens
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").repartition(8)
+    got = {
+        (r["item"], r["count"])
+        for r in topk(
+            ev, "event_type", k=5, width=1024, depth=4,
+            tie_break_key=True, merge_groups=2,
+        ).collect()
+    }
+    want = {
+        (r[0], r[1])
+        for r in ev.groupBy("event_type").count()
+        .orderBy(F.desc("count"), "event_type").limit(5).collect()
+    }
+    assert got == want
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").repartition(8)
+    t = topk_tokens(docs, "text", k=5, width=65536, tie_break_key=True, merge_groups=2)
+    assert t.count() == 5
+    est = hll_build(ev, "user_id", merge_groups=2).estimate()
+    exact = ev.select("user_id").distinct().count()
+    assert abs(est - exact) / exact < 0.05
