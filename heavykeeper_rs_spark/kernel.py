@@ -963,10 +963,25 @@ class HeavyKeeper:
             off += 8 * nnz
             sk.fps.reshape(-1)[idx] = fps_nz
             sk.counts.reshape(-1)[idx] = cnt_nz
+        _sniff_legacy_pickle(blob[off : off + 2])
         cand = serde_loads(blob[off:])
         for item, c, seq in sorted(cand, key=lambda t: t[2]):
             sk.pq.upsert(item, c)
         return sk
+
+
+
+def _sniff_legacy_pickle(head: bytes) -> None:
+    """Blobs from builds before the serde codec carried a PICKLE
+    candidate section under the same magic/version bytes; decoding it
+    as serde would fail mid-stream with an opaque 'unknown tag N'.
+    Pickle protocol >= 2 streams start with 0x80 — never a valid serde
+    tag (tags are 0..9) — so sniff and fail with a clear message."""
+    if head[:1] == b"\x80":
+        raise ValueError(
+            "sketch blob was written by an older incompatible version of "
+            "this library (pickled candidate section); rebuild the sketch"
+        )
 
 
 def _item_repr(x: object):

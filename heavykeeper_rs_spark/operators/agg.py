@@ -46,6 +46,20 @@ _BLOB_SCHEMA = StructType(
 )
 
 
+def _sketch_seed(sk) -> int:
+    """Resolve a sketch's seed for per-partition RNG derivation.
+
+    Sketches keep their seed either as an attribute (HLL, CMS, Bloom,
+    KLL) or on ``params`` (HeavyKeeper family); some have none
+    (TDigest). A duck-typed ``getattr(sk, 'seed', 0)`` would silently
+    collapse the params-carried families to seed 0 and destroy the
+    intended per-family seed separation."""
+    s = getattr(sk, "seed", None)
+    if s is None:
+        s = getattr(getattr(sk, "params", None), "seed", None)
+    return int(s) if s is not None else 0
+
+
 def sketch_agg(
     df: DataFrame,
     col: str,
@@ -69,7 +83,7 @@ def sketch_agg(
         sk = make()
         if hasattr(sk, "rng"):
             sk.rng = np.random.default_rng(
-                np.random.PCG64((getattr(sk, "seed", 0) << 7) + pid)
+                np.random.PCG64((_sketch_seed(sk) << 7) + pid)
             )
         saw = False
         for batch in batches:
@@ -200,7 +214,7 @@ def sketch_by_group(
         sk = make()
         if hasattr(sk, "rng"):
             sk.rng = np.random.default_rng(
-                np.random.PCG64((getattr(sk, "seed", 0) << 7) + pid)
+                np.random.PCG64((_sketch_seed(sk) << 7) + pid)
             )
         return sk
 

@@ -324,64 +324,93 @@ def _ensure_parallelism(keyed: DataFrame) -> DataFrame:
     return ensure_parallelism(keyed)
 
 
+def _bucket_pairs(
+    rows: DataFrame,
+    key_cols: list[str],
+    member_col: str,
+    bucket_cap: int,
+    oversize: str = "star",
+) -> DataFrame:
+    """Intra-bucket (a < b) pairs with the size cap applied BEFORE any
+    member-list materialization — the shared kernel behind every LSH
+    banding caller (minhash, simhash, embedding signatures).
+
+    One window pass over the bucket-key shuffle annotates each row with
+    its bucket size and the bucket's min member; ``WindowExec`` buffers
+    one bucket at a time in a spillable row array, so a degenerate
+    bucket of 10^7 boilerplate docs never lands as a single multi-GB
+    aggregation value. Routing happens on the annotated ROWS:
+
+    - small buckets (2 <= m <= bucket_cap): collect_set + explode all
+      pairs — the arrays are <= bucket_cap by construction;
+    - oversized buckets, ``"star"`` (default): each row pairs with the
+      bucket min straight off the window column (m-1 edges, candidate-
+      graph connectivity preserved; a verify step that rejects the star
+      edges can miss intra-bucket pairs — use ``"allpairs"`` when
+      listing fidelity inside degenerate buckets matters more than the
+      O(m²) cost);
+    - ``"allpairs"``: oversized buckets self-join on the bucket key
+      (sort-merge join streams/spills; the caller accepts O(m²)
+      OUTPUT, but no task ever holds a whole bucket in memory);
+    - ``"drop"``: oversized buckets are discarded.
+
+    ``member_col`` must be orderable (long, or a struct whose first
+    field orders the bucket — struct min/compare is lexicographic).
+    Assumes one row per (bucket, member), which holds for every LSH
+    caller (one signature row per (doc, band)).
+    """
+    from pyspark.sql import Window
+
+    if oversize not in ("star", "allpairs", "drop"):
+        raise ValueError(f"oversize must be star|allpairs|drop, got {oversize!r}")
+    w = Window.partitionBy(*key_cols)
+    sized = (
+        rows.select(*key_cols, F.col(member_col).alias("__e"))
+        .withColumn("__m", F.count("*").over(w))
+        .withColumn("__min", F.min("__e").over(w))
+    )
+    allpairs = F.expr(
+        "flatten(transform(__es, (x, i) -> "
+        "transform(slice(__es, i + 2, size(__es) - i - 1), y -> struct(x as a, y as b))))"
+    )
+    small = (
+        sized.filter((F.col("__m") >= 2) & (F.col("__m") <= bucket_cap))
+        .groupBy(*key_cols)
+        .agg(F.sort_array(F.collect_set("__e")).alias("__es"))
+        .select(F.explode(allpairs).alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    )
+    if oversize == "drop":
+        return small
+    big_rows = sized.filter(F.col("__m") > bucket_cap)
+    if oversize == "star":
+        big = big_rows.filter(F.col("__e") != F.col("__min")).select(
+            F.col("__min").alias("a"), F.col("__e").alias("b")
+        )
+    else:  # allpairs
+        left = big_rows.select(*key_cols, F.col("__e").alias("a"))
+        right = big_rows.select(*key_cols, F.col("__e").alias("b"))
+        big = left.join(right, key_cols).filter(F.col("a") < F.col("b")).select("a", "b")
+    return small.unionByName(big)
+
+
 def lsh_candidate_pairs(
     sig_df: DataFrame, bucket_cap: int = 64, oversize: str = "star"
 ) -> DataFrame:
     """Distinct (id_a < id_b) pairs sharing any LSH bucket.
 
-    Self-join inside buckets only: groupBy collects ids per bucket
-    (buckets are tiny at sane thresholds) and emits intra-bucket pairs
-    — avoids the quadratic blowup of a raw self-join when AQE can't
-    see bucket sizes.
-
-    Degenerate buckets (boilerplate-heavy corpora produce band hashes
-    shared by thousands of docs) must not explode O(m²). Buckets with
-    more than ``bucket_cap`` members are handled per ``oversize``:
-
-    - ``"star"`` (default): every member pairs with the bucket's min
-      id — m-1 edges. Connectivity of the CANDIDATE graph is preserved
-      (every member reaches the bucket min), which keeps dedup
-      grouping intact when bucket members really are near-dups of each
-      other. When a downstream verify step rejects the star edges
-      (members similar to each other but not to the bucket min), pairs
-      internal to the oversized bucket can be missed — use
-      ``"allpairs"`` when listing fidelity inside degenerate buckets
-      matters more than the O(m²) cost.
-    - ``"allpairs"``: no cap (caller accepts the quadratic bucket).
-    - ``"drop"``: skip oversized buckets entirely.
+    Pair generation inside buckets only — never a raw self-join of the
+    corpus. Degenerate buckets (boilerplate-heavy corpora produce band
+    hashes shared by thousands of docs) must not explode O(m²) NOR
+    materialize their full member list in one reducer: the size cap is
+    applied before any collect (see ``_bucket_pairs`` for the window-
+    based routing and the ``oversize`` policies star/allpairs/drop).
 
     Use ``lsh_bucket_stats`` to count/log oversized buckets — at scale,
     run it on a sample as a data-quality probe before the full job.
     """
-    bucket = sig_df.groupBy("band", "band_hash").agg(
-        F.sort_array(F.collect_set("id")).alias("ids")
-    )
-    bucket = bucket.filter(F.size("ids") >= 2)
-    allpairs = F.expr(
-        "flatten(transform(ids, (x, i) -> "
-        "transform(slice(ids, i + 2, size(ids) - i - 1), y -> struct(x as a, y as b))))"
-    )
-    if oversize == "allpairs":
-        expanded = bucket.select(F.explode(allpairs).alias("p"))
-    else:
-        small = bucket.filter(F.size("ids") <= bucket_cap).select(
-            F.explode(allpairs).alias("p")
-        )
-        if oversize == "star":
-            star = F.expr(
-                "transform(slice(ids, 2, size(ids) - 1), "
-                "y -> struct(ids[0] as a, y as b))"
-            )
-            big = bucket.filter(F.size("ids") > bucket_cap).select(
-                F.explode(star).alias("p")
-            )
-            expanded = small.unionByName(big)
-        elif oversize == "drop":
-            expanded = small
-        else:
-            raise ValueError(f"oversize must be star|allpairs|drop, got {oversize!r}")
-    pairs = expanded.select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
-    return pairs.distinct()
+    pairs = _bucket_pairs(sig_df, ["band", "band_hash"], "id", bucket_cap, oversize)
+    return pairs.select(F.col("a").alias("id_a"), F.col("b").alias("id_b")).distinct()
 
 
 def lsh_bucket_stats(sig_df: DataFrame, bucket_cap: int = 64) -> DataFrame:
@@ -407,17 +436,27 @@ def minhash_dedup_groups(
     shingle: int = 5,
     bands: int = 16,
     seed: int = 12345,
-    rounds: int = 3,
+    rounds: int | None = None,
     min_jaccard: float | None = 0.7,
+    max_rounds: int = 20,
 ) -> DataFrame:
     """(id, rep_id): connected near-dup groups labeled by min member id.
 
     LSH gives recall; when ``min_jaccard`` is set (the default — LSH
     banding alone admits boilerplate-similar false positives), each
     candidate edge is verified with exact n-gram Jaccard before
-    grouping. Min-id label propagation over the verified edges;
-    `rounds` join hops bound the component diameter we resolve
-    (duplicate clusters are near-cliques, so small is fine).
+    grouping. Min-id label propagation over the verified edges.
+
+    ``rounds=None`` (default) iterates to CONVERGENCE: star-thinned
+    oversized buckets plus chained buckets can produce components of
+    diameter > any fixed hop count, so each round's labels are
+    locally checkpointed (truncating the join lineage) and the loop
+    stops when ``sum(rep_id)`` is unchanged — labels only ever
+    decrease, so the sum is strictly monotone while anything moves;
+    one cheap aggregate per round, no extra join. ``max_rounds``
+    bounds a pathological chain. An explicit ``rounds=k`` keeps the
+    fixed-hop behavior (single lazy plan, no intermediate actions)
+    for callers that know their component diameter.
     """
     sigs = minhash_signatures(df, id_col, text_col, n_hashes, shingle, bands, seed)
     edges = lsh_candidate_pairs(sigs)
@@ -425,13 +464,34 @@ def minhash_dedup_groups(
         edges = ngram_jaccard_pairs(
             df, id_col, text_col, edges, n=shingle, min_jaccard=min_jaccard
         ).select("id_a", "id_b")
-    both = edges.union(edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")))
-    labels = (
-        df.select(F.col(id_col).cast("long").alias("id"))
-        .distinct()
-        .withColumn("rep_id", F.col("id"))
+    ids = df.select(F.col(id_col).cast("long").alias("id")).distinct()
+    return label_propagate(ids, edges, rounds=rounds, max_rounds=max_rounds)
+
+
+def label_propagate(
+    ids: DataFrame,
+    edges: DataFrame,
+    rounds: int | None = None,
+    max_rounds: int = 20,
+) -> DataFrame:
+    """Min-id connected-component labels: (id, rep_id).
+
+    ``ids`` has one ``id`` column; ``edges`` has (id_a, id_b). Each
+    round every node takes the min of its own label and its neighbors'
+    labels. ``rounds=None`` iterates to convergence (see
+    ``minhash_dedup_groups`` docstring for the monotone-sum stopping
+    rule); an explicit ``rounds=k`` builds a single lazy k-hop plan.
+    """
+    both = edges.select("id_a", "id_b").union(
+        edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
     )
-    for _ in range(rounds):
+    labels = ids.select("id").withColumn("rep_id", F.col("id"))
+    converge = rounds is None
+    if converge:
+        both = both.localCheckpoint(eager=False)
+        prev_sum = None
+    n_rounds = max_rounds if converge else int(rounds)
+    for _ in range(n_rounds):
         neigh_min = (
             both.join(labels, both.id_b == labels.id, "inner")
             .groupBy("id_a")
@@ -446,6 +506,12 @@ def minhash_dedup_groups(
                 ),
             )
         )
+        if converge:
+            labels = labels.localCheckpoint(eager=True)
+            cur_sum = labels.agg(F.sum("rep_id")).collect()[0][0]
+            if cur_sum == prev_sum:
+                break
+            prev_sum = cur_sum
     return labels
 
 
@@ -493,26 +559,34 @@ def simhash_signatures(
 def simhash_near_pairs(
     sig_df: DataFrame, max_hamming: int = 3, bucket_cap: int = 64, n_bands: int = 4
 ) -> DataFrame:
-    """Candidate pairs with Hamming(simhash) <= max_hamming via 16-bit
-    band blocking (pigeonhole: <=3 differing bits leave >=1 of 4 bands
-    equal), verified with a JVM-side popcount.
+    """Candidate pairs with Hamming(simhash) <= max_hamming via band
+    blocking (band width = 64 // n_bands bits; pigeonhole: fewer
+    differing bits than bands forces >= 1 equal band), verified with a
+    JVM-side popcount.
 
     Oversized buckets (> bucket_cap members — boilerplate corpora) are
-    thinned to star edges against the bucket min instead of silently
-    dropped (same policy and caveats as ``lsh_candidate_pairs``).
+    size-gated BEFORE any member-list materialization and thinned to
+    star edges against the bucket min instead of silently dropped
+    (``_bucket_pairs`` policy and caveats).
 
     Recall guarantee: COMPLETE only when ``max_hamming < n_bands``
-    (pigeonhole — fewer differing bits than bands forces an equal
-    band). With ``max_hamming >= n_bands`` the banding is best-effort
-    blocking: a pair whose differing bits spread across every band is
-    missed. The default (3 < 4) is the guaranteed regime."""
+    (pigeonhole). With ``max_hamming >= n_bands`` the banding is
+    best-effort blocking: a pair whose differing bits spread across
+    every band is missed. The default (3 < 4) is the guaranteed regime.
+
+    ``n_bands`` must divide 64 so the bands tile all 64 signature bits
+    with distinct shifts (a shift >= 64 would wrap mod 64 in the JVM
+    and silently duplicate band 0, voiding the pigeonhole guarantee).
+    """
     if max_hamming < 0:
         raise ValueError(f"max_hamming must be >= 0, got {max_hamming}")
-    if n_bands * 16 < 64:
+    if n_bands < 1 or 64 % n_bands != 0:
         raise ValueError(
-            f"{n_bands} 16-bit bands cover only {n_bands * 16} of the 64 "
-            "signature bits; use n_bands=4 (or wider bands)"
+            f"n_bands must divide 64 so bands tile the signature exactly; "
+            f"got {n_bands}"
         )
+    band_bits = 64 // n_bands
+    band_mask = (1 << band_bits) - 1
     banded = sig_df.select(
         "id",
         "simhash",
@@ -521,8 +595,8 @@ def simhash_near_pairs(
                 *[
                     F.struct(
                         F.lit(i).alias("band"),
-                        F.shiftrightunsigned(F.col("simhash"), 16 * i)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftrightunsigned(F.col("simhash"), band_bits * i)
+                        .bitwiseAND(F.lit(band_mask))
                         .alias("bh"),
                     )
                     for i in range(n_bands)
@@ -530,31 +604,17 @@ def simhash_near_pairs(
             )
         ).alias("bb"),
     ).select("id", "simhash", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
-    bucket = banded.groupBy("band", "bh").agg(
-        F.sort_array(F.collect_set(F.struct("id", "simhash"))).alias("members")
-    )
-    bucket = bucket.filter(F.size("members") >= 2)
-    small = bucket.filter(F.size("members") <= bucket_cap).select(
-        F.explode(
-            F.expr(
-                "flatten(transform(members, (x, i) -> "
-                "transform(slice(members, i + 2, size(members) - i - 1), "
-                "y -> struct(x.id as id_a, x.simhash as sh_a, y.id as id_b, y.simhash as sh_b))))"
-            )
-        ).alias("p")
-    )
-    big = bucket.filter(F.size("members") > bucket_cap).select(
-        F.explode(
-            F.expr(
-                "transform(slice(members, 2, size(members) - 1), "
-                "y -> struct(members[0].id as id_a, members[0].simhash as sh_a, "
-                "y.id as id_b, y.simhash as sh_b))"
-            )
-        ).alias("p")
-    )
+    member = F.struct("id", "simhash")
     pairs = (
-        small.unionByName(big)
-        .select("p.id_a", "p.sh_a", "p.id_b", "p.sh_b")
+        _bucket_pairs(
+            banded.withColumn("__member", member), ["band", "bh"], "__member", bucket_cap
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("b.simhash").alias("sh_b"),
+        )
         .distinct()
     )
     return pairs.withColumn(

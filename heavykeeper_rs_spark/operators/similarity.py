@@ -335,10 +335,17 @@ def embedding_near_dup_pairs(
     n_bits: int = 32,
     bands: int = 4,
     seed: int = 12345,
+    bucket_cap: int = 256,
 ) -> DataFrame:
     """(id_a < id_b, cosine) pairs with cosine >= tau — embedding
     near-duplicate detection. Banded signature buckets bound the
-    candidate set; exact cosine verifies."""
+    candidate set; exact cosine verifies.
+
+    Oversized buckets (degenerate signature regions) are size-gated
+    BEFORE any member-list materialization and thinned to star edges
+    against the bucket min — see ``operators.dedup._bucket_pairs`` for
+    the window-based routing (no reducer ever holds a whole degenerate
+    bucket's id list)."""
     assert n_bits % bands == 0
     bpb = n_bits // bands
     mask = (1 << bpb) - 1
@@ -359,30 +366,11 @@ def embedding_near_dup_pairs(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bh")
-    bucket = banded.groupBy("band", "bh").agg(F.sort_array(F.collect_set("id")).alias("ids"))
-    bucket = bucket.filter(F.size("ids") >= 2)
-    # Oversized buckets (degenerate signature regions) thin to star
-    # edges against the bucket min instead of silently dropping —
-    # connectivity preserved, candidate count stays O(m) not O(m²)
-    # (same policy as dedup.lsh_candidate_pairs).
-    small = bucket.filter(F.size("ids") <= 256).select(
-        F.explode(
-            F.expr(
-                "flatten(transform(ids, (x, i) -> "
-                "transform(slice(ids, i + 2, size(ids) - i - 1), y -> struct(x as a, y as b))))"
-            )
-        ).alias("p")
-    )
-    big = bucket.filter(F.size("ids") > 256).select(
-        F.explode(
-            F.expr(
-                "transform(slice(ids, 2, size(ids) - 1), y -> struct(ids[0] as a, y as b))"
-            )
-        ).alias("p")
-    )
+    from .dedup import _bucket_pairs
+
     pairs = (
-        small.unionByName(big)
-        .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
+        _bucket_pairs(banded, ["band", "bh"], "id", bucket_cap)
+        .select(F.col("a").alias("id_a"), F.col("b").alias("id_b"))
         .distinct()
     )
     va = df.select(

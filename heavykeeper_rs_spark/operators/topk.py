@@ -658,9 +658,10 @@ def topk_by_group(
     )
 
 
-def contains_top_k(df: DataFrame, col: str, sketch: HeavyKeeper) -> DataFrame:
+def contains_top_k(df: DataFrame, col: str, sketch) -> DataFrame:
     """O11 (src/heavykeeper.rs:211-218) distributedly: semi-join the
     DataFrame against the sketch's tracked top-K set (broadcast).
+    Works for every layout — all three variants expose list().
 
     Integer-keyed sketches (the u64 fast path) track Python ints in the
     PQ; ``_item_str`` normalizes both representations so the string
@@ -670,12 +671,18 @@ def contains_top_k(df: DataFrame, col: str, sketch: HeavyKeeper) -> DataFrame:
 
 
 def estimate(
-    df: DataFrame, col: str, sketch: HeavyKeeper, out_col: str = "est_count"
+    df: DataFrame, col: str, sketch, out_col: str = "est_count"
 ) -> DataFrame:
     """Broadcast-probe point estimates: the distributed analog of
-    count(item) (src/heavykeeper.rs:220-246). The serialized sketch is
-    broadcast once; each Arrow batch probes it vectorized — the same
-    plan shape as a broadcast-hash-join against the summary."""
+    count(item), for EVERY sketch layout — the reference exposes
+    count() on all three (src/heavykeeper.rs:220-246,
+    src/bucketed.rs:260-269, src/cuckoo.rs:280-289). The serialized
+    sketch is broadcast once; each Arrow batch probes it vectorized —
+    the same plan shape as a broadcast-hash-join against the summary.
+    The variant is sniffed from the blob magic, so a sketch built with
+    variant='bucketed' or 'cuckoo' probes identically."""
+    from ..variants import deserialize_any
+
     blob = sketch.serialize()
     bc = df.sparkSession.sparkContext.broadcast(blob)
     out_schema = StructType(
@@ -685,7 +692,7 @@ def estimate(
     def probe(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import pyarrow.compute as pc
 
-        sk = HeavyKeeper.deserialize(bc.value)
+        sk = deserialize_any(bc.value)
         for batch in batches:
             if batch.num_rows == 0:
                 continue

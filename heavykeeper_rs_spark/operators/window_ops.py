@@ -127,18 +127,29 @@ def asof_join(
         .orderBy(ts, tag)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried: list[Column] = [
-        F.last(F.when(F.col(tag) == 0, F.col(c)), ignorenulls=True)
+    # ONE last() over a struct of (match ts + all payload columns):
+    # per-column independent last(ignorenulls) would stitch values from
+    # DIFFERENT right rows whenever the most recent right row holds a
+    # NULL in one payload column — the carried match must be one right
+    # row atomically (ASOF semantics; the DuckDB oracle returns the
+    # matched row's NULLs as-is)
+    carried = (
+        F.last(
+            F.when(
+                F.col(tag) == 0,
+                F.struct(
+                    F.col(ts).alias("__asof_matched_ts"),
+                    *[F.col(c) for c in right_value_cols],
+                ),
+            ),
+            ignorenulls=True,
+        )
         .over(w)
-        .alias(c)
-        for c in right_value_cols
-    ]
-    carried_ts = (
-        F.last(F.when(F.col(tag) == 0, F.col(ts)), ignorenulls=True)
-        .over(w)
-        .alias("__asof_matched_ts")
+        .alias("__c")
     )
-    out = merged.select(*lcols, F.col(tag), carried_ts, *carried).filter(
-        F.col(tag) == 1
+    out = merged.select(*lcols, F.col(tag), carried).filter(F.col(tag) == 1)
+    return out.select(
+        *lcols,
+        F.col("__c.__asof_matched_ts").alias("__asof_matched_ts"),
+        *[F.col(f"__c.{c}").alias(c) for c in right_value_cols],
     )
-    return out.drop(tag)

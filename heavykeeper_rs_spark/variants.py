@@ -42,7 +42,15 @@ import pandas as pd
 
 from .errors import SketchCompatError
 from .serde import dumps as serde_dumps, loads as serde_loads
-from .kernel import HKParams, TopKQueue, _as_bytes, _key_array, _pq_key, hash_items
+from .kernel import (
+    HKParams,
+    TopKQueue,
+    _as_bytes,
+    _key_array,
+    _pq_key,
+    _sniff_legacy_pickle,
+    hash_items,
+)
 
 _U64 = np.uint64
 _CUCKOO_SALT = _U64(0x9E3779B97F4A7C15)
@@ -228,6 +236,7 @@ class _VariantBase:
     def deserialize(cls, blob: bytes):
         if blob[:4] != cls.variant:
             raise ValueError(f"not a {cls.__name__} blob")
+        _sniff_legacy_pickle(blob[4:6])
         d = serde_loads(blob[4:])
         sk = cls(**d["params"])
         sk._load_state(d)
@@ -491,6 +500,7 @@ class CuckooTopK(_VariantBase):
     def deserialize(cls, blob: bytes):
         if blob[:4] != cls.variant:
             raise ValueError(f"not a {cls.__name__} blob")
+        _sniff_legacy_pickle(blob[4:6])
         d = serde_loads(blob[4:])
         sk = cls(**d["params"], max_kicks=d["max_kicks"])
         sk._load_state(d)
@@ -941,3 +951,22 @@ class CuckooTopK(_VariantBase):
             + self.heavy_c.nbytes
             + items
         )
+
+def deserialize_any(blob: bytes):
+    """Deserialize whichever sketch layout wrote the blob, sniffed from
+    the 4-byte magic (HKS1 canonical, HKB1 bucketed, HKC1 cuckoo).
+
+    The reference exposes count()/contains() on all three layouts
+    (src/heavykeeper.rs:220-246, src/bucketed.rs:260-269,
+    src/cuckoo.rs:280-289); the distributed broadcast-probe operators
+    use this so a sketch built with ANY variant can be probed."""
+    from .kernel import _MAGIC, HeavyKeeper
+
+    tag = bytes(blob[:4])
+    if tag == _MAGIC:
+        return HeavyKeeper.deserialize(blob)
+    if tag == BucketedTopK.variant:
+        return BucketedTopK.deserialize(blob)
+    if tag == CuckooTopK.variant:
+        return CuckooTopK.deserialize(blob)
+    raise ValueError(f"unknown sketch blob magic {tag!r}")

@@ -325,3 +325,133 @@ class TestWavAudio:
         assert out[1]["ok"] and abs(f1[0] - 0.5) < 1e-3 and f1[1] == 2.0
         assert not out[2]["ok"] and out[2]["error"]
         assert not out[3]["ok"]  # null blob -> captured failure
+
+
+class TestBucketPairsSizeGate:
+    """The bucket-size cap must act BEFORE any member-list
+    materialization: a degenerate bucket's ids are never collected
+    into one aggregation value (the 100 TB OOM that motivated
+    _bucket_pairs)."""
+
+    def _sig_rows(self, spark, n_big, n_small=4):
+        rows = [Row(band=0, band_hash=7, id=i) for i in range(n_big)]
+        rows += [Row(band=1, band_hash=9, id=i) for i in range(n_small)]
+        rows += [Row(band=2, band_hash=1, id=99_999)]  # singleton: no pairs
+        return spark.createDataFrame(rows)
+
+    def test_star_routes_oversized_through_window_not_collect(self, spark):
+        from heavykeeper_rs_spark.operators.dedup import _bucket_pairs
+
+        sig = self._sig_rows(spark, n_big=5000)
+        pairs = _bucket_pairs(sig, ["band", "band_hash"], "id", bucket_cap=64)
+        plan = pairs._jdf.queryExecution().executedPlan().toString()
+        # the collect_set aggregate exists only on the small-bucket
+        # branch, which is size-filtered BEFORE the aggregate; the
+        # oversized branch is pure window columns (min over partition)
+        assert "collect_set" in plan
+        assert "window" in plan.lower()
+        assert "__m" in plan  # the pre-materialization size gate
+        got = pairs.collect()
+        star = {(r["a"], r["b"]) for r in got if r["a"] == 0 or r["b"] == 0}
+        # oversized bucket -> 4999 star edges to min id 0
+        assert {(0, i) for i in range(1, 5000)} <= {(r["a"], r["b"]) for r in got}
+        small = {(r["a"], r["b"]) for r in got if r["a"] < 4 and r["b"] < 4}
+        assert small >= {(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)}
+        assert len(got) == 4999 + 6
+        assert star  # silence lint: star edges exist
+
+    def test_allpairs_uses_self_join_no_collect_of_big(self, spark):
+        from heavykeeper_rs_spark.operators.dedup import _bucket_pairs
+
+        sig = self._sig_rows(spark, n_big=100)
+        pairs = _bucket_pairs(
+            sig, ["band", "band_hash"], "id", bucket_cap=10, oversize="allpairs"
+        )
+        got = {(r["a"], r["b"]) for r in pairs.collect()}
+        want = {(i, j) for i in range(100) for j in range(i + 1, 100)}
+        want |= {(i, j) for i in range(4) for j in range(i + 1, 4)}
+        assert got == want
+
+    def test_drop_mode(self, spark):
+        from heavykeeper_rs_spark.operators.dedup import _bucket_pairs
+
+        sig = self._sig_rows(spark, n_big=100)
+        got = {
+            (r["a"], r["b"])
+            for r in _bucket_pairs(
+                sig, ["band", "band_hash"], "id", bucket_cap=10, oversize="drop"
+            ).collect()
+        }
+        assert got == {(i, j) for i in range(4) for j in range(i + 1, 4)}
+
+    def test_struct_member_star(self, spark):
+        from heavykeeper_rs_spark.operators.dedup import _bucket_pairs
+
+        rows = [Row(band=0, bh=3, id=i, payload=i * 10) for i in range(50)]
+        df = spark.createDataFrame(rows).withColumn(
+            "__member", F.struct("id", "payload")
+        )
+        pairs = _bucket_pairs(df, ["band", "bh"], "__member", bucket_cap=8)
+        got = {(r["a"]["id"], r["b"]["id"], r["b"]["payload"]) for r in pairs.collect()}
+        assert got == {(0, i, i * 10) for i in range(1, 50)}
+
+    def test_bad_mode_raises(self, spark):
+        from heavykeeper_rs_spark.operators.dedup import _bucket_pairs
+
+        with pytest.raises(ValueError, match="oversize"):
+            _bucket_pairs(
+                self._sig_rows(spark, 10), ["band", "band_hash"], "id", 4, "nope"
+            )
+
+
+class TestSimhashBandGuard:
+    """Shifts >= 64 wrap mod 64 in the JVM — n_bands must tile the
+    64-bit signature exactly or the pigeonhole guarantee silently
+    breaks (ADVICE r2)."""
+
+    def test_rejects_non_divisor_bands(self, spark):
+        sig = spark.createDataFrame([Row(id=0, simhash=0), Row(id=1, simhash=0)])
+        with pytest.raises(ValueError, match="divide 64"):
+            simhash_near_pairs(sig, n_bands=5)
+        with pytest.raises(ValueError, match="divide 64"):
+            simhash_near_pairs(sig, n_bands=3)
+
+    def test_eight_bands_cover_all_64_bits(self, spark):
+        # two sigs differing ONLY in the top 8 bits (band 7 of 8):
+        # with a wrapped shift that band would alias band 0 and the
+        # pair below (hamming 1 in the high byte) could be missed
+        a = -(1 << 63)  # bit 63 set
+        sig = spark.createDataFrame(
+            [Row(id=0, simhash=5), Row(id=1, simhash=5 + a)]
+        )
+        got = simhash_near_pairs(sig, max_hamming=1, n_bands=8).collect()
+        assert {(r["id_a"], r["id_b"], r["hamming"]) for r in got} == {(0, 1, 1)}
+
+
+class TestLabelPropagationConvergence:
+    def test_diameter_chain_converges(self, spark):
+        from heavykeeper_rs_spark.operators.dedup import label_propagate
+
+        # path graph 0-1-2-...-9: diameter 9, well past any fixed
+        # 3-hop bound
+        ids = spark.createDataFrame([Row(id=i) for i in range(10)])
+        edges = spark.createDataFrame(
+            [Row(id_a=i, id_b=i + 1) for i in range(9)]
+        )
+        got = {r["id"]: r["rep_id"] for r in label_propagate(ids, edges).collect()}
+        assert got == {i: 0 for i in range(10)}
+
+    def test_fixed_rounds_is_a_lazy_bound(self, spark):
+        from heavykeeper_rs_spark.operators.dedup import label_propagate
+
+        ids = spark.createDataFrame([Row(id=i) for i in range(10)])
+        edges = spark.createDataFrame(
+            [Row(id_a=i, id_b=i + 1) for i in range(9)]
+        )
+        got = {
+            r["id"]: r["rep_id"]
+            for r in label_propagate(ids, edges, rounds=2).collect()
+        }
+        # 2 hops cannot resolve the far end of a diameter-9 path
+        assert got[9] != 0
+        assert got[1] == 0 and got[2] == 0

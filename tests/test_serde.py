@@ -101,3 +101,28 @@ def test_truncated_and_deep_blobs_raise_valueerror():
     blob = deep * 50 + b"\x00"  # 50-deep nested single-element lists
     with pytest.raises(ValueError, match="depth"):
         loads(blob)
+
+
+def test_legacy_pickle_blob_clear_error():
+    """Blobs from pre-serde builds (pickled candidate section under the
+    same magic) must fail with a version message, not an opaque
+    'unknown tag'."""
+    import pickle
+    import struct
+
+    import pytest
+
+    from heavykeeper_rs_spark.kernel import HKParams, HeavyKeeper, _MAGIC
+    from heavykeeper_rs_spark.variants import BucketedTopK
+
+    p = HKParams(k=2, width=8, depth=2, decay=0.9, seed=1)
+    sk = HeavyKeeper(p)
+    import numpy as np
+
+    header = struct.pack("<4sBqqqdq", _MAGIC, 1, p.k, p.width, p.depth, p.decay, p.seed)
+    legacy = header + sk.fps.tobytes() + sk.counts.tobytes() + pickle.dumps([])
+    with pytest.raises(ValueError, match="older incompatible version"):
+        HeavyKeeper.deserialize(legacy)
+    legacy_var = b"HKB1" + pickle.dumps({"params": p.__dict__})
+    with pytest.raises(ValueError, match="older incompatible version"):
+        BucketedTopK.deserialize(legacy_var)

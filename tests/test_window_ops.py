@@ -66,6 +66,8 @@ def test_asof_join_matches_most_recent_and_ties(spark, events):
 
 
 def test_asof_join_null_left_ts(spark):
+    from pyspark.sql import functions as F
+
     from heavykeeper_rs_spark.operators.window_ops import asof_join
 
     left = spark.createDataFrame(
@@ -78,3 +80,26 @@ def test_asof_join_null_left_ts(spark):
         left, right, ["user_id"], "ts", "p_ts", ["v"]).collect()}
     assert out["y"] == 7.0
     assert out["x"] is None  # null timestamp matches nothing
+
+
+def test_asof_carry_is_one_row_atomic(spark):
+    """A NULL in one payload column of the most recent right row must
+    come through as NULL — not be back-filled from an older right row
+    (per-column independent last() would stitch two rows; ADVICE r2)."""
+    from pyspark.sql import functions as F
+
+    from heavykeeper_rs_spark.operators.window_ops import asof_join
+
+    left = spark.createDataFrame(
+        [Row(k="a", lts="2024-01-01 00:10:00")]
+    ).withColumn("lts", F.col("lts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [
+            Row(k="a", rts="2024-01-01 00:01:00", x=1, y=10),
+            Row(k="a", rts="2024-01-01 00:05:00", x=2, y=None),
+        ]
+    ).withColumn("rts", F.col("rts").cast("timestamp"))
+    got = asof_join(left, right, ["k"], "lts", "rts", ["x", "y"]).collect()
+    assert len(got) == 1
+    assert got[0]["x"] == 2
+    assert got[0]["y"] is None  # NOT 10 from the older row
