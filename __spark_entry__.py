@@ -103,6 +103,50 @@ def _hk_estimate_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hk_bucketed_estimate_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed count() probe on a BUCKETED sketch (the reference
+    exposes count on all layouts — src/bucketed.rs:260-269); the probe
+    sniffs the blob magic, so the same operator serves every variant."""
+    ev = _t(spark, sf_dir, "events")
+    sk = topk_sketch(ev, "event_type", k=50, width=4096, depth=4, variant="bucketed")
+    distinct = ev.select("event_type").distinct()
+    return (
+        estimate(distinct, "event_type", sk)
+        .select(F.col("event_type"), F.col("est_count").alias("cnt"))
+    )
+
+
+def _hk_cuckoo_estimate_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed count() probe on a CUCKOO sketch
+    (src/cuckoo.rs:280-289), exact regime."""
+    ev = _t(spark, sf_dir, "events")
+    sk = topk_sketch(ev, "event_type", k=50, width=4096, depth=4, variant="cuckoo")
+    distinct = ev.select("event_type").distinct()
+    return (
+        estimate(distinct, "event_type", sk)
+        .select(F.col("event_type"), F.col("est_count").alias("cnt"))
+    )
+
+
+def _hk_weighted_topk_part_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted GROUPED top-K: top-5 parts by total quantity within
+    each returnflag — the reference's weighted add
+    (src/heavykeeper.rs:273-279) through the per-group blob tree.
+    Exact regime -> window-function oracle."""
+    from heavykeeper_rs_spark.operators.topk import topk_by_group
+
+    li = _t(spark, sf_dir, "lineitem")
+    return topk_by_group(
+        li,
+        "l_returnflag",
+        "l_partkey",
+        k=5,
+        width=65536,
+        depth=4,
+        weight_col="l_quantity",
+    ).orderBy("group", F.desc("count"), "item")
+
+
 def _salted_exact_topk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe exact top-20 tokens: two-phase (key, salt) -> key
     aggregation so a Zipf head token never pins one reducer."""
@@ -785,7 +829,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hk_topk_tokens_inkernel": _hk_topk_tokens_inkernel,
         "hk_weighted_topk_part": _hk_weighted_topk_part,
         "hk_estimate_event_types": _hk_estimate_event_types,
+        "hk_bucketed_estimate_event_types": _hk_bucketed_estimate_event_types,
+        "hk_cuckoo_estimate_event_types": _hk_cuckoo_estimate_event_types,
         "hk_topk_type_per_user_bucket": _hk_topk_type_per_user_bucket,
+        "hk_weighted_topk_part_by_flag": _hk_weighted_topk_part_by_flag,
         "hk_contains_top_k": _hk_contains_top_k,
         "hk_bucketed_topk_event_type": _hk_bucketed_topk_event_type,
         "hk_cuckoo_topk_event_type": _hk_cuckoo_topk_event_type,
@@ -903,6 +950,22 @@ def oracle_sql() -> dict[str, str]:
         ),
         "hk_estimate_event_types": (
             "SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY 1"
+        ),
+        "hk_bucketed_estimate_event_types": (
+            "SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY 1"
+        ),
+        "hk_cuckoo_estimate_event_types": (
+            "SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY 1"
+        ),
+        "hk_weighted_topk_part_by_flag": (
+            "SELECT l_returnflag AS \"group\", item, count FROM ("
+            "  SELECT l_returnflag, CAST(l_partkey AS VARCHAR) AS item, "
+            "    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS count, "
+            "    ROW_NUMBER() OVER (PARTITION BY l_returnflag "
+            "      ORDER BY SUM(CAST(l_quantity AS BIGINT)) DESC, "
+            "      CAST(l_partkey AS VARCHAR)) AS rn "
+            "  FROM lineitem GROUP BY l_returnflag, CAST(l_partkey AS VARCHAR)"
+            ") WHERE rn <= 5 ORDER BY \"group\", count DESC, item"
         ),
         "user_session_stats": (
             "WITH s AS ("

@@ -460,19 +460,22 @@ def grouped_partial_builder(
     new_sketch,
     feed,
     max_live_groups: int = 4096,
+    weighted: bool = False,
 ):
     """mapInArrow kernel factory for per-(partition, group) partials
     with BOUNDED memory in the group dimension.
 
     ``new_sketch(pid) -> sketch`` and ``feed(sketch, values)`` define
-    the sketch family. Each mapper keeps at most ``max_live_groups``
-    live sketches; when a batch pushes it past the cap, the
-    least-recently-touched half is serialized, emitted early, and
-    evicted — the per-group merge tree downstream folds multiple blobs
-    per (partition, group), so early emission is merely more partials,
-    never wrong. High-cardinality group keys (urls, users) therefore
-    cost O(max_live_groups × sketch size) per mapper instead of
-    O(all groups seen).
+    the sketch family (``feed(sketch, values, weights)`` when
+    ``weighted`` — the batch then carries a third weight column; rows
+    with a null value OR weight are skipped). Each mapper keeps at most
+    ``max_live_groups`` live sketches; when a batch pushes it past the
+    cap, the least-recently-touched half is serialized, emitted early,
+    and evicted — the per-group merge tree downstream folds multiple
+    blobs per (partition, group), so early emission is merely more
+    partials, never wrong. High-cardinality group keys (urls, users)
+    therefore cost O(max_live_groups × sketch size) per mapper instead
+    of O(all groups seen).
     """
 
     def build(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -502,7 +505,8 @@ def grouped_partial_builder(
             t += 1
             g = batch.column(0).to_numpy(zero_copy_only=False)
             v = batch.column(1).to_numpy(zero_copy_only=False)
-            valid = pd.notna(v)
+            w = batch.column(2).to_numpy(zero_copy_only=False) if weighted else None
+            valid = pd.notna(v) if w is None else (pd.notna(v) & pd.notna(w))
             if not valid.all():
                 # a group whose values are ALL null must still exist in
                 # the output (SQL GROUP BY semantics: the group appears,
@@ -513,6 +517,8 @@ def grouped_partial_builder(
                         sketches[gn] = new_sketch(pid)
                         touch[gn] = t
                 g, v = g[valid], v[valid]
+                if w is not None:
+                    w = w[valid]
             if v.size == 0:
                 continue
             ug, inv = np.unique(np.asarray(g, dtype=object), return_inverse=True)
@@ -522,7 +528,11 @@ def grouped_partial_builder(
                 sk = sketches.get(ug[gi])
                 if sk is None:
                     sk = sketches[ug[gi]] = new_sketch(pid)
-                feed(sk, v[order[bounds[gi] : bounds[gi + 1]]])
+                sel = order[bounds[gi] : bounds[gi + 1]]
+                if w is None:
+                    feed(sk, v[sel])
+                else:
+                    feed(sk, v[sel], w[sel])
                 touch[ug[gi]] = t
             if len(sketches) > max_live_groups:
                 olds = sorted(touch, key=touch.get)[: len(sketches) // 2]
@@ -601,6 +611,7 @@ def topk_by_group(
     tie_break_key: bool = True,
     fan_in: int = 64,
     max_live_groups: int = 4096,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Top-K keys within each group — one sketch per group, built
     scale-safe: partial sketches per (partition, group) map-side, then
@@ -612,6 +623,10 @@ def topk_by_group(
     bounded sketch memory and its partials merge through the tree.
     Output is (group, item, count) with deterministic
     (count desc, item asc) tie-breaking.
+
+    ``weight_col`` makes the per-group add weighted — the reference's
+    first-class weighted add (src/heavykeeper.rs:273-279) in the
+    grouped plan: top items by SUM(weight) within each group.
     """
     params = HKParams(
         k=2 * k if tie_break_key else k, width=width, depth=depth, decay=decay, seed=seed
@@ -632,9 +647,20 @@ def topk_by_group(
             ),
         )
 
-    build = grouped_partial_builder(
-        new_sketch, lambda sk, vals: sk.add_batch(vals), max_live_groups
-    )
+    weighted = weight_col is not None
+    if weighted:
+        build = grouped_partial_builder(
+            new_sketch,
+            lambda sk, vals, w: sk.add_batch(
+                vals, np.asarray(w, dtype=np.int64)
+            ),
+            max_live_groups,
+            weighted=True,
+        )
+    else:
+        build = grouped_partial_builder(
+            new_sketch, lambda sk, vals: sk.add_batch(vals), max_live_groups
+        )
 
     def finalize(group: str, blobs: list[bytes]) -> pd.DataFrame:
         sk = HeavyKeeper.deserialize(merge_blobs(blobs))
@@ -649,10 +675,13 @@ def topk_by_group(
             }
         )
 
-    keyed = df.select(
+    cols = [
         F.coalesce(F.col(group_col).cast(StringType()), F.lit("None")).alias("__group"),
         F.col(key_col).cast(StringType()).alias("__key"),
-    )
+    ]
+    if weighted:
+        cols.append(F.col(weight_col).cast(LongType()).alias("__w"))
+    keyed = df.select(*cols)
     return grouped_blob_tree(
         keyed, build, merge_blobs, finalize, out_schema, fan_in=fan_in
     )

@@ -75,3 +75,47 @@ def test_parallelism_invariance_of_topk_set(spark, events):
     assert {(r["item"], r["count"]) for r in a.collect()} == {
         (r["item"], r["count"]) for r in b.collect()
     }
+
+
+def test_weighted_topk_by_group(spark):
+    """weight_col through the grouped blob tree: top items by
+    SUM(weight) per group, exact regime."""
+    from pyspark.sql import Row
+
+    from heavykeeper_rs_spark.operators.topk import topk_by_group
+
+    rows = []
+    for g in ("a", "b"):
+        for i in range(6):
+            # weights make item order the REVERSE of occurrence order
+            rows += [Row(g=g, item=f"x{i}", w=(6 - i) * 10 + (1 if g == "b" else 0))]
+            rows += [Row(g=g, item=f"x{i}", w=1)]
+    df = spark.createDataFrame(rows).repartition(4)
+    got = topk_by_group(
+        df, "g", "item", k=3, width=256, depth=4, weight_col="w"
+    ).collect()
+    by_group = {}
+    for r in got:
+        by_group.setdefault(r["group"], []).append((r["item"], r["count"]))
+    assert by_group["a"] == [("x0", 61), ("x1", 51), ("x2", 41)]
+    assert by_group["b"] == [("x0", 62), ("x1", 52), ("x2", 42)]
+
+
+def test_weighted_topk_by_group_null_weight_rows_skipped(spark):
+    from pyspark.sql import Row
+
+    from heavykeeper_rs_spark.operators.topk import topk_by_group
+
+    rows = [
+        Row(g="a", item="x", w=5),
+        Row(g="a", item="x", w=None),
+        Row(g="a", item="y", w=3),
+    ]
+    df = spark.createDataFrame(rows)
+    got = {
+        (r["group"], r["item"]): r["count"]
+        for r in topk_by_group(
+            df, "g", "item", k=5, width=64, depth=2, weight_col="w"
+        ).collect()
+    }
+    assert got == {("a", "x"): 5, ("a", "y"): 3}

@@ -263,3 +263,54 @@ def test_merge_tree_engages_past_fan_in(spark):
     est = hll_build(ev, "user_id", merge_groups=2).estimate()
     exact = ev.select("user_id").distinct().count()
     assert abs(est - exact) / exact < 0.05
+
+
+def test_deserialize_any_sniffs_magic():
+    import numpy as np
+    import pytest
+
+    from heavykeeper_rs_spark.kernel import HeavyKeeper, HKParams
+    from heavykeeper_rs_spark.variants import (
+        BucketedTopK,
+        CuckooTopK,
+        deserialize_any,
+    )
+
+    keys = np.asarray([1, 1, 2, 3, 3, 3], dtype=np.int64)
+    canon = HeavyKeeper(HKParams(k=2, width=64, depth=2, decay=0.9, seed=7))
+    canon.add_batch(keys)
+    buck = BucketedTopK(2, 64, 2, seed=7)
+    buck.add_batch(keys)
+    cuck = CuckooTopK(2, 64, 2, seed=7)
+    cuck.add_batch(keys)
+    for sk in (canon, buck, cuck):
+        back = deserialize_any(sk.serialize())
+        assert type(back) is type(sk)
+        assert back.list() == sk.list()
+    with pytest.raises(ValueError, match="unknown sketch blob magic"):
+        deserialize_any(b"NOPE" + b"\x00" * 16)
+
+
+def test_distributed_probe_all_variants(spark):
+    """estimate()/contains_top_k() work for every layout — the
+    reference exposes count/contains on all three
+    (src/bucketed.rs:260-269, src/cuckoo.rs:280-289)."""
+    from pyspark.sql import Row
+
+    from heavykeeper_rs_spark.operators.topk import (
+        contains_top_k,
+        estimate,
+        topk_sketch,
+    )
+
+    rows = [Row(k=f"key{i % 5}") for i in range(100)]
+    df = spark.createDataFrame(rows)
+    truth = {f"key{i}": 20 for i in range(5)}
+    for variant in ("topk", "bucketed", "cuckoo"):
+        sk = topk_sketch(df, "k", k=10, width=256, depth=4, variant=variant)
+        got = {
+            r["k"]: r["est_count"]
+            for r in estimate(df.select("k").distinct(), "k", sk).collect()
+        }
+        assert got == truth, variant
+        assert contains_top_k(df, "k", sk).count() == 100, variant
