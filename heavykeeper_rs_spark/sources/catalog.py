@@ -52,6 +52,41 @@ def iceberg_available(spark: SparkSession) -> bool:
     )
 
 
+def snapshot_lineage(
+    spark: SparkSession, name: str, sf_dir: str | None = None
+) -> str:
+    """Input-lineage token for checkpoint identity
+    (``plans.checkpoint``): the Iceberg SNAPSHOT ID when a catalog is
+    live, so a resume after the table advanced to a new snapshot is
+    refused by construction (the token mismatches) instead of silently
+    merging partials built from two different table states.
+
+    Parquet fallback: path + file count + total bytes — any rewrite of
+    the directory changes the token.
+    """
+    if iceberg_available(spark):
+        rows = spark.sql(
+            f"SELECT snapshot_id FROM {name}.snapshots "
+            "ORDER BY committed_at DESC LIMIT 1"
+        ).collect()
+        snap = rows[0][0] if rows else "empty"
+        return f"iceberg:{name}@{snap}"
+    import os
+
+    base = name.rsplit(".", 1)[-1]
+    if sf_dir is None:
+        raise ValueError("sf_dir required in parquet-fallback mode")
+    path = f"{sf_dir}/{base}.parquet"
+    if os.path.isdir(path):
+        files = sorted(
+            f for f in os.listdir(path) if not f.startswith((".", "_"))
+        )
+        total = sum(os.path.getsize(os.path.join(path, f)) for f in files)
+        return f"parquet:{path}:n={len(files)}:bytes={total}"
+    total = os.path.getsize(path) if os.path.exists(path) else 0
+    return f"parquet:{path}:n=1:bytes={total}"
+
+
 def load_table(
     spark: SparkSession, name: str, sf_dir: str | None = None
 ) -> DataFrame:
