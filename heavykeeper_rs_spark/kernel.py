@@ -68,25 +68,131 @@ def _hash_key_for_seed(seed: int) -> str:
     return format(seed & 0xFFFFFFFFFFFFFFFF, "016x")
 
 
+def _splitmix64_arr(x: np.ndarray) -> np.ndarray:
+    with np.errstate(over="ignore"):
+        x = (x ^ (x >> _U64(30))) * _U64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> _U64(27))) * _U64(0x94D049BB133111EB)
+        return x ^ (x >> _U64(31))
+
+
+_FNV_OFFSET = 0xCBF29CE484222325
+_FNV_PRIME = _U64(0x100000001B3)
+
+
+def hash_string_buffers(
+    offsets: np.ndarray, data: np.ndarray, seed: int
+) -> np.ndarray:
+    """Canonical seeded 64-bit hash of variable-length byte strings,
+    computed straight off (offsets, data) buffers — the layout of an
+    Arrow string/binary array, so the distributed builders hash keys
+    with ZERO per-key Python objects (the round-2 string-lane fix:
+    the object-array SipHash was the per-core floor of every text
+    workload).
+
+    Vectorized FNV-1a waves: strings are processed one byte position
+    per wave over a descending-length-sorted view, so each wave is a
+    contiguous-prefix gather/xor/multiply with no boolean masks; a
+    splitmix64 finalizer mixes the seeded state. Total work is
+    O(total_bytes) vector ops regardless of length skew.
+    """
+    n = offsets.shape[0] - 1
+    seed_mix = (seed * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+    if n <= 0:
+        return np.zeros(0, dtype=np.uint64)
+    lens = np.diff(offsets)
+    starts = offsets[:-1]
+    minlen = int(lens.min())
+    maxlen = int(lens.max())
+    h = np.full(n, _U64(_FNV_OFFSET ^ seed_mix))
+    with np.errstate(over="ignore"):
+        # common-prefix waves: every string is active for j < minlen,
+        # so no sorting/masking at all — the whole-batch fast path
+        # (uniform-length keys, e.g. packed flow records, never sort)
+        for j in range(minlen):
+            h ^= data[starts + j]
+            h *= _FNV_PRIME
+        if maxlen > minlen:
+            # tail positions: only strings longer than minlen. Sort the
+            # survivors descending by length so each wave is a
+            # contiguous-prefix slice; 16-bit sort keys hit numpy's
+            # radix path (~6x over int64 comparison sort).
+            sub = np.flatnonzero(lens > minlen)
+            sl = lens[sub]
+            if maxlen - minlen < 0xFFFF:
+                skey = (maxlen - sl).astype(np.uint16)
+            else:
+                skey = -sl
+            sorder = sub[np.argsort(skey, kind="stable")]
+            hs = h[sorder]
+            sos = starts[sorder]
+            negl = -lens[sorder]  # ascending
+            for j in range(minlen, maxlen):
+                na = int(np.searchsorted(negl, -j, side="left"))
+                if na == 0:
+                    break
+                hs[:na] ^= data[sos[:na] + j]
+                hs[:na] *= _FNV_PRIME
+            h[sorder] = hs
+        # length mix + finalizer: avalanches FNV's weak high bits
+        h ^= lens.astype(np.uint64) << _U64(56)
+        return _splitmix64_arr(h)
+
+
+def arrow_string_buffers(col) -> tuple[np.ndarray, np.ndarray]:
+    """(absolute offsets int64, data uint8) zero-copy views of an
+    Arrow string/binary array (nulls must be filled upstream)."""
+    import pyarrow as pa
+
+    if pa.types.is_large_string(col.type) or pa.types.is_large_binary(col.type):
+        odt = np.int64
+    else:
+        odt = np.int32
+    off = np.frombuffer(col.buffers()[1], dtype=odt)
+    offsets = off[col.offset : col.offset + len(col) + 1].astype(np.int64)
+    data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+    return offsets, data
+
+
+def _object_string_buffers(arr: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Pack an object array of str/bytes keys into (offsets, data)
+    buffers — the object-array path onto ``hash_string_buffers`` so
+    both representations hash identically. Arrow does the str→utf-8
+    packing in C (same bytes as ``str.encode``); only arrays holding
+    non-str objects (bytes, ints) fall back to per-item packing."""
+    import pyarrow as pa
+
+    try:
+        pa_arr = pa.array(arr, type=pa.string(), from_pandas=False)
+        if pa_arr.null_count == 0:  # a None key must not alias ""
+            return arrow_string_buffers(pa_arr)
+    except (pa.ArrowInvalid, pa.ArrowTypeError):
+        pass
+    bs = [_as_bytes(x) for x in arr]
+    lens = np.fromiter(map(len, bs), dtype=np.int64, count=len(bs))
+    offsets = np.zeros(len(bs) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    data = np.frombuffer(b"".join(bs), dtype=np.uint8)
+    return offsets, data
+
+
 def hash_items(items: np.ndarray, seed: int) -> np.ndarray:
     """Vectorized 64-bit hash of a key batch.
 
-    bytes/str keys: one C-level SipHash pass (the analog of the
-    reference's single ahash per item, src/hash_composition.rs:13-22).
-    Integer keys: seed-mixed splitmix64 finalizer directly on the
-    int64 lanes — the u64 fast path the reference benches
-    (benches/topk_vs_bucketed.rs uses u64 keys). No per-row Python in
-    either path.
+    bytes/str keys: packed into contiguous byte buffers and hashed with
+    ``hash_string_buffers`` (identical to the Arrow zero-copy lane the
+    distributed builders use — one hash function per seed everywhere,
+    the analog of the reference's single ahash per item,
+    src/hash_composition.rs:13-22). Integer keys: seed-mixed splitmix64
+    finalizer directly on the int64 lanes — the u64 fast path the
+    reference benches (benches/topk_vs_bucketed.rs uses u64 keys).
     """
     arr = np.asarray(items)
     if arr.dtype.kind in "iu":
         x = arr.astype(np.uint64) ^ _U64((seed * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF)
-        with np.errstate(over="ignore"):
-            x = (x ^ (x >> _U64(30))) * _U64(0xBF58476D1CE4E5B9)
-            x = (x ^ (x >> _U64(27))) * _U64(0x94D049BB133111EB)
-            return x ^ (x >> _U64(31))
+        return _splitmix64_arr(x)
     arr = np.asarray(items, dtype=object)
-    return pd.util.hash_array(arr, hash_key=_hash_key_for_seed(seed), categorize=False)
+    offsets, data = _object_string_buffers(arr)
+    return hash_string_buffers(offsets, data, seed)
 
 
 def _rotl64(x: np.ndarray, r: int) -> np.ndarray:
@@ -364,6 +470,48 @@ class HeavyKeeper:
             arr[first[keep]], w[keep], fp=uh[keep], return_evicted=return_evicted
         )
 
+    def add_batch_hashed(
+        self,
+        hashes: np.ndarray,
+        weights: np.ndarray,
+        key_take,
+    ) -> None:
+        """Insert pre-hashed distinct keys WITHOUT materializing them.
+
+        The zero-object string lane: the distributed builders
+        dictionary-encode the Arrow batch (C pass), hash the distinct
+        values straight off the Arrow buffers
+        (``hash_string_buffers``), and hand this method (hash, weight)
+        int lanes plus ``key_take(indices) -> object ndarray`` — only
+        the handful of keys that actually enter the top-K queue are
+        ever converted to Python objects. ``hashes`` must come from
+        this sketch's hash function (the seeded default family; a
+        custom hasher cannot guarantee that, so it is refused).
+        """
+        if self._hasher is not None:
+            raise ValueError(
+                "add_batch_hashed requires the seeded default hash family; "
+                "a custom-hasher sketch must use add_batch"
+            )
+        h = np.asarray(hashes, dtype=np.uint64)
+        if h.size == 0:
+            return
+        # fold (rare) full-64-bit collisions exactly like add_batch
+        inv, uh = pd.factorize(h, sort=False)
+        k = uh.shape[0]
+        w = np.bincount(
+            inv, weights=np.asarray(weights, dtype=np.float64), minlength=k
+        ).astype(np.int64)
+        first = np.empty(k, dtype=np.int64)
+        first[inv[::-1]] = np.arange(h.shape[0] - 1, -1, -1)
+        keep = w > 0
+        firstk = first[keep]
+        self._add_unique_fp(
+            np.asarray(uh, dtype=np.uint64)[keep],
+            w[keep],
+            lambda sel: key_take(firstk[sel]),
+        )
+
     def _add_unique(
         self,
         keys: np.ndarray,
@@ -371,12 +519,25 @@ class HeavyKeeper:
         fp: np.ndarray | None = None,
         return_evicted: bool = False,
     ) -> list | None:
-        n = keys.shape[0]
+        if keys.shape[0] == 0:
+            return [] if return_evicted else None
+        if fp is None:
+            fp = self._hash(keys)
+        return self._add_unique_fp(
+            fp, w, lambda sel: keys[sel], return_evicted=return_evicted
+        )
+
+    def _add_unique_fp(
+        self,
+        fp: np.ndarray,
+        w: np.ndarray,
+        take_keys,
+        return_evicted: bool = False,
+    ) -> list | None:
+        n = fp.shape[0]
         if n == 0:
             return [] if return_evicted else None
         p = self.params
-        if fp is None:
-            fp = self._hash(keys)
         idxs = compose_indices(fp, p.depth, p.width)
         # Flatten all depth rows into ONE namespaced pass: cell id =
         # d*width + idx never collides across rows, the (fps, counts)
@@ -403,18 +564,20 @@ class HeavyKeeper:
         sel = np.flatnonzero(est > mc)
         evicted: list | None = [] if return_evicted else None
         if sel.size:
+            # only now do the selected keys materialize (lazy take);
             # preserve deterministic order: weight-desc then key, so
             # equal-count ties get a stable insertion sequence
-            order = sel[np.lexsort((np.asarray(keys[sel]), -est[sel]))]
+            keys_sel = np.asarray(take_keys(sel), dtype=object)
+            order = np.lexsort((keys_sel, -est[sel]))
             upsert = self.pq.upsert
             if return_evicted:
                 for i in order:
-                    victim = upsert(_pq_key(keys[i]), int(est[i]))
+                    victim = upsert(_pq_key(keys_sel[i]), int(est[sel[i]]))
                     if victim is not None:
                         evicted.append(victim)
             else:
                 for i in order:
-                    upsert(_pq_key(keys[i]), int(est[i]))
+                    upsert(_pq_key(keys_sel[i]), int(est[sel[i]]))
         return evicted
 
     def _add_row(

@@ -137,10 +137,46 @@ def _merge_variant_blobs(variant: str, blobs: list[bytes]) -> bytes:
     return acc.serialize()
 
 
+def _feed_str_col(sk, col: pa.Array, w: np.ndarray | None, seed: int, hashed: bool):
+    """Feed a non-null Arrow string/binary column into a sketch.
+
+    ``hashed=True`` (canonical kernel): dictionary-encode (C pass),
+    hash the DISTINCT values straight off the Arrow buffers
+    (``hash_string_buffers``) and insert via ``add_batch_hashed`` —
+    zero per-key Python objects; only the few keys that enter the
+    top-K queue materialize (lazy ``take``). This is the string-lane
+    fix for the round-2 per-core gap (object-array SipHash bound).
+    ``hashed=False`` (variant layouts): dictionary pre-aggregation
+    with object keys, as before."""
+    import pyarrow.compute as pc
+
+    from ..kernel import arrow_string_buffers, hash_string_buffers
+
+    d = pc.dictionary_encode(col)
+    idx = d.indices.to_numpy(zero_copy_only=False)
+    nd = len(d.dictionary)
+    if w is None:
+        wagg = np.bincount(idx, minlength=nd).astype(np.int64)
+    else:
+        wagg = np.bincount(idx, weights=w, minlength=nd).astype(np.int64)
+    if not hashed:
+        sk.add_batch(d.dictionary.to_numpy(zero_copy_only=False), wagg)
+        return
+    dic = d.dictionary
+    offsets, data = arrow_string_buffers(dic)
+    h = hash_string_buffers(offsets, data, seed)
+
+    def key_take(sel: np.ndarray) -> np.ndarray:
+        return np.asarray(dic.take(pa.array(sel)).to_pylist(), dtype=object)
+
+    sk.add_batch_hashed(h, wagg, key_take)
+
+
 def _build_partial(
     params: HKParams, merge_groups: int, weighted: bool, variant: str = "topk"
 ):
     """mapInArrow kernel: one sketch per input partition."""
+    hashed = variant == "topk"  # zero-object lane on the canonical kernel
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import pyarrow.compute as pc
@@ -168,8 +204,7 @@ def _build_partial(
                     fb.column(1).to_numpy(zero_copy_only=False), dtype=np.float64
                 )
                 if _dict_encodable(kcol.type):
-                    keys, wagg = _dict_preagg(kcol, w)
-                    sk.add_batch(keys, wagg)
+                    _feed_str_col(sk, kcol, w, params.seed, hashed)
                 else:
                     sk.add_batch(
                         kcol.to_numpy(zero_copy_only=False), w.astype(np.int64)
@@ -179,11 +214,7 @@ def _build_partial(
                 if len(col) == 0:
                     continue
                 if _dict_encodable(col.type):
-                    # Arrow dictionary-encode: one C pass folds the
-                    # Zipf-repeated strings so Python only ever hashes
-                    # the distinct values (~3x on domain-string keys)
-                    keys, wagg = _dict_preagg(col, None)
-                    sk.add_batch(keys, wagg)
+                    _feed_str_col(sk, col, None, params.seed, hashed)
                 else:
                     # int64 columns come through as native int lanes
                     # (the u64 fast path)

@@ -256,3 +256,86 @@ class TestMerge:
         truth = {f"k{i}".encode(): (i + 1) * 10 for i in range(30)}
         for item, c in m1.list():
             assert c == truth[item]
+
+
+class TestStringBufferHash:
+    """The canonical str/bytes hash is hash_string_buffers — the object
+    lane (probe/PQ-fallback) and the Arrow zero-copy lane (distributed
+    builders) MUST produce identical hashes, or fingerprints from the
+    two paths would never match."""
+
+    def test_object_and_arrow_lanes_agree(self):
+        import pyarrow as pa
+
+        from heavykeeper_rs_spark.kernel import (
+            arrow_string_buffers,
+            hash_items,
+            hash_string_buffers,
+        )
+
+        keys = ["hello", "wörld", "", "x" * 300, "flow\x00key", "a", "ab"]
+        h_obj = hash_items(np.asarray(keys, dtype=object), 12345)
+        off, data = arrow_string_buffers(pa.array(keys))
+        assert np.array_equal(h_obj, hash_string_buffers(off, data, 12345))
+        # bytes objects hash like their utf-8 str twins
+        hb = hash_items(np.asarray([k.encode() for k in keys], dtype=object), 12345)
+        assert np.array_equal(h_obj, hb)
+        # sliced arrow arrays (non-zero offset) still hash right
+        sl = pa.array(keys).slice(2, 4)
+        off2, data2 = arrow_string_buffers(sl)
+        assert np.array_equal(h_obj[2:6], hash_string_buffers(off2, data2, 12345))
+        # seed separation + all distinct
+        assert not np.array_equal(h_obj, hash_items(np.asarray(keys, dtype=object), 1))
+        assert len(set(h_obj.tolist())) == len(keys)
+
+    def test_prefix_and_length_discrimination(self):
+        from heavykeeper_rs_spark.kernel import hash_items
+
+        ks = ["a", "aa", "aaa", "ab", "ba", "a\x00", "\x00a"]
+        h = hash_items(np.asarray(ks, dtype=object), 7)
+        assert len(set(h.tolist())) == len(ks)
+
+    def test_add_batch_hashed_matches_add_batch(self):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from heavykeeper_rs_spark.kernel import (
+            arrow_string_buffers,
+            hash_string_buffers,
+        )
+
+        rng = np.random.default_rng(0)
+        zipf = np.minimum(rng.zipf(1.3, 100_000), 20_000)
+        skeys = np.asarray([f"key{v}" for v in zipf], dtype=object)
+        p = HKParams(k=20, width=4096, depth=4, decay=0.9, seed=7)
+        a = HeavyKeeper(p, rng=np.random.default_rng(1))
+        a.add_batch(skeys)
+        b = HeavyKeeper(p, rng=np.random.default_rng(1))
+        col = pa.array(skeys.tolist(), type=pa.string())
+        d = pc.dictionary_encode(col)
+        idx = d.indices.to_numpy(zero_copy_only=False)
+        w = np.bincount(idx, minlength=len(d.dictionary)).astype(np.int64)
+        off, data = arrow_string_buffers(d.dictionary)
+        h = hash_string_buffers(off, data, 7)
+        dic = d.dictionary
+        b.add_batch_hashed(
+            h, w, lambda sel: np.asarray(dic.take(pa.array(sel)).to_pylist(), dtype=object)
+        )
+        assert a.list() == b.list()
+        assert np.array_equal(a.counts, b.counts) and np.array_equal(a.fps, b.fps)
+
+    def test_add_batch_hashed_refuses_custom_hasher(self):
+        import pytest
+
+        from heavykeeper_rs_spark.kernel import HeavyKeeper
+
+        sk = HeavyKeeper.with_hasher(
+            2, 64, 2, 0.9, 1,
+            hasher=lambda items, seed: np.arange(len(items), dtype=np.uint64),
+        )
+        with pytest.raises(ValueError, match="custom-hasher"):
+            sk.add_batch_hashed(
+                np.asarray([1], dtype=np.uint64),
+                np.asarray([1.0]),
+                lambda s: np.asarray(["x"], dtype=object),
+            )

@@ -72,27 +72,32 @@ run("domain strings (10k distinct) width=16384 K=100", domains, HKParams(k=100, 
 
 def run_dict(name, strs, params):
     """What the distributed path actually does for string columns:
-    Arrow dictionary_encode per batch, kernel hashes only uniques."""
+    Arrow dictionary_encode per batch, distinct values hashed straight
+    off the Arrow buffers, zero-object insert (operators.topk
+    _feed_str_col with hashed=True)."""
     import pyarrow as pa
-    import pyarrow.compute as pc
     import time as _t
+
+    from heavykeeper_rs_spark.operators.topk import _feed_str_col
 
     col = pa.array(list(strs), type=pa.string())
     sk = HeavyKeeper(params)
     t0 = _t.time()
     for i in range(0, len(col), B):
-        d = pc.dictionary_encode(col.slice(i, B))
-        idx = d.indices.to_numpy(zero_copy_only=False)
-        w = np.bincount(idx, minlength=len(d.dictionary)).astype(np.int64)
-        sk.add_batch(d.dictionary.to_numpy(zero_copy_only=False), weights=w)
+        _feed_str_col(sk, col.slice(i, B), None, params.seed, hashed=True)
     dt = _t.time() - t0
     print(f"{name:55s} {len(col)/dt/1e6:6.2f} M keys/s")
 
 
 run_dict(
-    "domain strings via arrow dict-encode (distributed path)",
+    "domain strings via arrow buffer-hash (distributed path)",
     domains,
     HKParams(k=100, width=16384, depth=4),
+)
+run_dict(
+    "u64-as-string via arrow buffer-hash (distributed path)",
+    as_str,
+    HKParams(k=100, width=4096, depth=4),
 )
 
 run("bucketed variant, reference fixture w=4096 K=100", bounded[: N // 2],
