@@ -389,8 +389,14 @@ def _minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash banded near-dup pairs (rows-only: signature semantics
-    are not SQL-expressible)."""
+    """SimHash banded near-dup pairs. FULLY oracle-checked: the DuckDB
+    oracle replicates the whole pipeline — byte-shingle packing,
+    splitmix64 (HUGEINT split-multiply mod 2^64), per-bit majority
+    votes, 16-bit band blocking, popcount Hamming filter — so the
+    signature kernel itself is verified bit-for-bit, not just row
+    counts. ``bucket_cap`` is lifted here so the oracle's exact
+    intra-bucket pair semantics apply (production keeps the default cap
+    + star thinning; tests cover that policy separately)."""
     from heavykeeper_rs_spark.operators.dedup import (
         simhash_near_pairs,
         simhash_signatures,
@@ -398,7 +404,7 @@ def _simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return simhash_near_pairs(
-        simhash_signatures(docs, "doc_id", "text"), max_hamming=8
+        simhash_signatures(docs, "doc_id", "text"), max_hamming=8, bucket_cap=1 << 20
     ).orderBy("id_a", "id_b")
 
 
@@ -488,6 +494,32 @@ def _embedding_sim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return brute_force_pairs(emb, "vec_id", "emb_d", tau=0.45).orderBy(
         "id_a", "id_b"
+    )
+
+
+def _embedding_lsh_recall_ok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH recall bound check, oracle-verified: the exact pair count
+    comes from DuckDB's cosine self-join; Spark reports the same exact
+    count plus a recall_ok flag asserting the banded LSH path recovered
+    >= 90% of the exact cosine>=0.40 pairs. A recall regression flips
+    the flag and fails the hash compare."""
+    from heavykeeper_rs_spark.operators.similarity import (
+        brute_force_pairs,
+        embedding_near_dup_pairs,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "emb_d", F.col("embedding").cast("array<double>")
+    )
+    dim = len(emb.select("emb_d").first()[0])
+    n_exact = brute_force_pairs(emb, "vec_id", "emb_d", tau=0.40).count()
+    n_lsh = embedding_near_dup_pairs(
+        emb, "vec_id", "emb_d", dim=dim, tau=0.40, n_bits=16, bands=8
+    ).count()  # cosine-verified, so a strict subset of the exact pairs
+    return _local_df(
+        spark,
+        [(n_exact, bool(n_lsh >= 0.9 * n_exact))],
+        "n_exact_pairs bigint, recall_ok boolean",
     )
 
 
@@ -864,6 +896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_sim_join": _embedding_sim_join,
         "embedding_ivf_topk": _embedding_ivf_topk,
         "embedding_lsh_topk": _embedding_lsh_topk,
+        "embedding_lsh_recall_ok": _embedding_lsh_recall_ok,
         # text analysis
         "lang_id_counts": _lang_id_counts,
         "quality_by_lang": _quality_by_lang,
@@ -911,6 +944,72 @@ _STOPWORD_SQL = (
     "['the','of','and','to','a','in','is','it','you','that','he','was','for','on',"
     "'are','as','with','his','they','i']"
 )
+
+
+def _simhash_oracle(seed: int = 7, shingle: int = 4, max_hamming: int = 8) -> str:
+    """DuckDB SQL replicating operators.dedup.simhash_signatures +
+    simhash_near_pairs exactly: 4-byte window packing (zero-padded
+    short docs), seeded splitmix64 — 64-bit multiplies done as HUGEINT
+    split products mod 2^64 — per-bit majority votes, 16-bit band
+    blocking, bit_count Hamming verify. ASCII text (the synthetic
+    corpus) makes ord(substr) == utf-8 byte."""
+    m64 = 1 << 64
+    c1, c2 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    gold = 0x9E3779B97F4A7C15
+    seed_mix = (seed * gold) % m64
+
+    def mulmod(x: str, c: int) -> str:
+        cl = c & 0xFFFFFFFF
+        return (
+            f"CAST(((CAST(({x}) & 4294967295 AS HUGEINT) * {c}) + "
+            f"((CAST((({x}) >> 32) AS HUGEINT) * {cl}) % 4294967296) * 4294967296) "
+            f"% {m64} AS UBIGINT)"
+        )
+
+    def byte(o: int) -> str:
+        pos = "i" if o == 0 else f"i+{o}"
+        return f"CASE WHEN {pos} <= length(text) THEN ord(substr(text, {pos}, 1)) ELSE 0 END"
+
+    pack = " + ".join(
+        f"CAST({byte(o)} AS UBIGINT) * {256 ** (shingle - 1 - o)}"
+        for o in range(shingle)
+    )
+    bits = ", ".join(
+        f"CAST(SUM(CAST((h >> {b}) & 1 AS BIGINT)) * 2 > COUNT(*) AS UBIGINT) "
+        f"* CAST({1 << b} AS UBIGINT) AS bit{b}"
+        for b in range(64)
+    )
+    sig_expr = " + ".join(f"bit{b}" for b in range(64))
+    band_match = " OR ".join(
+        f"((a.sig >> {16 * i}) & 65535) = ((b.sig >> {16 * i}) & 65535)"
+        for i in range(4)
+    )
+    return f"""
+WITH wins AS (
+  SELECT doc_id,
+         unnest(range(1, greatest(length(text) - {shingle - 1}, 1) + 1)) AS i,
+         text
+  FROM documents
+), hashed AS (
+  SELECT doc_id, xor(x4, x4 >> 31) AS h
+  FROM (
+    SELECT doc_id, {mulmod("xor(x2, x2 >> 27)", c2)} AS x4
+    FROM (
+      SELECT doc_id, {mulmod("xor(v, v >> 30)", c1)} AS x2
+      FROM (SELECT doc_id, xor({pack}, CAST({seed_mix} AS UBIGINT)) AS v FROM wins)
+    )
+  )
+), votes AS (
+  SELECT doc_id, {bits} FROM hashed GROUP BY doc_id
+), sigs AS (
+  SELECT doc_id, {sig_expr} AS sig FROM votes
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id AND ({band_match})
+WHERE bit_count(xor(a.sig, b.sig)) <= {max_hamming}
+ORDER BY id_a, id_b
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1059,6 +1158,7 @@ def oracle_sql() -> dict[str, str]:
             ") GROUP BY fp ORDER BY keep_doc_id"
         ),
         "minhash_near_dup_pairs": f"{_JACCARD_PAIRS} ORDER BY id_a, id_b",
+        "simhash_near_dup_pairs": _simhash_oracle(),
         "minhash_dedup_reps": (
             "WITH RECURSIVE p AS (" + _JACCARD_PAIRS + "), "
             "e AS (SELECT id_a AS a, id_b AS b FROM p "
@@ -1091,6 +1191,13 @@ def oracle_sql() -> dict[str, str]:
             "embedding::DOUBLE[], "
             "(SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 6) "
             "AS cosine FROM embeddings ORDER BY cosine DESC, vec_id LIMIT 10"
+        ),
+        "embedding_lsh_recall_ok": (
+            "SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_pairs, TRUE AS recall_ok FROM ("
+            "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+            "ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) "
+            "AS cosine FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id"
+            ") WHERE cosine >= 0.40"
         ),
         "embedding_sim_join": (
             "SELECT * FROM ("
