@@ -643,6 +643,7 @@ def topk_by_group(
     fan_in: int = 64,
     max_live_groups: int = 4096,
     weight_col: str | None = None,
+    variant: str = "topk",
 ) -> DataFrame:
     """Top-K keys within each group — one sketch per group, built
     scale-safe: partial sketches per (partition, group) map-side, then
@@ -658,7 +659,11 @@ def topk_by_group(
     ``weight_col`` makes the per-group add weighted — the reference's
     first-class weighted add (src/heavykeeper.rs:273-279) in the
     grouped plan: top items by SUM(weight) within each group.
+    ``variant`` selects the sketch layout per group ('topk' canonical,
+    'bucketed', 'cuckoo') — the same registry as the ungrouped path.
     """
+    if variant not in VARIANTS:
+        raise ValueError(f"unknown variant {variant!r}; one of {sorted(VARIANTS)}")
     params = HKParams(
         k=2 * k if tie_break_key else k, width=width, depth=depth, decay=decay, seed=seed
     )
@@ -670,10 +675,11 @@ def topk_by_group(
         ]
     )
 
-    def new_sketch(pid: int) -> HeavyKeeper:
-        return HeavyKeeper(
+    def new_sketch(pid: int):
+        return _make_sketch(
+            variant,
             params,
-            rng=np.random.default_rng(
+            np.random.default_rng(
                 np.random.PCG64(((params.seed << 17) ^ 0x9E3779B97F4A7C15) + pid)
             ),
         )
@@ -694,14 +700,14 @@ def topk_by_group(
         )
 
     def finalize(group: str, blobs: list[bytes]) -> pd.DataFrame:
-        sk = HeavyKeeper.deserialize(merge_blobs(blobs))
+        sk = _deserialize_variant(variant, _merge_variant_blobs(variant, blobs))
         rows = sk.list()
         if tie_break_key:
             rows = sorted(rows, key=lambda t: (-t[1], t[0]))[:k]
         return pd.DataFrame(
             {
                 "group": [group] * len(rows),
-                "item": [it.decode("utf-8", errors="replace") for it, _ in rows],
+                "item": [_item_str(it) for it, _ in rows],
                 "count": [int(c) for _, c in rows],
             }
         )
@@ -714,7 +720,12 @@ def topk_by_group(
         cols.append(F.col(weight_col).cast(LongType()).alias("__w"))
     keyed = df.select(*cols)
     return grouped_blob_tree(
-        keyed, build, merge_blobs, finalize, out_schema, fan_in=fan_in
+        keyed,
+        build,
+        lambda blobs: _merge_variant_blobs(variant, blobs),
+        finalize,
+        out_schema,
+        fan_in=fan_in,
     )
 
 

@@ -55,12 +55,20 @@ def stateful_topk_stream(
     col: str,
     params: HKParams,
     n_shards: int = 8,
+    variant: str = "topk",
 ) -> DataFrame:
     """Transform a streaming DataFrame into per-shard sketch updates.
 
     Write with update output mode; merge the latest blob per shard to
-    read the global top-K at any point.
+    read the global top-K at any point. ``variant`` selects the sketch
+    layout ('topk' canonical, 'bucketed', 'cuckoo') — the shard blobs
+    carry the variant magic, so consumers merge via
+    ``variants.deserialize_any``.
     """
+    from ..operators.topk import VARIANTS, _deserialize_variant, _make_sketch
+
+    if variant not in VARIANTS:
+        raise ValueError(f"unknown variant {variant!r}; one of {sorted(VARIANTS)}")
 
     def fold(
         key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -68,12 +76,13 @@ def stateful_topk_stream(
         shard = int(key[0])
         if state.exists:
             rows_seen, blob = state.get
-            sk = HeavyKeeper.deserialize(blob)
+            sk = _deserialize_variant(variant, blob)
         else:
             rows_seen = 0
-            sk = HeavyKeeper(
+            sk = _make_sketch(
+                variant,
                 params,
-                rng=np.random.default_rng(
+                np.random.default_rng(
                     np.random.PCG64((params.seed << 9) ^ shard)
                 ),
             )
@@ -266,13 +275,16 @@ def merge_window_blobs(rows: list) -> dict[int, HeavyKeeper]:
     return out
 
 
-def merge_shard_blobs(rows: list) -> HeavyKeeper:
-    """Merge the latest blob per shard into one sketch (driver-side)."""
+def merge_shard_blobs(rows: list):
+    """Merge the latest blob per shard into one sketch (driver-side).
+    Variant-agnostic: the blob magic selects the layout."""
+    from ..variants import deserialize_any
+
     latest: dict[int, bytes] = {}
     for r in rows:
         latest[r["shard"]] = r["sketch"]
     blobs = list(latest.values())
-    acc = HeavyKeeper.deserialize(blobs[0])
+    acc = deserialize_any(blobs[0])
     for b in blobs[1:]:
-        acc.merge(HeavyKeeper.deserialize(b))
+        acc.merge(deserialize_any(b))
     return acc

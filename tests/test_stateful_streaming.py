@@ -197,3 +197,132 @@ def test_stateful_windowed_topk_stream(spark, tmp_path):
         assert got == want, f"window {wstart}"
         checked += 1
     assert checked >= 1
+
+
+def test_windowed_stream_restart_exact_vs_batch(spark, tmp_path):
+    """Kill/restart at a non-trivial shard count: the windowed stream
+    is stopped mid-history, later-event-time data arrives, and the
+    query restarts from the SAME checkpoint. Every window's merged
+    sketch must then equal the batch per-window exact top-K — state
+    (including per-(window, shard) sketch blobs and registered
+    event-time timeouts) survived the restart."""
+    import glob
+    import shutil
+
+    from heavykeeper_rs_spark.streaming.stateful import (
+        merge_window_blobs,
+        stateful_windowed_topk_stream,
+    )
+
+    src = str(tmp_path / "wrsrc")
+    os.makedirs(src)
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    tsd = F.col("ts").cast("timestamp").cast("double")
+    bounds = ev.select(
+        F.percentile_approx(tsd, [0.25, 0.5, 0.75], 10000).alias("b")
+    ).collect()[0]["b"]
+    parts = [
+        ev.filter(tsd <= bounds[0]),
+        ev.filter((tsd > bounds[0]) & (tsd <= bounds[1])),
+        ev.filter((tsd > bounds[1]) & (tsd <= bounds[2])),
+        ev.filter(tsd > bounds[2]),
+    ]
+
+    def land(part, name):
+        part.coalesce(1).write.parquet(f"{src}/tmp", mode="overwrite")
+        shutil.copy(glob.glob(f"{src}/tmp/*.parquet")[0], f"{src}/{name}.parquet")
+        shutil.rmtree(f"{src}/tmp")
+
+    params = HKParams(k=6, width=1024, depth=4, decay=0.9, seed=12345)
+    ckpt = str(tmp_path / "wrck")
+    captured: list = []
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        out = stateful_windowed_topk_stream(
+            stream, "event_type", "ts", params,
+            window="12 hours", watermark="1 minute", n_shards=8,
+        )
+
+        def sink(batch_df, batch_id):
+            captured.extend(batch_df.collect())
+
+        q = (
+            out.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination(240)
+
+    # phase 1: first half of history, then the query STOPS
+    land(parts[0], "arrival-0")
+    land(parts[1], "arrival-1")
+    run_once()
+    n_phase1 = len(captured)
+    assert n_phase1 > 0
+    # phase 2: the rest of history lands while the query is down
+    land(parts[2], "arrival-2")
+    land(parts[3], "arrival-3")
+    run_once()
+    assert len(captured) > n_phase1, "restarted query emitted nothing"
+
+    merged = merge_window_blobs(captured)
+    assert merged, "no windows produced"
+    checked = 0
+    for wstart, acc in merged.items():
+        got = sorted(acc.list(), key=lambda t: (-t[1], t[0]))[:3]
+        lo = F.from_unixtime(F.lit(wstart)).cast("timestamp")
+        hi = F.from_unixtime(F.lit(wstart + 12 * 3600)).cast("timestamp")
+        truth = (
+            ev.filter(
+                (F.col("ts").cast("timestamp") >= lo)
+                & (F.col("ts").cast("timestamp") < hi)
+            )
+            .groupBy("event_type").count()
+            .orderBy(F.desc("count"), "event_type").limit(3).collect()
+        )
+        want = [(r[0].encode(), r[1]) for r in truth]
+        assert got == want, f"window {wstart} diverged after restart"
+        checked += 1
+    assert checked >= 3  # multiple windows, all exact
+
+
+def test_stateful_stream_variant(spark, tmp_path):
+    """Sharded streaming sketches run the variant layouts too; the
+    shard blobs carry the magic, so merge_shard_blobs sniffs it."""
+    import glob
+    import shutil
+
+    from heavykeeper_rs_spark.variants import CuckooTopK
+
+    src = str(tmp_path / "vsrc")
+    os.makedirs(src)
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ev.coalesce(1).write.parquet(f"{src}/tmp")
+    shutil.copy(glob.glob(f"{src}/tmp/*.parquet")[0], f"{src}/f0.parquet")
+    shutil.rmtree(f"{src}/tmp")
+    params = HKParams(k=5, width=2048, depth=4, decay=0.9, seed=12345)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    out = stateful_topk_stream(stream, "event_type", params, n_shards=4, variant="cuckoo")
+    captured: list = []
+    q = (
+        out.writeStream.foreachBatch(lambda b, i: captured.extend(b.collect()))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "vck"))
+        .start()
+    )
+    q.awaitTermination(180)
+    sk = merge_shard_blobs(captured)
+    assert isinstance(sk, CuckooTopK)
+    truth = {
+        r[0].encode(): r[1]
+        for r in ev.groupBy("event_type").count().orderBy(F.desc("count")).limit(5).collect()
+    }
+    assert dict(sk.list()) == truth

@@ -119,3 +119,29 @@ def test_weighted_topk_by_group_null_weight_rows_skipped(spark):
         ).collect()
     }
     assert got == {("a", "x"): 5, ("a", "y"): 3}
+
+
+def test_topk_by_group_variants(spark):
+    """The grouped blob tree runs every sketch layout (variant
+    registry parity with the ungrouped path)."""
+    from pyspark.sql import Row
+
+    from heavykeeper_rs_spark.operators.topk import topk_by_group
+
+    rows = [
+        Row(g=g, item=f"x{i % 4}")
+        for g in ("a", "b")
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows).repartition(4)
+    want = {("a", f"x{i}"): 10 for i in range(4)} | {
+        ("b", f"x{i}"): 10 for i in range(4)
+    }
+    for variant in ("bucketed", "cuckoo"):
+        got = {
+            (r["group"], r["item"]): r["count"]
+            for r in topk_by_group(
+                df, "g", "item", k=4, width=256, depth=4, variant=variant
+            ).collect()
+        }
+        assert got == want, variant
