@@ -410,8 +410,9 @@ def _simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _minhash_dedup_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup groups labeled by min doc_id (verified edges). Oracle:
-    transitive closure over exact-Jaccard>=0.8 pairs; components here
-    are single edges/cliques, so 3 propagation rounds converge."""
+    transitive closure over exact-Jaccard>=0.8 pairs; label propagation
+    iterates to convergence (monotone-sum stop), so arbitrary component
+    diameters resolve — matching the oracle's recursive CTE closure."""
     from heavykeeper_rs_spark.operators.dedup import minhash_dedup_groups
 
     docs = _t(spark, sf_dir, "documents")
