@@ -87,20 +87,28 @@ def hash_string_buffers(
     Arrow string/binary array, so the distributed builders hash keys
     with ZERO per-key Python objects (the round-2 string-lane fix:
     the object-array SipHash was the per-core floor of every text
-    workload).
+    workload)."""
+    return hash_byte_slices(offsets[:-1], np.diff(offsets), data, seed)
 
-    Vectorized FNV-1a waves: strings are processed one byte position
+
+def hash_byte_slices(
+    starts: np.ndarray, lens: np.ndarray, data: np.ndarray, seed: int
+) -> np.ndarray:
+    """Seeded 64-bit hash of arbitrary (start, len) byte slices of one
+    buffer — the general form of ``hash_string_buffers`` (slices may
+    overlap or be out of order; the object-free tokenizer hashes every
+    token occurrence in place with this).
+
+    Vectorized FNV-1a waves: slices are processed one byte position
     per wave over a descending-length-sorted view, so each wave is a
     contiguous-prefix gather/xor/multiply with no boolean masks; a
     splitmix64 finalizer mixes the seeded state. Total work is
     O(total_bytes) vector ops regardless of length skew.
     """
-    n = offsets.shape[0] - 1
+    n = starts.shape[0]
     seed_mix = (seed * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
     if n <= 0:
         return np.zeros(0, dtype=np.uint64)
-    lens = np.diff(offsets)
-    starts = offsets[:-1]
     minlen = int(lens.min())
     maxlen = int(lens.max())
     h = np.full(n, _U64(_FNV_OFFSET ^ seed_mix))

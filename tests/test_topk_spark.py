@@ -145,3 +145,73 @@ def test_topk_by_group_variants(spark):
             ).collect()
         }
         assert got == want, variant
+
+
+class TestArrowTokenizer:
+    """The object-free byte-level tokenizer must reproduce
+    re.findall('[a-z]+', text.lower()) exactly on ASCII input and
+    fall back to the str path otherwise."""
+
+    def test_equivalence_adversarial(self):
+        import re
+
+        import numpy as np
+        import pyarrow as pa
+
+        from heavykeeper_rs_spark.kernel import HeavyKeeper, HKParams
+        from heavykeeper_rs_spark.operators.topk import _feed, _feed_tokens_arrow
+
+        docs = [
+            "Hello World THE the", "", "abc", "xyz",  # empty doc between
+            "a" * 70 + " ok",                          # over max_token_len
+            "cat dog cat", "Dog!cat?dog", "end", "Zz",
+            "trailingalpha", "alphaleading",           # boundary-touching runs
+            None,                                       # null text
+        ]
+        col = pa.array(docs, type=pa.string())
+        p = HKParams(k=20, width=512, depth=4, decay=0.9, seed=3)
+        a = HeavyKeeper(p, rng=np.random.default_rng(1))
+        assert _feed_tokens_arrow(a, col, 64, 3)
+        b = HeavyKeeper(p, rng=np.random.default_rng(1))
+        _feed(b, re.compile("[a-z]+"), [d for d in docs if d is not None], 64)
+        la = {(k, c) for k, c in a.list()}
+        lb = {
+            (k if isinstance(k, bytes) else k.encode(), c) for k, c in b.list()
+        }
+        assert la == lb
+
+    def test_non_ascii_falls_back(self):
+        import numpy as np
+        import pyarrow as pa
+
+        from heavykeeper_rs_spark.kernel import HeavyKeeper, HKParams
+        from heavykeeper_rs_spark.operators.topk import _feed_tokens_arrow
+
+        sk = HeavyKeeper(HKParams(k=5, width=64, depth=2, decay=0.9, seed=1))
+        assert _feed_tokens_arrow(sk, pa.array(["héllo world"]), 64, 1) is False
+        assert _feed_tokens_arrow(sk, pa.array(["K elvin"]), 64, 1) is False
+
+    def test_fingerprints_merge_with_str_path(self):
+        """A sketch built via the arrow tokenizer must merge exactly
+        with one built via the str path (same hash family)."""
+        import re
+
+        import numpy as np
+        import pyarrow as pa
+
+        from heavykeeper_rs_spark.kernel import HeavyKeeper, HKParams
+        from heavykeeper_rs_spark.operators.topk import _feed, _feed_tokens_arrow
+
+        texts = [f"tok{chr(97 + i % 7)} common" for i in range(100)]
+        p = HKParams(k=10, width=1024, depth=4, decay=0.9, seed=5)
+        a = HeavyKeeper(p, rng=np.random.default_rng(1))
+        assert _feed_tokens_arrow(a, pa.array(texts[:50]), 64, 5)
+        b = HeavyKeeper(p, rng=np.random.default_rng(2))
+        _feed(b, re.compile("[a-z]+"), texts[50:], 64)
+        a.merge(b)
+        truth = HeavyKeeper(p, rng=np.random.default_rng(3))
+        _feed(truth, re.compile("[a-z]+"), texts, 64)
+        assert {(k, c) for k, c in a.list()} == {
+            (k if isinstance(k, bytes) else k.encode(), c)
+            for k, c in truth.list()
+        }
