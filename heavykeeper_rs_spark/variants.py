@@ -48,6 +48,7 @@ from .kernel import (
     _as_bytes,
     _key_array,
     _pq_key,
+    _radix_argsort,
     _sniff_legacy_pickle,
     hash_items,
 )
@@ -281,7 +282,14 @@ class BucketedTopK(_VariantBase):
         # vectorized waves (first-per-bucket each wave, heaviest first;
         # same structure as kernel._add_row)
         rem = np.flatnonzero(~has)
-        order = rem[np.lexsort((-w[rem], idx[rem]))]
+        wr = w[rem]
+        if rem.size and int(wr.max(initial=0)) < (1 << 20) and int(idx.max()) < (1 << 42):
+            packed = (idx[rem].astype(np.uint64) << np.uint64(21)) | (
+                np.uint64((1 << 21) - 1) - wr.astype(np.uint64)
+            )
+            order = rem[_radix_argsort(packed, 21 + int(idx.max()).bit_length())]
+        else:
+            order = rem[np.lexsort((-wr, idx[rem]))]
         waves = 0
         while order.size:
             cells = idx[order]

@@ -339,3 +339,14 @@ class TestStringBufferHash:
                 np.asarray([1.0]),
                 lambda s: np.asarray(["x"], dtype=object),
             )
+
+
+def test_radix_argsort_matches_comparison_sort():
+    from heavykeeper_rs_spark.kernel import _radix_argsort
+
+    rng = np.random.default_rng(0)
+    for nbits, n in ((21, 1), (35, 1000), (50, 50_000), (14, 37)):
+        key = rng.integers(0, 1 << nbits, n, dtype=np.uint64)
+        got = _radix_argsort(key, nbits)
+        want = np.argsort(key, kind="stable")
+        assert np.array_equal(got, want), (nbits, n)
