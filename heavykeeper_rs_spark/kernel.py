@@ -623,7 +623,11 @@ class HeavyKeeper:
         # keys sharing a fingerprint+cell.
         m = (ccnt > 0) & (cfp == fp)
         if m.any():
-            np.add.at(cnt_row, idx[m], w[m].astype(np.uint64))
+            # direct scatter-add is safe here: fps within a batch are
+            # UNIQUE (hash-factorized upstream), and a match requires
+            # occupant fp == challenger fp, so two matched challengers
+            # can never hit the same cell — no np.add.at buffering
+            cnt_row[idx[m]] += w[m].astype(np.uint64)
         rem = np.flatnonzero(~m)
         if rem.size == 0:
             return
@@ -664,7 +668,8 @@ class HeavyKeeper:
         dcells = idx[duelers]
         dm = fps_row[dcells] == fp[duelers]
         if dm.any():
-            np.add.at(cnt_row, dcells[dm], w[duelers[dm]].astype(np.uint64))
+            # same uniqueness argument as the match fast path above
+            cnt_row[dcells[dm]] += w[duelers[dm]].astype(np.uint64)
             duelers = duelers[~dm]
             dcells = dcells[~dm]
         if duelers.size == 0:
