@@ -998,6 +998,19 @@ class HeavyKeeper:
         """O9 (src/heavykeeper.rs:177-199)."""
         return bool(self.estimate(np.asarray([item], dtype=object))[0] > 0)
 
+    def query(self, item: bytes | str) -> bool:
+        """O10: deprecated alias of ``contains`` (kept for parity with
+        the reference, src/heavykeeper.rs:201-209 — deprecated there
+        since 0.6.9)."""
+        import warnings
+
+        warnings.warn(
+            "query() is a deprecated alias; use contains()",
+            DeprecationWarning,
+            stacklevel=2,
+        )
+        return self.contains(item)
+
     def contains_top_k(self, item: bytes | str | int) -> bool:
         """O11 (src/heavykeeper.rs:211-218)."""
         return _pq_key(item) in self.pq.counts

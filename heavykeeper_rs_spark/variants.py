@@ -187,6 +187,18 @@ class _VariantBase:
     def contains(self, item) -> bool:
         return bool(self.estimate(np.asarray([item], dtype=object))[0] > 0)
 
+    def query(self, item) -> bool:
+        """O10: deprecated alias of ``contains`` (src/bucketed.rs:299,
+        src/cuckoo.rs:326 — deprecated in the reference since 0.6.9)."""
+        import warnings
+
+        warnings.warn(
+            "query() is a deprecated alias; use contains()",
+            DeprecationWarning,
+            stacklevel=2,
+        )
+        return self.contains(item)
+
     def contains_top_k(self, item) -> bool:
         return _pq_key(item) in self.pq.counts
 

@@ -350,3 +350,23 @@ def test_radix_argsort_matches_comparison_sort():
         got = _radix_argsort(key, nbits)
         want = np.argsort(key, kind="stable")
         assert np.array_equal(got, want), (nbits, n)
+
+
+def test_query_deprecated_alias():
+    """O10 parity: query() == contains() with a DeprecationWarning
+    (deprecated in the reference since 0.6.9)."""
+    import warnings
+
+    from heavykeeper_rs_spark.variants import BucketedTopK, CuckooTopK
+
+    for sk in (
+        HeavyKeeper(HKParams(k=2, width=64, depth=2, decay=0.9, seed=1)),
+        BucketedTopK(2, 64, 2, seed=1),
+        CuckooTopK(2, 64, 2, seed=1),
+    ):
+        sk.add_batch(np.asarray(["hot", "hot", "cold"], dtype=object))
+        with warnings.catch_warnings(record=True) as rec:
+            warnings.simplefilter("always")
+            assert sk.query("hot") is True
+            assert sk.query("never-seen") is False
+        assert any(issubclass(w.category, DeprecationWarning) for w in rec)
