@@ -103,6 +103,21 @@ def _hk_estimate_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hk_topk_types_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch ROLLUP (grouping sets): top-3 event types per user bucket
+    AND the grand total, one blob-tree pass per set — the relational
+    rollup pattern without Spark's row-duplicating Expand. Exact regime
+    -> UNION-of-window-queries oracle."""
+    from heavykeeper_rs_spark.operators.topk import topk_rollup
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "bucket", (F.col("user_id") % 4).cast("string")
+    )
+    return topk_rollup(ev, ["bucket"], "event_type", k=3, width=1024, depth=4).orderBy(
+        "grouping", "group", F.desc("count"), "item"
+    )
+
+
 def _hk_bucketed_estimate_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed count() probe on a BUCKETED sketch (the reference
     exposes count on all layouts — src/bucketed.rs:260-269); the probe
@@ -866,6 +881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hk_cuckoo_estimate_event_types": _hk_cuckoo_estimate_event_types,
         "hk_topk_type_per_user_bucket": _hk_topk_type_per_user_bucket,
         "hk_weighted_topk_part_by_flag": _hk_weighted_topk_part_by_flag,
+        "hk_topk_types_rollup": _hk_topk_types_rollup,
         "hk_contains_top_k": _hk_contains_top_k,
         "hk_bucketed_topk_event_type": _hk_bucketed_topk_event_type,
         "hk_cuckoo_topk_event_type": _hk_cuckoo_topk_event_type,
@@ -1047,6 +1063,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(l_partkey AS VARCHAR) AS item, "
             "CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS count FROM lineitem "
             "GROUP BY 1 ORDER BY count DESC, item LIMIT 10"
+        ),
+        "hk_topk_types_rollup": (
+            "SELECT * FROM ("
+            "  SELECT 'bucket' AS grouping, CAST(bucket AS VARCHAR) AS \"group\", "
+            "         event_type AS item, cnt AS count FROM ("
+            "    SELECT bucket, event_type, cnt, ROW_NUMBER() OVER "
+            "      (PARTITION BY bucket ORDER BY cnt DESC, event_type) AS rn FROM ("
+            "      SELECT user_id % 4 AS bucket, event_type, COUNT(*) AS cnt "
+            "      FROM events GROUP BY 1, 2)"
+            "  ) WHERE rn <= 3"
+            "  UNION ALL"
+            "  SELECT * FROM ("
+            "    SELECT '()' AS grouping, '()' AS \"group\", event_type AS item, "
+            "           COUNT(*) AS count FROM events GROUP BY event_type "
+            "    ORDER BY count DESC, item LIMIT 3)"
+            ") ORDER BY grouping, \"group\", count DESC, item"
         ),
         "hk_estimate_event_types": (
             "SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY 1"

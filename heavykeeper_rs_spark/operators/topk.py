@@ -887,3 +887,92 @@ def estimate(
 
     withkey = df.withColumn("__probe_key", F.col(col).cast(StringType()))
     return withkey.mapInArrow(probe, out_schema)
+
+def topk_by_grouping_sets(
+    df: DataFrame,
+    grouping_sets: list[list[str]],
+    key_col: str,
+    k: int,
+    width: int = 4096,
+    depth: int = 4,
+    decay: float = 0.9,
+    seed: int = 12345,
+    tie_break_key: bool = True,
+    fan_in: int = 64,
+    max_live_groups: int = 4096,
+    weight_col: str | None = None,
+    variant: str = "topk",
+) -> DataFrame:
+    """Sketch top-K over GROUPING SETS: one HeavyKeeper per group per
+    grouping set, output (grouping, group, item, count).
+
+    The relational ROLLUP/CUBE pattern composed from per-group
+    sketches. Spark's native grouping sets run one Expand operator
+    that DUPLICATES every input row per set — fine for cheap exact
+    aggregates, hostile at 10^12 rows. Here each set is an independent
+    blob-tree pass (``topk_by_group``): rows are consumed map-side per
+    pass and only KiB-scale blobs shuffle, so s sets cost s scans and
+    zero row shuffles (scans are cheap — column-pruned parquet;
+    cache/persist the projected input to pay one). ``grouping`` is the
+    comma-joined column list ('()' for the grand total); ``group``
+    joins the set's values with '|'.
+
+    ``topk_rollup`` / ``topk_cube`` derive the set lists.
+    """
+    opts = dict(
+        k=k, width=width, depth=depth, decay=decay, seed=seed,
+        tie_break_key=tie_break_key, fan_in=fan_in,
+        max_live_groups=max_live_groups, weight_col=weight_col,
+        variant=variant,
+    )
+    outs = []
+    for cols in grouping_sets:
+        label = ",".join(cols) if cols else "()"
+        if cols:
+            gexpr = F.concat_ws(
+                "|",
+                *[
+                    F.coalesce(F.col(c).cast(StringType()), F.lit("None"))
+                    for c in cols
+                ],
+            )
+            part = topk_by_group(
+                df.withColumn("__gset", gexpr), "__gset", key_col, **opts
+            )
+        else:
+            base = topk(
+                df, key_col, k, width=width, depth=depth, decay=decay,
+                seed=seed, weight_col=weight_col, merge_groups=fan_in,
+                tie_break_key=tie_break_key, variant=variant,
+            )
+            part = base.select(
+                F.lit("()").alias("group"), F.col("item"), F.col("count")
+            )
+        outs.append(part.select(F.lit(label).alias("grouping"), "group", "item", "count"))
+    out = outs[0]
+    for p_ in outs[1:]:
+        out = out.unionByName(p_)
+    return out
+
+
+def topk_rollup(
+    df: DataFrame, group_cols: list[str], key_col: str, k: int, **opts
+) -> DataFrame:
+    """ROLLUP(group_cols): grouping sets = every prefix incl. the
+    grand total — hierarchical per-level top-K in one call."""
+    sets = [group_cols[:i] for i in range(len(group_cols), -1, -1)]
+    return topk_by_grouping_sets(df, sets, key_col, k, **opts)
+
+
+def topk_cube(
+    df: DataFrame, group_cols: list[str], key_col: str, k: int, **opts
+) -> DataFrame:
+    """CUBE(group_cols): grouping sets = all 2^n subsets."""
+    from itertools import combinations
+
+    sets: list[list[str]] = []
+    for r in range(len(group_cols), -1, -1):
+        for combo in combinations(group_cols, r):
+            sets.append(list(combo))
+    return topk_by_grouping_sets(df, sets, key_col, k, **opts)
+

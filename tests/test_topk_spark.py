@@ -215,3 +215,29 @@ class TestArrowTokenizer:
             (k if isinstance(k, bytes) else k.encode(), c)
             for k, c in truth.list()
         }
+
+
+def test_topk_cube_and_grouping_sets(spark):
+    """CUBE over two columns: every subset's per-group top-K is exact
+    in the uncontended regime, including the grand total."""
+    from pyspark.sql import Row
+
+    from heavykeeper_rs_spark.operators.topk import topk_cube
+
+    rows = []
+    for a in ("x", "y"):
+        for b in ("1", "2"):
+            for i in range(3):
+                rows += [Row(a=a, b=b, item=f"k{i}")] * (3 - i)
+    df = spark.createDataFrame(rows).repartition(4)
+    got = topk_cube(df, ["a", "b"], "item", k=3, width=256, depth=4).collect()
+    by = {}
+    for r in got:
+        by.setdefault(r["grouping"], {}).setdefault(r["group"], []).append(
+            (r["item"], r["count"])
+        )
+    assert set(by) == {"a,b", "a", "b", "()"}
+    assert by["a,b"]["x|1"] == [("k0", 3), ("k1", 2), ("k2", 1)]
+    assert by["a"]["x"] == [("k0", 6), ("k1", 4), ("k2", 2)]
+    assert by["b"]["1"] == [("k0", 6), ("k1", 4), ("k2", 2)]
+    assert by["()"]["()"] == [("k0", 12), ("k1", 8), ("k2", 4)]
