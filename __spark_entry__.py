@@ -103,6 +103,74 @@ def _hk_estimate_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _streaming_windowed_topk_ok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming correctness gate: run the stateful windowed
+    sketch stream (state-store per-(window, shard) blobs, event-time
+    watermark finalization) over the events table via availableNow,
+    merge the emitted blobs per window, and assert every window's
+    top-3 equals the batch exact top-3. Oracle supplies the window
+    count; a single mismatched window flips windows_ok and fails the
+    hash compare."""
+    import tempfile
+
+    from heavykeeper_rs_spark.kernel import HKParams
+    from heavykeeper_rs_spark.streaming.stateful import (
+        merge_window_blobs,
+        stateful_windowed_topk_stream,
+    )
+
+    import os
+
+    ev = _t(spark, sf_dir, "events")
+    params = HKParams(k=6, width=2048, depth=4, decay=0.9, seed=12345)
+    rows: list = []
+    with tempfile.TemporaryDirectory() as tmp:
+        # FileStreamSource wants a DIRECTORY; the testdata table is a
+        # single parquet file — symlink it into a watch dir
+        src = f"{tmp}/src"
+        os.makedirs(src)
+        os.symlink(f"{sf_dir}/events.parquet", f"{src}/events.parquet")
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+        out = stateful_windowed_topk_stream(
+            stream, "event_type", "ts", params,
+            window="12 hours", watermark="1 minute", n_shards=4,
+        )
+        q = (
+            out.writeStream.foreachBatch(lambda b, i: rows.extend(b.collect()))
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{tmp}/ck")
+            .start()
+        )
+        q.awaitTermination(300)
+    merged = merge_window_blobs(rows)
+    truth_rows = (
+        ev.select(
+            (F.col("ts").cast("timestamp").cast("long") - F.col("ts").cast("timestamp").cast("long") % 43200).alias("w"),
+            "event_type",
+        )
+        .groupBy("w", "event_type")
+        .count()
+        .collect()
+    )
+    by_w: dict = {}
+    for r in truth_rows:
+        by_w.setdefault(r["w"], []).append((r["event_type"].encode(), r["count"]))
+    ok = set(merged) == set(by_w)
+    if ok:
+        for w, acc in merged.items():
+            got = sorted(acc.list(), key=lambda t: (-t[1], t[0]))[:3]
+            want = sorted(by_w[w], key=lambda t: (-t[1], t[0]))[:3]
+            if got != want:
+                ok = False
+                break
+    return _local_df(
+        spark,
+        [(len(merged), bool(ok))],
+        "n_windows bigint, windows_ok boolean",
+    )
+
+
 def _hk_topk_types_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch ROLLUP (grouping sets): top-3 event types per user bucket
     AND the grand total, one blob-tree pass per set — the relational
@@ -882,6 +950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hk_topk_type_per_user_bucket": _hk_topk_type_per_user_bucket,
         "hk_weighted_topk_part_by_flag": _hk_weighted_topk_part_by_flag,
         "hk_topk_types_rollup": _hk_topk_types_rollup,
+        "streaming_windowed_topk_ok": _streaming_windowed_topk_ok,
         "hk_contains_top_k": _hk_contains_top_k,
         "hk_bucketed_topk_event_type": _hk_bucketed_topk_event_type,
         "hk_cuckoo_topk_event_type": _hk_cuckoo_topk_event_type,
@@ -1063,6 +1132,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(l_partkey AS VARCHAR) AS item, "
             "CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS count FROM lineitem "
             "GROUP BY 1 ORDER BY count DESC, item LIMIT 10"
+        ),
+        "streaming_windowed_topk_ok": (
+            "SELECT CAST(COUNT(DISTINCT epoch(ts) - epoch(ts) % 43200) AS BIGINT) "
+            "AS n_windows, TRUE AS windows_ok FROM events"
         ),
         "hk_topk_types_rollup": (
             "SELECT * FROM ("

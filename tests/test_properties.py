@@ -122,3 +122,44 @@ def test_serialize_roundtrip_identity(keys):
         assert back.list() == sk.list()
         uniq = np.asarray(sorted({k.encode() for k in keys}), dtype=object)
         assert list(back.estimate(uniq)) == list(sk.estimate(uniq))
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=0, max_codepoint=0x2FF),
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(min_value=0, max_value=2**31),
+)
+@settings(max_examples=60, deadline=None)
+def test_buffer_hash_lane_identity(keys, seed):
+    """Property: the Arrow zero-copy lane and the object-array lane
+    produce identical hashes for ANY str keys (incl. non-ASCII,
+    empties, duplicates) — the invariant every distributed fingerprint
+    depends on."""
+    import numpy as np
+    import pyarrow as pa
+
+    from heavykeeper_rs_spark.kernel import (
+        arrow_string_buffers,
+        hash_items,
+        hash_string_buffers,
+    )
+
+    h_obj = hash_items(np.asarray(keys, dtype=object), seed)
+    col = pa.array(keys, type=pa.string())
+    off, data = arrow_string_buffers(col)
+    h_arrow = hash_string_buffers(off, data, seed)
+    assert np.array_equal(h_obj, h_arrow)
+    # equal keys hash equal, and the map is injective on this sample
+    # modulo true 64-bit collisions (astronomically unlikely here)
+    uniq = {}
+    for k, h in zip(keys, h_obj.tolist()):
+        if k in uniq:
+            assert uniq[k] == h
+        uniq[k] = h
+    assert len({v for v in uniq.values()}) == len(uniq)

@@ -75,3 +75,30 @@ def test_zipf_keys_deterministic(spark):
     a = zipf_keys(spark, 1000, s=1.2, partitions=3).collect()
     b = zipf_keys(spark, 1000, s=1.2, partitions=5).collect()
     assert sorted(r["key"] for r in a) == sorted(r["key"] for r in b)
+
+
+class TestTextFileSource:
+    """Raw text files -> documents -> the same sketch operators
+    (the reference's word_count / ip_files input shape)."""
+
+    def test_per_file_and_per_line(self, spark, tmp_path):
+        from heavykeeper_rs_spark.operators.topk import topk_tokens
+        from heavykeeper_rs_spark.sources.textfiles import read_text_corpus
+
+        (tmp_path / "a.txt").write_text("the cat sat on the mat\nthe end")
+        (tmp_path / "b.txt").write_text("a dog and the cat")
+        (tmp_path / "skip.log").write_text("ignored file")
+
+        docs = read_text_corpus(spark, str(tmp_path), glob="*.txt")
+        rows = docs.collect()
+        assert len(rows) == 2  # one doc per file, .log filtered out
+        assert all(r["doc_id"] is not None for r in rows)
+        # deterministic ids across re-reads
+        again = {r["source"]: r["doc_id"] for r in read_text_corpus(
+            spark, str(tmp_path), glob="*.txt").collect()}
+        assert {r["source"]: r["doc_id"] for r in rows} == again
+        top = topk_tokens(docs, "text", k=2, width=1024, tie_break_key=True).collect()
+        assert top[0]["item"] == "the" and top[0]["count"] == 4
+
+        lines = read_text_corpus(spark, str(tmp_path), per_file=False, glob="a.txt")
+        assert lines.count() == 2
