@@ -636,7 +636,7 @@ class CuckooTopK(_VariantBase):
         # conditioned survivors duel VECTORIZED against their lobby cell
         # (primary buckets are unique this wave)
         duel = np.flatnonzero(todo & ~fast)
-        winners: list[int] = []
+        winners: np.ndarray | list = []
         if duel.size:
             force = self._force_decay
             if force is True:
@@ -661,25 +661,42 @@ class CuckooTopK(_VariantBase):
                     ww[sv].astype(np.int64),
                 )
                 won = (self.lobby_fp[cells] == f[sv]) & (self.lobby_c[cells] > 0)
-                winners = [int(i) for i in sv[won]]
+                winners = sv[won]
         # promote decision, vectorized over lobby holders
         holders = np.flatnonzero(fast)
-        if winners:
-            holders = np.concatenate([holders, np.asarray(winners, dtype=np.int64)])
+        if isinstance(winners, np.ndarray) and winners.size:
+            holders = np.concatenate([holders, winners])
         if holders.size == 0:
             return
         hb1, hb2 = bb1[holders], bb2[holders]
         lc = self.lobby_c[hb1].astype(np.int64)
-        has_empty = (self.heavy_c[hb1] == 0).any(axis=1) | (
-            self.heavy_c[hb2] == 0
-        ).any(axis=1)
+        e1_mask = (self.heavy_c[hb1] == 0).any(axis=1)
+        has_empty = e1_mask | (self.heavy_c[hb2] == 0).any(axis=1)
         minc = np.minimum(
             self.heavy_c[hb1].min(axis=1), self.heavy_c[hb2].min(axis=1)
         ).astype(np.int64)
-        cand = np.flatnonzero(has_empty | (lc > minc))
-        # only actual promotions run scalar (evictions may relocate
-        # into other buckets, so they stay ordered)
-        for j in cand:
+        cand_mask = has_empty | (lc > minc)
+        # common case fully vectorized: the PRIMARY bucket has an empty
+        # slot. Primary buckets are unique within a wave, so the
+        # installs are conflict-free scatters (first zero slot — the
+        # same slot scalar _promote's argmin picks); lobbies clear
+        # atomically with the install.
+        e1 = np.flatnonzero(cand_mask & e1_mask)
+        if e1.size:
+            tb = hb1[e1]
+            slot = (self.heavy_c[tb] == 0).argmax(axis=1)
+            hidx = holders[e1]
+            cur = self.lobby_c[tb].copy()
+            self.heavy_fp[tb, slot] = f[hidx]
+            self.heavy_c[tb, slot] = cur
+            self.lobby_fp[tb] = 0
+            self.lobby_c[tb] = 0
+            est[sub[hidx]] = cur.astype(np.int64)
+            cand_mask = cand_mask.copy()
+            cand_mask[e1] = False
+        # the rest (secondary-bucket installs, evictions with kick
+        # chains) stays scalar and ordered
+        for j in np.flatnonzero(cand_mask):
             i = int(holders[j])
             bb, ba = int(hb1[j]), int(hb2[j])
             cur = int(self.lobby_c[bb])
