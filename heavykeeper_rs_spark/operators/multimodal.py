@@ -207,3 +207,56 @@ def frame_sample_plan(
             )
         ).alias("sample_ms"),
     )
+
+def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize of an (H, W[, C]) array — the standard
+    pre-embedding normalization step, pure NumPy index math (one
+    gather). Works on anything a decoder returns as a 2-/3-d array;
+    the synthetic image decoder below exercises it in tests so the
+    Spark-side plumbing is real even while codec decode is stubbed."""
+    if img.ndim not in (2, 3):
+        raise ValueError(f"expected (H, W[, C]) array, got shape {img.shape}")
+    h, w = img.shape[0], img.shape[1]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    rows = np.minimum((np.arange(out_h) * h) // out_h, h - 1)
+    cols = np.minimum((np.arange(out_w) * w) // out_w, w - 1)
+    return img[rows[:, None], cols[None, :]]
+
+
+def fake_pixel_decoder(shape: tuple[int, int] = (8, 8)):
+    """Decoder factory: deterministic fake 2-D 'decode' (blob bytes
+    tiled into an HxW uint8 image) so resize/feature plumbing runs
+    end-to-end without codec libs."""
+    h, w = shape
+
+    def decode(blob: bytes) -> np.ndarray:
+        if not blob:
+            raise ValueError("empty media blob")
+        arr = np.frombuffer(blob, dtype=np.uint8)
+        reps = -(-(h * w) // arr.size)
+        return np.tile(arr, reps)[: h * w].reshape(h, w)
+
+    return decode
+
+
+def resize_features(
+    df: DataFrame,
+    id_col: str,
+    blob_col: str,
+    out_h: int = 4,
+    out_w: int = 4,
+    decoder: Callable[[bytes], np.ndarray] | None = None,
+) -> DataFrame:
+    """Decode -> nearest-neighbor resize -> flattened pixel features,
+    with per-row failure capture (same contract as extract_features).
+    ``decoder`` defaults to the deterministic fake pixel decoder; swap
+    in a real codec-backed decoder on a cluster that ships one."""
+    dec = decoder if decoder is not None else fake_pixel_decoder()
+
+    def fe(blob: bytes) -> np.ndarray:
+        img = dec(blob)
+        return resize_nearest(img, out_h, out_w).astype(np.float32).reshape(-1)
+
+    return extract_features(df, id_col, blob_col, decoder=fe)
+

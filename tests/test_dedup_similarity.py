@@ -455,3 +455,35 @@ class TestLabelPropagationConvergence:
         # 2 hops cannot resolve the far end of a diameter-9 path
         assert got[9] != 0
         assert got[1] == 0 and got[2] == 0
+
+
+class TestResize:
+    def test_resize_nearest_math(self):
+        from heavykeeper_rs_spark.operators.multimodal import resize_nearest
+
+        img = np.arange(16).reshape(4, 4)
+        up = resize_nearest(img, 8, 8)
+        assert up.shape == (8, 8)
+        assert up[0, 0] == 0 and up[7, 7] == 15
+        down = resize_nearest(img, 2, 2)
+        assert down.tolist() == [[0, 2], [8, 10]]
+        rgb = np.arange(48).reshape(4, 4, 3)
+        assert resize_nearest(rgb, 2, 2).shape == (2, 2, 3)
+        with pytest.raises(ValueError):
+            resize_nearest(np.arange(3), 2, 2)
+
+    def test_resize_features_plumbing(self, spark):
+        from pyspark.sql import Row
+
+        from heavykeeper_rs_spark.operators.multimodal import resize_features
+
+        rows = [
+            Row(mid=1, blob=bytes(range(64))),
+            Row(mid=2, blob=b""),  # corrupt: captured, not fatal
+            Row(mid=3, blob=b"\xff" * 10),
+        ]
+        df = spark.createDataFrame(rows)
+        got = {r["id"]: r for r in resize_features(df, "mid", "blob", 4, 4).collect()}
+        assert got[1]["ok"] and len(got[1]["feature"]) == 16
+        assert not got[2]["ok"] and "empty media blob" in got[2]["error"]
+        assert got[3]["ok"] and set(got[3]["feature"]) == {255.0}
