@@ -61,10 +61,30 @@ def stub_decoder(blob: bytes) -> np.ndarray:
     """Placeholder for image/video decode. Intentionally not
     implemented in this container (no PIL/cv2/av); swap in e.g. a
     PIL/torchaudio-backed callable in production. AUDIO decode is real
-    — see ``wav_decoder``."""
+    — see ``wav_decoder``; IMAGE decode is import-gated — see
+    ``pil_image_decoder``."""
     raise NotImplementedError(
         "media decode requires codec libraries not present in this environment"
     )
+
+
+def pil_image_decoder(blob: bytes) -> np.ndarray:
+    """REAL image decode, import-gated: uses Pillow when it is on the
+    executors (pip-install it into the cluster image) and degrades to
+    the documented NotImplementedError here, where no codec libs ship.
+    Returns an (H, W[, C]) uint8 array ready for ``resize_nearest`` /
+    ``resize_features(decoder=pil_image_decoder)``."""
+    try:
+        from PIL import Image  # noqa: PLC0415 — executor-side optional dep
+    except ImportError as e:
+        raise NotImplementedError(
+            "image decode requires Pillow, which this environment does not "
+            "ship; install it on the executors to activate this decoder"
+        ) from e
+    import io as _io
+
+    with Image.open(_io.BytesIO(blob)) as im:
+        return np.asarray(im)
 
 
 def wav_decoder(blob: bytes) -> np.ndarray:

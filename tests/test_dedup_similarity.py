@@ -487,3 +487,29 @@ class TestResize:
         assert got[1]["ok"] and len(got[1]["feature"]) == 16
         assert not got[2]["ok"] and "empty media blob" in got[2]["error"]
         assert got[3]["ok"] and set(got[3]["feature"]) == {255.0}
+
+
+def test_pil_image_decoder_gating():
+    """Import-gated real image decode: with Pillow absent (this
+    container) it raises the documented NotImplementedError; when
+    Pillow exists it must return an ndarray (both branches covered so
+    the decoder activates untouched once codec libs appear)."""
+    from heavykeeper_rs_spark.operators.multimodal import pil_image_decoder
+
+    try:
+        import PIL  # noqa: F401
+
+        has_pil = True
+    except ImportError:
+        has_pil = False
+    if not has_pil:
+        with pytest.raises(NotImplementedError, match="Pillow"):
+            pil_image_decoder(b"\x89PNG fake")
+    else:  # pragma: no cover - not this container
+        import io as _io
+
+        from PIL import Image
+
+        buf = _io.BytesIO()
+        Image.new("L", (4, 4)).save(buf, format="PNG")
+        assert pil_image_decoder(buf.getvalue()).shape == (4, 4)
