@@ -607,6 +607,61 @@ def _embedding_lsh_recall_ok(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _embedding_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSISTED IVF index: build the centroid-partitioned parquet
+    index once, search it full-probe (== exact top-10, oracle-checked).
+    The pruned n_probe mode reads only its partitions — Spark's
+    PartitionFilters prune the rest at listing time (asserted in
+    tests); this is the write-once 10^12-vector search shape."""
+    import tempfile
+
+    from heavykeeper_rs_spark.operators.similarity import (
+        ivf_build_index,
+        ivf_search_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "emb_d", F.col("embedding").cast("array<double>")
+    )
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("emb_d").first()[0]]
+    with tempfile.TemporaryDirectory() as d:
+        cents = ivf_build_index(
+            emb, "vec_id", "emb_d", f"{d}/ivf", n_centroids=8, seed=12345
+        )
+        out = ivf_search_index(
+            spark, f"{d}/ivf", q, k=10, n_probe=8, centroids=cents
+        ).select(F.col("id").alias("vec_id"), "cosine")
+        rows = out.collect()  # materialize before the index dir vanishes
+    return _local_df(spark, [(r["vec_id"], r["cosine"]) for r in rows],
+                     "vec_id bigint, cosine double")
+
+
+def _bloom_semi_join_ok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom map-side semi-join prefilter, oracle-verified bounds: the
+    prefiltered fact rows are a SUPERSET of the exact semi-join (no
+    false negatives — re-joining exactly reproduces it) and the false
+    positives stay under the sized fp budget."""
+    from heavykeeper_rs_spark.operators.joins import bloom_prefilter
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    exact = orders.join(
+        cust, orders.o_custkey == cust.c_custkey, "leftsemi"
+    ).count()
+    pre_df = bloom_prefilter(orders, "o_custkey", cust, "c_custkey", fpp=0.01)
+    pre = pre_df.count()
+    total = orders.count()
+    after = pre_df.join(
+        cust, pre_df.o_custkey == cust.c_custkey, "leftsemi"
+    ).count()
+    fp_ok = (pre - exact) <= max(0.05 * (total - exact), 50.0)
+    return _local_df(
+        spark,
+        [(exact, bool(pre >= exact and after == exact), bool(fp_ok))],
+        "n_exact bigint, no_false_negatives boolean, fp_bounded boolean",
+    )
+
+
 def _lang_id_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     # two-stage select: the per-family fold runs once per row; the
@@ -981,6 +1036,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": _embedding_near_dup,
         "embedding_sim_join": _embedding_sim_join,
         "embedding_ivf_topk": _embedding_ivf_topk,
+        "embedding_ivf_index_topk": _embedding_ivf_index_topk,
+        "bloom_semi_join_ok": _bloom_semi_join_ok,
         "embedding_lsh_topk": _embedding_lsh_topk,
         "embedding_lsh_recall_ok": _embedding_lsh_recall_ok,
         # text analysis
@@ -1291,6 +1348,18 @@ def oracle_sql() -> dict[str, str]:
             "embedding::DOUBLE[], "
             "(SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 6) "
             "AS cosine FROM embeddings ORDER BY cosine DESC, vec_id LIMIT 10"
+        ),
+        "embedding_ivf_index_topk": (
+            "SELECT vec_id, ROUND(list_cosine_similarity("
+            "embedding::DOUBLE[], "
+            "(SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 6) "
+            "AS cosine FROM embeddings ORDER BY cosine DESC, vec_id LIMIT 10"
+        ),
+        "bloom_semi_join_ok": (
+            "SELECT CAST(COUNT(*) AS BIGINT) AS n_exact, "
+            "TRUE AS no_false_negatives, TRUE AS fp_bounded FROM orders "
+            "WHERE o_custkey IN (SELECT c_custkey FROM customer "
+            "WHERE c_mktsegment = 'BUILDING')"
         ),
         "embedding_ivf_topk": (
             "SELECT vec_id, ROUND(list_cosine_similarity("

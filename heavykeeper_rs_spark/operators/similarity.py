@@ -206,12 +206,21 @@ def ivf_assign(
     id_col: str,
     vec_col: str,
     centroids: np.ndarray,
+    carry_vec: bool = False,
 ) -> DataFrame:
-    """(id, centroid int): IVF coarse assignment — one broadcast matmul
-    per Arrow batch (the inverted-file 'list id' of FAISS-style IVF)."""
-    out_schema = StructType(
-        [StructField("id", LongType(), False), StructField("centroid", LongType(), False)]
-    )
+    """(id, centroid int[, vec]): IVF coarse assignment — one broadcast
+    matmul per Arrow batch (the inverted-file 'list id' of FAISS-style
+    IVF). ``carry_vec=True`` carries the vector through (as
+    array<double>) so an index write needs no join back to the table."""
+    fields = [
+        StructField("id", LongType(), False),
+        StructField("centroid", LongType(), False),
+    ]
+    if carry_vec:
+        from pyspark.sql.types import ArrayType, DoubleType
+
+        fields.append(StructField("vec", ArrayType(DoubleType()), True))
+    out_schema = StructType(fields)
     cents = centroids.astype(np.float32)
 
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -222,15 +231,69 @@ def ivf_assign(
             vecs = np.vstack(batch.column(1).to_numpy(zero_copy_only=False)).astype(
                 np.float32
             )
-            vecs /= np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
-            assign = (vecs @ cents.T).argmax(axis=1).astype(np.int64)
-            yield pa.RecordBatch.from_arrays(
-                [pa.array(np.asarray(ids, dtype=np.int64)), pa.array(assign)],
-                names=["id", "centroid"],
-            )
+            norm = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+            assign = (norm @ cents.T).argmax(axis=1).astype(np.int64)
+            cols = [pa.array(np.asarray(ids, dtype=np.int64)), pa.array(assign)]
+            names = ["id", "centroid"]
+            if carry_vec:
+                cols.append(batch.column(1).cast(pa.list_(pa.float64())))
+                names.append("vec")
+            yield pa.RecordBatch.from_arrays(cols, names=names)
 
     keyed = df.select(F.col(id_col).cast("long").alias("__id"), F.col(vec_col).alias("__v"))
     return keyed.mapInArrow(kernel, out_schema)
+
+
+def ivf_build_index(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    index_path: str,
+    n_centroids: int = 16,
+    train_sample: int = 2048,
+    seed: int = 12345,
+) -> np.ndarray:
+    """Write a PERSISTED, centroid-partitioned IVF index: train the
+    coarse quantizer on a partition-stratified reservoir, assign every
+    vector, and write (id, vec) parquet partitioned by ``centroid``.
+    Returns the centroids (also saved next to the index).
+
+    This is the 10^12-row shape: the index is written once, and every
+    search reads ONLY its n_probe partitions — the centroid filter is
+    a partition-pruning predicate at the scan (verified in
+    tests/test_dedup_similarity.py via PartitionFilters), so a search
+    touches n_probe/n_centroids of the files instead of the corpus.
+    ``index_path`` is shared storage on a cluster (S3/HDFS)."""
+    import os
+
+    sample = _reservoir_sample(df, vec_col, train_sample, seed)
+    cents = _kmeans(sample, n_centroids, seed)
+    assigned = ivf_assign(df, id_col, vec_col, cents, carry_vec=True)
+    assigned.write.partitionBy("centroid").mode("overwrite").parquet(index_path)
+    np.save(os.path.join(index_path, "_ivf_centroids.npy"), cents)
+    return cents
+
+
+def ivf_search_index(
+    spark,
+    index_path: str,
+    qvec: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """Top-k cosine search against a persisted IVF index: pick the
+    query's n_probe nearest centroids and scan ONLY those partitions
+    (Spark prunes the rest at file-listing time)."""
+    import os
+
+    if centroids is None:
+        centroids = np.load(os.path.join(index_path, "_ivf_centroids.npy"))
+    q = np.asarray(qvec, dtype=np.float32)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    probe = [int(c) for c in np.argsort(-(centroids @ qn))[:n_probe]]
+    idx = spark.read.parquet(index_path).filter(F.col("centroid").isin(probe))
+    return brute_force_topk(idx, "id", "vec", qvec, k)
 
 
 def _reservoir_sample(df: DataFrame, vec_col: str, n: int, seed: int) -> np.ndarray:

@@ -513,3 +513,76 @@ def test_pil_image_decoder_gating():
         buf = _io.BytesIO()
         Image.new("L", (4, 4)).save(buf, format="PNG")
         assert pil_image_decoder(buf.getvalue()).shape == (4, 4)
+
+
+class TestIvfIndex:
+    def test_build_search_and_partition_pruning(self, spark, tmp_path):
+        """Persisted centroid-partitioned IVF index: full-probe search
+        equals brute force; pruned search reads ONLY its partitions
+        (PartitionFilters in the scan)."""
+        from pyspark.sql import functions as F
+
+        from heavykeeper_rs_spark.operators.similarity import (
+            brute_force_topk,
+            ivf_build_index,
+            ivf_search_index,
+        )
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+        idxp = str(tmp_path / "ivf")
+        cents = ivf_build_index(emb, "vec_id", "embedding", idxp, n_centroids=8, seed=1)
+        assert cents.shape[0] == 8
+        got = [
+            (r["id"], r["cosine"])
+            for r in ivf_search_index(spark, idxp, q, k=10, n_probe=8).collect()
+        ]
+        want = [
+            (r["vec_id"], r["cosine"])
+            for r in brute_force_topk(emb, "vec_id", "embedding", q, 10).collect()
+        ]
+        assert got == want
+        pruned = ivf_search_index(spark, idxp, q, k=10, n_probe=2)
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "centroid" in plan
+        # the query vector's own list is probed first -> top hit found
+        assert pruned.collect()[0]["id"] == 0
+
+
+class TestBloomPrefilter:
+    def test_superset_and_bounded_fp(self, spark):
+        from pyspark.sql import functions as F
+
+        from heavykeeper_rs_spark.operators.joins import bloom_prefilter
+
+        orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet").filter(
+            F.col("c_mktsegment") == "BUILDING"
+        )
+        exact_ids = {
+            r["o_orderkey"]
+            for r in orders.join(
+                cust, orders.o_custkey == cust.c_custkey, "leftsemi"
+            ).collect()
+        }
+        pre = bloom_prefilter(orders, "o_custkey", cust, "c_custkey", fpp=0.01)
+        pre_ids = {r["o_orderkey"] for r in pre.collect()}
+        assert exact_ids <= pre_ids  # no false negatives, row-level
+        total = orders.count()
+        assert len(pre_ids) - len(exact_ids) <= max(
+            0.05 * (total - len(exact_ids)), 50
+        )
+        # schema passthrough: all original columns survive
+        assert pre.columns == orders.columns
+
+    def test_null_keys_never_pass(self, spark):
+        from pyspark.sql import Row
+
+        from heavykeeper_rs_spark.operators.joins import bloom_prefilter
+
+        big = spark.createDataFrame(
+            [Row(k="a", v=1), Row(k=None, v=2), Row(k="zz", v=3)]
+        )
+        small = spark.createDataFrame([Row(j="a")])
+        got = {r["v"] for r in bloom_prefilter(big, "k", small, "j").collect()}
+        assert 1 in got and 2 not in got
