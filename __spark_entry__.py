@@ -662,6 +662,48 @@ def _bloom_semi_join_ok(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stratified_sample_ok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampling operators, oracle-verified invariants: exact-n uniform
+    sample size; exact per-stratum sizes (capped by stratum size);
+    id-stable train/val/test split that partitions the table with no
+    leakage and near-target fractions."""
+    from heavykeeper_rs_spark.operators.sampling import (
+        split,
+        stratified_exact_n,
+        uniform_exact_n,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    total = docs.count()
+    n_uni = uniform_exact_n(docs, 100, seed=7).count()
+    per = (
+        stratified_exact_n(docs, "lang", 20, seed=7)
+        .groupBy("lang")
+        .count()
+        .collect()
+    )
+    lang_sizes = {r["lang"]: r["count"] for r in docs.groupBy("lang").count().collect()}
+    strata_ok = all(r["count"] == min(20, lang_sizes[r["lang"]]) for r in per)
+    sp = split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, seed=7)
+    counts = {r["split"]: r["count"] for r in sp.groupBy("split").count().collect()}
+    no_leak = sum(counts.values()) == total
+    # deterministic: same assignment on a re-run
+    counts2 = {
+        r["split"]: r["count"]
+        for r in split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, seed=7)
+        .groupBy("split")
+        .count()
+        .collect()
+    }
+    frac_ok = abs(counts.get("train", 0) / total - 0.8) < 0.1
+    return _local_df(
+        spark,
+        [(total, bool(n_uni == 100 and strata_ok and no_leak
+                      and counts == counts2 and frac_ok))],
+        "n_docs bigint, sampling_ok boolean",
+    )
+
+
 def _lang_id_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     # two-stage select: the per-family fold runs once per row; the
@@ -1038,6 +1080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ivf_topk": _embedding_ivf_topk,
         "embedding_ivf_index_topk": _embedding_ivf_index_topk,
         "bloom_semi_join_ok": _bloom_semi_join_ok,
+        "stratified_sample_ok": _stratified_sample_ok,
         "embedding_lsh_topk": _embedding_lsh_topk,
         "embedding_lsh_recall_ok": _embedding_lsh_recall_ok,
         # text analysis
@@ -1354,6 +1397,10 @@ def oracle_sql() -> dict[str, str]:
             "embedding::DOUBLE[], "
             "(SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 6) "
             "AS cosine FROM embeddings ORDER BY cosine DESC, vec_id LIMIT 10"
+        ),
+        "stratified_sample_ok": (
+            "SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, TRUE AS sampling_ok "
+            "FROM documents"
         ),
         "bloom_semi_join_ok": (
             "SELECT CAST(COUNT(*) AS BIGINT) AS n_exact, "
