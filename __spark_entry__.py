@@ -704,6 +704,20 @@ def _stratified_sample_ok(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-prep vocabulary build: top-10 vocab from the in-kernel
+    token sketch + exact coverage (1 - OOV rate). Exact regime ->
+    SQL-expressible coverage."""
+    from heavykeeper_rs_spark.operators.topk import build_vocab
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab, cov = build_vocab(docs, "text", 10, width=1 << 17)
+    n = vocab.count()
+    return _local_df(
+        spark, [(n, round(cov, 6))], "vocab_size bigint, coverage double"
+    )
+
+
 def _lang_id_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     # two-stage select: the per-family fold runs once per row; the
@@ -1081,6 +1095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ivf_index_topk": _embedding_ivf_index_topk,
         "bloom_semi_join_ok": _bloom_semi_join_ok,
         "stratified_sample_ok": _stratified_sample_ok,
+        "vocab_coverage": _vocab_coverage,
         "embedding_lsh_topk": _embedding_lsh_topk,
         "embedding_lsh_recall_ok": _embedding_lsh_recall_ok,
         # text analysis
@@ -1397,6 +1412,14 @@ def oracle_sql() -> dict[str, str]:
             "embedding::DOUBLE[], "
             "(SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 6) "
             "AS cosine FROM embeddings ORDER BY cosine DESC, vec_id LIMIT 10"
+        ),
+        "vocab_coverage": (
+            f"WITH tok AS ({_TOKENS_SRC}), "
+            "top AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY 1 "
+            "        ORDER BY c DESC, token LIMIT 10) "
+            "SELECT CAST((SELECT COUNT(*) FROM top) AS BIGINT) AS vocab_size, "
+            "ROUND((SELECT SUM(c) FROM top)::DOUBLE / (SELECT COUNT(*) FROM tok), 6) "
+            "AS coverage"
         ),
         "stratified_sample_ok": (
             "SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, TRUE AS sampling_ok "

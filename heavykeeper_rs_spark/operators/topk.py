@@ -976,3 +976,43 @@ def topk_cube(
             sets.append(list(combo))
     return topk_by_grouping_sets(df, sets, key_col, k, **opts)
 
+def build_vocab(
+    df: DataFrame,
+    text_col: str,
+    v_size: int,
+    width: int = 1 << 20,
+    depth: int = 4,
+    seed: int = 12345,
+    token_re: str = "[a-z]+",
+    max_token_len: int = 64,
+) -> tuple[DataFrame, float]:
+    """Frequency vocabulary for tokenizer training: (vocab DataFrame
+    ``(item, count, rank)``, coverage) where coverage is the fraction
+    of all token OCCURRENCES the top-``v_size`` vocabulary explains
+    (1 - OOV rate).
+
+    Built from the in-kernel token sketch (one pass, blob-only
+    shuffle) plus one JVM-side total-occurrence count — in the exact
+    regime (width*depth >> distinct tokens, the correct sizing for a
+    vocab job) both the vocabulary and the coverage are exact.
+    """
+    vocab = topk_tokens(
+        df, text_col, k=v_size, width=width, depth=depth, seed=seed,
+        token_re=token_re, max_token_len=max_token_len, tie_break_key=True,
+    )
+    toks = F.filter(
+        F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(token_re), 0),
+        lambda t: F.length(t) <= max_token_len,
+    )
+    total = (
+        df.select(F.size(toks).alias("n")).agg(F.sum("n")).collect()[0][0] or 0
+    )
+    from pyspark.sql import Window as _W
+
+    ranked = vocab.withColumn(
+        "rank", F.row_number().over(_W.orderBy(F.desc("count"), "item"))
+    )
+    covered = vocab.agg(F.sum("count")).collect()[0][0] or 0
+    coverage = float(covered) / float(total) if total else 0.0
+    return ranked, coverage
+

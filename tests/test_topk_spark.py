@@ -241,3 +241,19 @@ def test_topk_cube_and_grouping_sets(spark):
     assert by["a"]["x"] == [("k0", 6), ("k1", 4), ("k2", 2)]
     assert by["b"]["1"] == [("k0", 6), ("k1", 4), ("k2", 2)]
     assert by["()"]["()"] == [("k0", 12), ("k1", 8), ("k2", 4)]
+
+
+def test_build_vocab_exact(spark):
+    from pyspark.sql import Row
+
+    from heavykeeper_rs_spark.operators.topk import build_vocab
+
+    rows = [Row(text="aa bb aa cc aa bb"), Row(text="bb dd")]
+    df = spark.createDataFrame(rows)
+    vocab, cov = build_vocab(df, "text", 2, width=1024)
+    got = [(r["item"], r["count"], r["rank"]) for r in vocab.collect()]
+    assert got == [("aa", 3, 1), ("bb", 3, 2)]
+    assert abs(cov - 6 / 8) < 1e-9
+    # full vocab -> full coverage
+    _, cov_all = build_vocab(df, "text", 10, width=1024)
+    assert cov_all == 1.0
