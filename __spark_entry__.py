@@ -718,6 +718,33 @@ def _vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _length_buckets_ok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile length-bucketing (curriculum/batching prep): t-digest
+    boundaries over document length, JVM CASE assignment. Oracle checks
+    the invariants — every row bucketed, buckets within a loose
+    equal-mass tolerance (t-digest error << 25% at these sizes)."""
+    from heavykeeper_rs_spark.operators.agg import quantile_buckets
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "tlen", F.length("text").cast("double")
+    )
+    bucketed, bounds = quantile_buckets(docs, "tlen", n_buckets=4)
+    counts = {
+        r["bucket"]: r["count"]
+        for r in bucketed.groupBy("bucket").count().collect()
+    }
+    total = sum(counts.values())
+    balanced = all(
+        abs(counts.get(i, 0) - total / 4) <= 0.25 * total / 4 + 5
+        for i in range(4)
+    )
+    return _local_df(
+        spark,
+        [(total, len(bounds) + 1, bool(balanced and sorted(bounds) == bounds))],
+        "n_docs bigint, n_buckets bigint, buckets_ok boolean",
+    )
+
+
 def _lang_id_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     # two-stage select: the per-family fold runs once per row; the
@@ -1096,6 +1123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_semi_join_ok": _bloom_semi_join_ok,
         "stratified_sample_ok": _stratified_sample_ok,
         "vocab_coverage": _vocab_coverage,
+        "length_buckets_ok": _length_buckets_ok,
         "embedding_lsh_topk": _embedding_lsh_topk,
         "embedding_lsh_recall_ok": _embedding_lsh_recall_ok,
         # text analysis
@@ -1412,6 +1440,10 @@ def oracle_sql() -> dict[str, str]:
             "embedding::DOUBLE[], "
             "(SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 6) "
             "AS cosine FROM embeddings ORDER BY cosine DESC, vec_id LIMIT 10"
+        ),
+        "length_buckets_ok": (
+            "SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, "
+            "CAST(4 AS BIGINT) AS n_buckets, TRUE AS buckets_ok FROM documents"
         ),
         "vocab_coverage": (
             f"WITH tok AS ({_TOKENS_SRC}), "

@@ -272,3 +272,35 @@ def tdigest_quantile_by_group(
         numeric=True,
         out_col="quantile_est",
     )
+
+def quantile_buckets(
+    df: DataFrame,
+    value_col: str,
+    n_buckets: int = 4,
+    delta: float = 500.0,
+    out_col: str = "bucket",
+) -> tuple[DataFrame, list[float]]:
+    """Assign each row an (approximately) equal-mass quantile bucket of
+    ``value_col`` — the length-bucketing step batching/curriculum
+    pipelines run over document lengths.
+
+    One distributed t-digest pass computes the n_buckets-1 interior
+    quantile boundaries (mergeable blobs, no row shuffle); assignment
+    is then a pure-JVM CASE over the broadcast boundaries. Returns
+    (df + bucket int column, boundaries). Buckets are 0-based;
+    boundary ties go to the lower bucket (value <= boundary)."""
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    td = tdigest_build(df, value_col, delta=delta)
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = [float(td.quantile(q)[0]) for q in qs]
+    v = F.col(value_col).cast(DoubleType())
+    expr = None
+    for i, bnd in enumerate(bounds):
+        cond = v <= F.lit(bnd)
+        expr = F.when(cond, i) if expr is None else expr.when(cond, i)
+    expr = (
+        F.lit(len(bounds)) if expr is None else expr.otherwise(len(bounds))
+    ).cast("int")
+    return df.withColumn(out_col, expr), bounds
+

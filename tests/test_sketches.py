@@ -219,3 +219,21 @@ class TestDistributed:
         exact = ev.selectExpr("percentile(value, 0.99) as p").collect()[0]["p"]
         span = ev.select(F.max("value") - F.min("value")).collect()[0][0]
         assert abs(sk.quantile(0.99)[0] - exact) / span < 0.02
+
+
+def test_quantile_buckets(spark):
+    from pyspark.sql import Row
+
+    from heavykeeper_rs_spark.operators.agg import quantile_buckets
+
+    rows = [Row(v=float(i)) for i in range(1000)]
+    df = spark.createDataFrame(rows).repartition(8)
+    bucketed, bounds = quantile_buckets(df, "v", n_buckets=4)
+    assert len(bounds) == 3 and sorted(bounds) == bounds
+    counts = {r["bucket"]: r["count"] for r in bucketed.groupBy("bucket").count().collect()}
+    assert set(counts) == {0, 1, 2, 3}
+    assert all(abs(c - 250) <= 30 for c in counts.values()), counts
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="n_buckets"):
+        quantile_buckets(df, "v", n_buckets=1)
