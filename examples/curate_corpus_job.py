@@ -9,8 +9,12 @@ Pipeline (each stage is the library operator a 100 TB run would use):
                            n-gram-Jaccard verification, min-id label
                            propagation; drops non-representatives
   3. quality + lang      — JVM-side heuristics; filters low-quality docs
-  4. stats               — token counts, top-K tokens (sketch), and the
-                           survivor counts per stage
+  4. length bucketing    — t-digest quantile buckets over token counts
+                           (batching/curriculum prep)
+  5. split               — id-stable train/val/test assignment (no
+                           recompute leakage)
+  6. stats               — token counts, top-K tokens (sketch), vocab
+                           coverage, and the survivor counts per stage
 
 Usage:
 
@@ -47,8 +51,10 @@ def main() -> None:
         quality_score,
         token_count,
     )
+    from heavykeeper_rs_spark.operators.agg import quantile_buckets
     from heavykeeper_rs_spark.operators.dedup import minhash_dedup_groups
-    from heavykeeper_rs_spark.operators.topk import topk_tokens
+    from heavykeeper_rs_spark.operators.sampling import split
+    from heavykeeper_rs_spark.operators.topk import build_vocab, topk_tokens
 
     docs = spark.read.parquet(src)
     stats: dict = {"input": src, "n_input": docs.count()}
@@ -81,11 +87,28 @@ def main() -> None:
     )
     stats["n_after_quality"] = docs.count()
 
-    # 4. write + corpus stats
-    docs.write.parquet(dst, mode="overwrite")
+    # 4. length buckets (batching/curriculum) + 5. id-stable split
+    docs, bounds = quantile_buckets(
+        docs.withColumn("__len", F.col("n_tokens").cast("double")),
+        "__len",
+        n_buckets=4,
+        out_col="len_bucket",
+    )
+    docs = split(
+        docs.drop("__len"), "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}
+    )
+    stats["len_bucket_bounds"] = [round(b, 1) for b in bounds]
+    stats["split_counts"] = {
+        r["split"]: r["count"] for r in docs.groupBy("split").count().collect()
+    }
+
+    # 6. write + corpus stats
+    docs.write.partitionBy("split").parquet(dst, mode="overwrite")
     stats["total_tokens"] = docs.agg(F.sum("n_tokens")).collect()[0][0]
     top = topk_tokens(docs, "text", k=20, tie_break_key=True).collect()
     stats["top_tokens"] = [[r["item"], r["count"]] for r in top[:10]]
+    _, coverage = build_vocab(docs, "text", 10, width=1 << 18)
+    stats["vocab10_coverage"] = round(coverage, 4)
     stats["output"] = dst
     print(json.dumps(stats))
     spark.stop()

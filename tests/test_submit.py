@@ -104,6 +104,11 @@ def test_spark_submit_curate_pipeline(spark, tmp_path):
     assert stats["n_after_exact_dedup"] > stats["n_after_near_dedup"]
     assert stats["n_after_quality"] <= stats["n_after_near_dedup"]
     assert stats["total_tokens"] > 0 and len(stats["top_tokens"]) == 10
+    assert 0.0 < stats["vocab10_coverage"] <= 1.0
+    assert len(stats["len_bucket_bounds"]) == 3
+    assert sum(stats["split_counts"].values()) == stats["n_after_quality"]
     curated = spark.read.parquet(dst)
     assert curated.count() == stats["n_after_quality"]
-    assert {"quality", "lang_pred", "n_tokens"} <= set(curated.columns)
+    assert {"quality", "lang_pred", "n_tokens", "len_bucket", "split"} <= set(
+        curated.columns
+    )
