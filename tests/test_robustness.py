@@ -86,3 +86,62 @@ def test_window_ops_empty(spark, empty_docs):
     assert (
         asof_join(e, r, ["doc_id"], "ts", "p_ts", ["v"]).count() == 0
     )
+
+
+class TestNewOpEdges:
+    def test_bloom_prefilter_empty_small_side(self, spark):
+        from pyspark.sql import Row
+
+        from heavykeeper_rs_spark.operators.joins import bloom_prefilter
+
+        big = spark.createDataFrame([Row(k="a"), Row(k="b")])
+        small = spark.createDataFrame([Row(j="zzz")]).filter("j = 'nope'")
+        assert small.count() == 0
+        out = bloom_prefilter(big, "k", small, "j")
+        assert out.count() == 0  # empty set: nothing can match
+
+    def test_quantile_buckets_constant_column(self, spark):
+        from pyspark.sql import Row
+
+        from heavykeeper_rs_spark.operators.agg import quantile_buckets
+
+        df = spark.createDataFrame([Row(v=5.0)] * 50)
+        bucketed, bounds = quantile_buckets(df, "v", n_buckets=4)
+        # degenerate distribution: every row lands in ONE bucket
+        got = bucketed.select("bucket").distinct().collect()
+        assert len(got) == 1
+
+    def test_uniform_exact_n_larger_than_table(self, spark):
+        from pyspark.sql import Row
+
+        from heavykeeper_rs_spark.operators.sampling import uniform_exact_n
+
+        df = spark.createDataFrame([Row(x=i) for i in range(5)])
+        assert uniform_exact_n(df, 100, seed=1).count() == 5
+
+    def test_build_vocab_empty_corpus(self, spark):
+        from pyspark.sql import Row
+
+        from heavykeeper_rs_spark.operators.topk import build_vocab
+
+        df = spark.createDataFrame([Row(text=""), Row(text="123 456 !!!")])
+        vocab, cov = build_vocab(df, "text", 5, width=256)
+        assert vocab.count() == 0 and cov == 0.0
+
+    def test_ivf_search_missing_centroids_file(self, spark, tmp_path):
+        import pytest as _pt
+
+        from heavykeeper_rs_spark.operators.similarity import ivf_search_index
+
+        with _pt.raises(FileNotFoundError):
+            ivf_search_index(spark, str(tmp_path / "no-index"), [1.0, 0.0])
+
+    def test_bucket_pairs_single_row_buckets(self, spark):
+        from pyspark.sql import Row
+
+        from heavykeeper_rs_spark.operators.dedup import _bucket_pairs
+
+        sig = spark.createDataFrame(
+            [Row(band=0, band_hash=i, id=i) for i in range(10)]
+        )
+        assert _bucket_pairs(sig, ["band", "band_hash"], "id", 4).count() == 0
