@@ -412,6 +412,11 @@ class HeavyKeeper:
         return cls(HKParams(k=k, width=width, depth=depth, decay=decay, seed=seed))
 
     @classmethod
+    def builder(cls) -> "SketchBuilder":
+        """Fluent construction (src/heavykeeper.rs:107-109)."""
+        return SketchBuilder(cls)
+
+    @classmethod
     def with_hasher(
         cls, k: int, width: int, depth: int, decay: float, seed: int, hasher
     ) -> "HeavyKeeper":
@@ -1189,6 +1194,79 @@ def _sniff_legacy_pickle(head: bytes) -> None:
             "this library (pickled candidate section); rebuild the sketch"
         )
 
+
+
+class SketchBuilder:
+    """Fluent builder — 1:1 with the reference's ``builder()`` API
+    (src/heavykeeper.rs:503-578, src/bucketed.rs:515-560,
+    src/cuckoo.rs builders): ``HeavyKeeper.builder().k(100)
+    .width(4096).depth(4).decay(0.9).seed(7).build()``. Validation
+    happens in ``build()`` via HKParams (the same Invalid* errors the
+    reference's BuilderError surface maps to); ``hasher`` mirrors the
+    reference's custom RandomState hook."""
+
+    def __init__(self, cls) -> None:
+        self._cls = cls
+        self._k = None
+        self._width = None
+        self._depth = None
+        self._decay = 0.9
+        self._seed = _DEFAULT_SEED
+        self._hasher = None
+        self._max_kicks = None
+
+    def k(self, k: int) -> "SketchBuilder":
+        self._k = int(k)
+        return self
+
+    def width(self, width: int) -> "SketchBuilder":
+        self._width = int(width)
+        return self
+
+    def depth(self, depth: int) -> "SketchBuilder":
+        self._depth = int(depth)
+        return self
+
+    def decay(self, decay: float) -> "SketchBuilder":
+        self._decay = float(decay)
+        return self
+
+    def seed(self, seed: int) -> "SketchBuilder":
+        self._seed = int(seed)
+        return self
+
+    def hasher(self, hasher) -> "SketchBuilder":
+        self._hasher = hasher
+        return self
+
+    def max_kicks(self, max_kicks: int) -> "SketchBuilder":
+        """CuckooTopK only (src/cuckoo.rs builder)."""
+        self._max_kicks = int(max_kicks)
+        return self
+
+    def build(self):
+        if self._k is None or self._width is None or self._depth is None:
+            raise InvalidK("builder requires k(), width() and depth()")
+        params = HKParams(
+            k=self._k, width=self._width, depth=self._depth,
+            decay=self._decay, seed=self._seed,
+        )
+        if self._cls is HeavyKeeper:
+            if self._max_kicks is not None:
+                raise ValueError("max_kicks applies to the cuckoo layout only")
+            return HeavyKeeper(params, hasher=self._hasher)
+        if self._hasher is not None:
+            raise ValueError(
+                "variant layouts use the seeded default hash family; "
+                "hasher() applies to the canonical HeavyKeeper only"
+            )
+        kwargs = {}
+        if self._max_kicks is not None:
+            kwargs["max_kicks"] = self._max_kicks
+        return self._cls(
+            params.k, params.width, params.depth, params.decay, params.seed,
+            **kwargs,
+        )
 
 def _item_repr(x: object):
     """JSON-friendly item for debug(): utf-8 text when it decodes, hex

@@ -70,6 +70,13 @@ class _VariantBase:
 
     variant: bytes = b"????"
 
+    @classmethod
+    def builder(cls):
+        """Fluent construction (src/bucketed.rs:131, src/cuckoo.rs:190)."""
+        from .kernel import SketchBuilder
+
+        return SketchBuilder(cls)
+
     def __init__(
         self,
         k: int,

@@ -370,3 +370,27 @@ def test_query_deprecated_alias():
             assert sk.query("hot") is True
             assert sk.query("never-seen") is False
         assert any(issubclass(w.category, DeprecationWarning) for w in rec)
+
+
+def test_fluent_builder_parity():
+    """builder() fluent construction on all three layouts with the
+    reference's validation surface."""
+    from heavykeeper_rs_spark.errors import InvalidDecay, InvalidK
+    from heavykeeper_rs_spark.variants import BucketedTopK, CuckooTopK
+
+    sk = HeavyKeeper.builder().k(5).width(64).depth(2).decay(0.8).seed(3).build()
+    assert sk.params.k == 5 and sk.params.decay == 0.8 and sk.params.seed == 3
+    ck = CuckooTopK.builder().k(3).width(32).depth(2).max_kicks(4).build()
+    assert isinstance(ck, CuckooTopK) and ck.max_kicks == 4
+    bk = BucketedTopK.builder().k(3).width(32).depth(2).build()
+    assert isinstance(bk, BucketedTopK)
+    import pytest
+
+    with pytest.raises(InvalidK):
+        HeavyKeeper.builder().width(64).depth(2).build()
+    with pytest.raises(InvalidDecay):
+        HeavyKeeper.builder().k(2).width(64).depth(2).decay(1.5).build()
+    with pytest.raises(ValueError, match="cuckoo"):
+        HeavyKeeper.builder().k(2).width(64).depth(2).max_kicks(3).build()
+    with pytest.raises(ValueError, match="hasher"):
+        BucketedTopK.builder().k(2).width(64).depth(2).hasher(lambda i, s: i).build()
