@@ -146,7 +146,7 @@ def run_scaling_light() -> dict:
         )
         s.stop()
     out: dict = {"n_docs": n_docs, "job": "topk_tokens(k=100,w=16384,d=4)"}
-    for par in (2, 8):
+    for par in (1, 2, 4, 8):
         s = get_spark(app=f"hk-scale-{par}", master=f"local[{par}]", shuffle_partitions=par)
         s.conf.set("spark.sql.files.maxPartitionBytes", str(4 * 1024 * 1024))
         df = s.read.parquet(data_dir)
@@ -162,6 +162,12 @@ def run_scaling_light() -> dict:
             "docs_per_sec": round(n_docs / best, 1),
         }
         s.stop()
+    # two independent 4x steps: 1->4 is the clean one on this box;
+    # 2->8 straddles the single-socket memory-bandwidth ceiling (see
+    # BENCH.md round-3 analysis and the HK_TOKENIZE_ARROW control)
+    out["efficiency_1_to_4"] = round(
+        out["local[4]"]["docs_per_sec"] / out["local[1]"]["docs_per_sec"] / 4.0, 3
+    )
     out["efficiency_2_to_8"] = round(
         out["local[8]"]["docs_per_sec"] / out["local[2]"]["docs_per_sec"] / 4.0, 3
     )
