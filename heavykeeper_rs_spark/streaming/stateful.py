@@ -133,6 +133,7 @@ def stateful_windowed_topk_stream(
     window: str = "1 hour",
     watermark: str = "10 minutes",
     n_shards: int = 4,
+    variant: str = "topk",
 ) -> DataFrame:
     """Per-event-time-window sketches with late-data handling.
 
@@ -142,8 +143,14 @@ def stateful_windowed_topk_stream(
     end, the group's EventTimeTimeout fires and the state emits one
     last row with final=1 and is removed — the streaming analog of the
     batch ``topk_by_group`` over ``date_trunc`` windows, with bounded
-    state (open windows × shards blobs).
+    state (open windows × shards blobs). ``variant`` selects the
+    sketch layout; blobs carry the magic, so ``merge_window_blobs``
+    folds any of them.
     """
+    from ..operators.topk import VARIANTS, _deserialize_variant, _make_sketch
+
+    if variant not in VARIANTS:
+        raise ValueError(f"unknown variant {variant!r}; one of {sorted(VARIANTS)}")
 
     def fold(
         key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -164,12 +171,13 @@ def stateful_windowed_topk_stream(
             return
         if state.exists:
             rows_seen, blob = state.get
-            sk = HeavyKeeper.deserialize(blob)
+            sk = _deserialize_variant(variant, blob)
         else:
             rows_seen = 0
-            sk = HeavyKeeper(
+            sk = _make_sketch(
+                variant,
                 params,
-                rng=np.random.default_rng(
+                np.random.default_rng(
                     np.random.PCG64((params.seed << 9) ^ (wstart * 31 + shard))
                 ),
             )
@@ -238,7 +246,7 @@ def stateful_windowed_topk_stream(
     )
 
 
-def merge_window_blobs(rows: list) -> dict[int, HeavyKeeper]:
+def merge_window_blobs(rows: list) -> dict[int, "HeavyKeeper"]:
     """Fold windowed-stream output rows into one sketch per window.
 
     Consumer contract: per (window, shard) take every final=1 row
@@ -266,11 +274,13 @@ def merge_window_blobs(rows: list) -> dict[int, HeavyKeeper]:
         if not blobs:
             blobs = [best_update[k][1]]
         per_window.setdefault(k[0], []).extend(blobs)
-    out: dict[int, HeavyKeeper] = {}
+    from ..variants import deserialize_any
+
+    out: dict[int, object] = {}
     for w, blobs in per_window.items():
-        acc = HeavyKeeper.deserialize(blobs[0])
+        acc = deserialize_any(blobs[0])
         for b in blobs[1:]:
-            acc.merge(HeavyKeeper.deserialize(b))
+            acc.merge(deserialize_any(b))
         out[w] = acc
     return out
 
