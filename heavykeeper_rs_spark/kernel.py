@@ -1066,9 +1066,22 @@ class HeavyKeeper:
         return self
 
     # -- O14: memory audit ------------------------------------------------
-    def mem_bytes(self) -> int:
-        """Analog of mem_bytes() (src/heavykeeper.rs:388-403)."""
-        items = sum(len(k) + 96 for k in self.pq.counts)
+    def mem_bytes(self, item_heap_fn=None) -> int:
+        """Analog of mem_bytes(item_heap) (src/heavykeeper.rs:388-403).
+
+        Like the reference, the caller may supply ``item_heap_fn(item)
+        -> int`` returning the bytes an item owns beyond its inline
+        representation (the Rust API takes ``item_heap: Fn(&T) ->
+        usize``, e.g. ``String::capacity``; ``|_| 0`` for heap-free
+        T). When omitted, keys are costed at ``len(key) + 96`` — the
+        key's own bytes plus a fixed per-tracked-item overhead
+        covering this implementation's dict/heap entries, mirroring
+        the reference's ``size_of::<Bucket>()`` + queue bookkeeping
+        terms."""
+        if item_heap_fn is None:
+            items = sum(len(k) + 96 for k in self.pq.counts)
+        else:
+            items = sum(int(item_heap_fn(k)) + 96 for k in self.pq.counts)
         return int(self.fps.nbytes + self.counts.nbytes + items)
 
     # -- O15: debug dump ---------------------------------------------------

@@ -288,7 +288,10 @@ def quantile_buckets(
     quantile boundaries (mergeable blobs, no row shuffle); assignment
     is then a pure-JVM CASE over the broadcast boundaries. Returns
     (df + bucket int column, boundaries). Buckets are 0-based;
-    boundary ties go to the lower bucket (value <= boundary)."""
+    boundary ties go to the lower bucket (value <= boundary). Rows
+    with NULL ``value_col`` get a NULL bucket (they are unmeasurable,
+    not "largest" — the naive CASE would fall through every
+    ``v <= bound`` NULL comparison into the top bucket)."""
     if n_buckets < 2:
         raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
     td = tdigest_build(df, value_col, delta=delta)
@@ -302,5 +305,6 @@ def quantile_buckets(
     expr = (
         F.lit(len(bounds)) if expr is None else expr.otherwise(len(bounds))
     ).cast("int")
+    expr = F.when(v.isNotNull(), expr)
     return df.withColumn(out_col, expr), bounds
 

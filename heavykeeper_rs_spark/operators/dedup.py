@@ -479,6 +479,7 @@ def label_propagate(
     edges: DataFrame,
     rounds: int | None = None,
     max_rounds: int = 20,
+    on_nonconverged: str = "raise",
 ) -> DataFrame:
     """Min-id connected-component labels: (id, rep_id).
 
@@ -487,7 +488,27 @@ def label_propagate(
     labels. ``rounds=None`` iterates to convergence (see
     ``minhash_dedup_groups`` docstring for the monotone-sum stopping
     rule); an explicit ``rounds=k`` builds a single lazy k-hop plan.
+
+    Convergence contract: propagation moves one hop per round, so a
+    component whose min-id is more than ``max_rounds`` hops from some
+    member would exit with a SPLIT component. That is never silent:
+    if the monotone sum has not stabilized when ``max_rounds`` is
+    exhausted, ``on_nonconverged='raise'`` (default) raises
+    RuntimeError, ``'warn'`` emits a RuntimeWarning and returns the
+    partial labels. Near-dup clusters are dense (diameter ~2), so 20
+    rounds covers diameter-20 chains — pathological only by
+    construction.
+
+    Durability caveat: the per-round ``localCheckpoint`` truncates
+    lineage into EXECUTOR-LOCAL storage — fast, but a lost executor
+    kills the job (no recompute path). At 10^12-row scale with long
+    convergence runs, prefer a reliable ``sparkContext.setCheckpointDir``
+    + ``df.checkpoint()`` swap if executor loss is expected; the
+    iteration count here is small enough that rerunning the job is the
+    usual recovery.
     """
+    if on_nonconverged not in ("raise", "warn"):
+        raise ValueError(f"on_nonconverged must be 'raise' or 'warn', got {on_nonconverged!r}")
     both = edges.select("id_a", "id_b").union(
         edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
     )
@@ -497,6 +518,7 @@ def label_propagate(
         both = both.localCheckpoint(eager=False)
         prev_sum = None
     n_rounds = max_rounds if converge else int(rounds)
+    settled = not converge
     for _ in range(n_rounds):
         neigh_min = (
             both.join(labels, both.id_b == labels.id, "inner")
@@ -516,8 +538,21 @@ def label_propagate(
             labels = labels.localCheckpoint(eager=True)
             cur_sum = labels.agg(F.sum("rep_id")).collect()[0][0]
             if cur_sum == prev_sum:
+                settled = True
                 break
             prev_sum = cur_sum
+    if not settled:
+        msg = (
+            f"label_propagate did not converge within max_rounds={max_rounds}: "
+            "the label sum was still decreasing on the last round, so some "
+            "component spans more hops than rounds run and its labels are "
+            "SPLIT. Raise max_rounds (one hop of diameter per round)."
+        )
+        if on_nonconverged == "raise":
+            raise RuntimeError(msg)
+        import warnings
+
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
     return labels
 
 

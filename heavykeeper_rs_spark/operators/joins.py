@@ -34,6 +34,39 @@ from ..sketches.bloom import Bloom
 from .agg import sketch_agg
 
 
+_INTEGRAL = {"byte", "tinyint", "short", "smallint", "int", "integer", "long", "bigint"}
+_FRACTIONAL = {"float", "double"}
+
+
+def _common_key_type(big_t, small_t) -> str | None:
+    """SQL-equality-compatible canonical type for the two join keys, so
+    both sides render identically when stringified for hashing (the
+    no-false-negative guarantee depends on insert and probe producing
+    the same bytes for equal keys). Mirrors Spark's numeric promotion:
+    integral×integral → bigint; any fractional/decimal mix → double
+    (Spark joins decimal↔double through double too); identical types
+    pass through. Returns None (no extra cast) when types already
+    match; raises for mixes whose equality semantics we can't
+    reproduce via a cast (e.g. string vs numeric — Spark would coerce
+    to double, so pre-cast explicitly at the call site)."""
+    bt, st = big_t.simpleString(), small_t.simpleString()
+    if bt == st:
+        return None
+    num = _INTEGRAL | _FRACTIONAL
+    b_num = bt in num or bt.startswith("decimal")
+    s_num = st in num or st.startswith("decimal")
+    if b_num and s_num:
+        if bt in _INTEGRAL and st in _INTEGRAL:
+            return "bigint"
+        return "double"
+    if {bt, st} == {"date", "timestamp"}:
+        return "timestamp"
+    raise TypeError(
+        f"bloom_prefilter: incompatible key types {bt} vs {st}; cast both "
+        "sides to a common type explicitly before calling"
+    )
+
+
 def bloom_prefilter(
     big: DataFrame,
     big_col: str,
@@ -47,12 +80,22 @@ def bloom_prefilter(
     ``small[small_col]`` — superset of the exact semi-join, thinned to
     ~(selectivity + fpp). ``capacity`` sizes the filter (defaults to a
     cheap distinct-count of the small side — pass it explicitly at
-    scale to skip that job)."""
+    scale to skip that job).
+
+    Keys of differing types are coerced to one canonical type on BOTH
+    sides before hashing (see ``_common_key_type``): without that, a
+    decimal(10,2) ``1.00`` and a double ``1.0`` stringify differently
+    and a real match would be dropped — a silent false negative."""
+    common = _common_key_type(big.schema[big_col].dataType, small.schema[small_col].dataType)
     if capacity is None:
         capacity = small.select(small_col).distinct().count()
     proto = Bloom.for_capacity(max(int(capacity), 1), fpp=fpp, seed=seed)
+    small_keyed = (
+        small if common is None
+        else small.select(F.col(small_col).cast(common).alias(small_col))
+    )
     bloom = sketch_agg(
-        small,
+        small_keyed,
         small_col,
         lambda: Bloom(proto.m, proto.k, seed),
         Bloom.deserialize,
@@ -84,5 +127,6 @@ def bloom_prefilter(
             if out.num_rows:
                 yield out
 
-    withkey = big.withColumn("__bloom_key", F.col(big_col).cast("string"))
+    big_key = F.col(big_col) if common is None else F.col(big_col).cast(common)
+    withkey = big.withColumn("__bloom_key", big_key.cast("string"))
     return withkey.mapInArrow(probe, out_schema)

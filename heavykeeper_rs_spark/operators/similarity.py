@@ -263,15 +263,41 @@ def ivf_build_index(
     a partition-pruning predicate at the scan (verified in
     tests/test_dedup_similarity.py via PartitionFilters), so a search
     touches n_probe/n_centroids of the files instead of the corpus.
-    ``index_path`` is shared storage on a cluster (S3/HDFS)."""
-    import os
-
+    ``index_path`` is shared storage on a cluster (S3/HDFS) — the
+    centroids sidecar is written THROUGH Spark (a tiny parquet under
+    ``<index_path>/_ivf_centroids``; the leading underscore keeps it
+    out of the main index scan's file listing) so the whole index,
+    sidecar included, lands on whatever filesystem the path names —
+    a local ``np.save`` would fail on ``s3://...`` at build time."""
     sample = _reservoir_sample(df, vec_col, train_sample, seed)
     cents = _kmeans(sample, n_centroids, seed)
     assigned = ivf_assign(df, id_col, vec_col, cents, carry_vec=True)
     assigned.write.partitionBy("centroid").mode("overwrite").parquet(index_path)
-    np.save(os.path.join(index_path, "_ivf_centroids.npy"), cents)
+    spark = df.sparkSession
+    cent_rows = [(int(i), [float(x) for x in row]) for i, row in enumerate(cents)]
+    spark.createDataFrame(cent_rows, "centroid_id int, vec array<double>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(_centroids_path(index_path))
     return cents
+
+
+def _centroids_path(index_path: str) -> str:
+    return index_path.rstrip("/") + "/_ivf_centroids"
+
+
+def _load_centroids(spark, index_path: str) -> np.ndarray:
+    from pyspark.errors import AnalysisException
+
+    path = _centroids_path(index_path)
+    try:
+        rows = spark.read.parquet(path).collect()
+    except AnalysisException as e:
+        raise FileNotFoundError(
+            f"no IVF centroid sidecar at {path} — was the index built with "
+            "ivf_build_index?"
+        ) from e
+    rows.sort(key=lambda r: r["centroid_id"])
+    return np.asarray([r["vec"] for r in rows], dtype=np.float32)
 
 
 def ivf_search_index(
@@ -285,10 +311,8 @@ def ivf_search_index(
     """Top-k cosine search against a persisted IVF index: pick the
     query's n_probe nearest centroids and scan ONLY those partitions
     (Spark prunes the rest at file-listing time)."""
-    import os
-
     if centroids is None:
-        centroids = np.load(os.path.join(index_path, "_ivf_centroids.npy"))
+        centroids = _load_centroids(spark, index_path)
     q = np.asarray(qvec, dtype=np.float32)
     qn = q / max(np.linalg.norm(q), 1e-12)
     probe = [int(c) for c in np.argsort(-(centroids @ qn))[:n_probe]]

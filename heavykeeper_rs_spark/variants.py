@@ -487,8 +487,9 @@ class BucketedTopK(_VariantBase):
                 self.counts[rows[ev], mslot[ev]] = oc[ev]
         return self
 
-    def mem_bytes(self) -> int:
-        items = sum(len(k) + 96 for k in self.pq.counts)
+    def mem_bytes(self, item_heap_fn=None) -> int:
+        heap = item_heap_fn if item_heap_fn is not None else len
+        items = sum(int(heap(k)) + 96 for k in self.pq.counts)
         return int(self.fps.nbytes + self.counts.nbytes + items)
 
 
@@ -986,8 +987,9 @@ class CuckooTopK(_VariantBase):
                 self.lobby_c[p] = oc
         return self
 
-    def mem_bytes(self) -> int:
-        items = sum(len(k) + 96 for k in self.pq.counts)
+    def mem_bytes(self, item_heap_fn=None) -> int:
+        heap = item_heap_fn if item_heap_fn is not None else len
+        items = sum(int(heap(k)) + 96 for k in self.pq.counts)
         return int(
             self.lobby_fp.nbytes
             + self.lobby_c.nbytes
