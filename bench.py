@@ -23,6 +23,9 @@ import __spark_entry__ as entrymod
 from heavykeeper_rs_spark.session import get_spark
 
 BENCH_QUERIES = [
+    # r4 note: r1-r3 also timed hll_distinct_users_ok (~1.0-1.7 s);
+    # it was folded into the sketch_bounds_ok gate (not a perf query),
+    # so cross-round suite totals compare against r3 minus that entry.
     "hk_topk_event_type",
     "hk_topk_user",
     "hk_topk_tokens",
@@ -38,7 +41,6 @@ BENCH_QUERIES = [
     "minhash_near_dup_pairs",
     "embedding_topk_cosine",
     "lang_id_counts",
-    "hll_distinct_users_ok",
 ]
 
 
@@ -56,10 +58,33 @@ def run_suite(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
+def _cpu_control(reps: int = 5, n: int = 5_000_000) -> dict:
+    """No-Spark CPU control stamped into EVERY bench emission (round-4
+    verdict #2): a single-process pure-python burn whose rate depends
+    only on this box's free CPU. On an idle box the reps agree within
+    a few percent; under host contention the absolute rate drops and
+    the spread blows up — so a polluted bench artifact (like the
+    driver-window BENCH_r03.json, uniformly ~1.3x slow) self-identifies
+    instead of reading as a code regression. Idle-box reference for
+    this container: ~24-30 Mops single-proc (see BENCH.md)."""
+    rates = []
+    for _ in range(reps):
+        t0 = time.time()
+        _burn(n)
+        rates.append(n / (time.time() - t0))
+    rates.sort()
+    return {
+        "best_mops": round(rates[-1] / 1e6, 2),
+        "median_mops": round(rates[len(rates) // 2] / 1e6, 2),
+        "spread": round((rates[-1] - rates[0]) / rates[-1], 3),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    cpu_pre = _cpu_control()
     spark = get_spark(app="hk-bench", master=f"local[{cpus}]", shuffle_partitions=int(cpus))
     # headline keys/sec FIRST, on the pristine JVM: running ANY python
     # job with a different Arrow schema first (even an identity map
@@ -71,6 +96,10 @@ def main() -> None:
     # BENCH.md (identity-map experiments); the suite below then runs
     # at the realistic mixed-schema steady state.
     u64 = run_keys_per_sec(spark)
+    # headline docs/sec SECOND (round-4 verdict #2: before the suite,
+    # not after 16 mixed-schema queries) — only the u64 fixture's
+    # int64 schema has touched the JVM at this point
+    docs = run_docs_per_sec(spark)
     # warm the JVM + python workers once so per-query numbers are steady
     spark.read.parquet(f"{sf_dir}/events.parquet").count()
     from heavykeeper_rs_spark.operators.topk import topk
@@ -82,23 +111,41 @@ def main() -> None:
         width=64,
         depth=1,
     ).count()
-    t0 = time.time()
-    queries = run_suite(spark, sf_dir)
-    total = round(time.time() - t0, 3)
+    # median-of-3 suite (round-4 verdict #2): per-query medians +
+    # every total, so one contention spike reads as variance, not
+    # regression
+    n_reps = int(os.environ.get("BENCH_SUITE_REPS", "3"))
+    rep_queries: list[dict[str, float]] = []
+    rep_totals: list[float] = []
+    for _ in range(n_reps):
+        t0 = time.time()
+        rep_queries.append(run_suite(spark, sf_dir))
+        rep_totals.append(round(time.time() - t0, 3))
+    queries = {
+        name: sorted(r[name] for r in rep_queries)[n_reps // 2]
+        for name in rep_queries[0]
+    }
+    total = round(sorted(rep_totals)[n_reps // 2], 3)
     result = {
         "metric": "suite_seconds",
         "value": total,
         "unit": "sec",
         "queries": queries,
+        "suite_rep_totals": rep_totals,
         "sf": float(sf),
         "cpus": int(cpus),
     }
-    # headline docs/sec (north-rule metric): token top-K over a
-    # materialized webtext corpus, measured warm at local[cpus]
-    result["docs_per_sec"] = run_docs_per_sec(spark)
+    # docs/sec (north-rule metric), measured pre-suite above; a
+    # steady-state remeasure after the mixed-schema suite shows the
+    # JIT-deopt gap explicitly instead of polluting the headline
+    result["docs_per_sec"] = docs
+    result["docs_per_sec_steady_state"] = run_docs_per_sec(spark)
     # headline keys/sec: the reference's own bench fixture end to end
     # (BASELINE.md: Rust single-thread hot loop = 21 M keys/s)
     result["u64_keys_per_sec"] = u64
+    # contention fingerprint: pre/post controls bracket the whole run
+    result["cpu_control_pre"] = cpu_pre
+    result["cpu_control_post"] = _cpu_control()
     spark.stop()
     if os.environ.get("BENCH_SCALING"):
         result["scaling"] = run_scaling()

@@ -273,6 +273,99 @@ def tdigest_quantile_by_group(
         out_col="quantile_est",
     )
 
+def sketch_blobs_by_group(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    make: Callable[[], object],
+    numeric: bool = False,
+    deserialize: Callable[[bytes], object] | None = None,
+    fan_in: int = 64,
+    max_live_groups: int = 4096,
+) -> DataFrame:
+    """One MERGED sketch blob per group: (group string, sketch binary).
+
+    Same scale-safe plan as ``sketch_by_group`` (per-(partition,group)
+    partials, blob-only shuffle through a bounded-fan-in merge tree)
+    but the finalize step returns the serialized sketch itself instead
+    of a scalar — for callers that probe the per-group sketches with
+    group-specific keys afterwards (grouped CMS point queries, grouped
+    Bloom membership), or persist them as a sketch table for reuse.
+    """
+    from .topk import grouped_blob_tree, grouped_partial_builder
+
+    out_schema = StructType(
+        [
+            StructField("group", StringType(), False),
+            StructField("sketch", BinaryType(), False),
+        ]
+    )
+    cast = DoubleType() if numeric else StringType()
+    if deserialize is None:
+        deserialize = type(make()).deserialize
+
+    def new_sketch(pid: int):
+        sk = make()
+        if hasattr(sk, "rng"):
+            sk.rng = np.random.default_rng(
+                np.random.PCG64((_sketch_seed(sk) << 7) + pid)
+            )
+        return sk
+
+    def feed(sk, vals) -> None:
+        if numeric:
+            sk.add_batch(np.asarray(vals, dtype=np.float64))
+        else:
+            sk.add_batch(np.asarray(vals, dtype=object))
+
+    build = grouped_partial_builder(new_sketch, feed, max_live_groups)
+
+    def merge_fn(blobs: list[bytes]) -> bytes:
+        acc = deserialize(blobs[0])
+        for b in blobs[1:]:
+            acc.merge(deserialize(b))
+        return acc.serialize()
+
+    def final(group: str, blobs: list[bytes]) -> pd.DataFrame:
+        return pd.DataFrame({"group": [group], "sketch": [merge_fn(blobs)]})
+
+    keyed = df.select(
+        F.coalesce(F.col(group_col).cast(StringType()), F.lit("None")).alias("__g"),
+        F.col(value_col).cast(cast).alias("__v"),
+    )
+    return grouped_blob_tree(keyed, build, merge_fn, final, out_schema, fan_in=fan_in)
+
+
+def cms_by_group(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    width: int = 2048,
+    depth: int = 5,
+    seed: int = 12345,
+) -> DataFrame:
+    """(group, serialized CountMin over value_col) — probe with
+    ``CountMin.deserialize(blob).estimate(keys)``."""
+    return sketch_blobs_by_group(
+        df, group_col, value_col, lambda: CountMin(width, depth, seed)
+    )
+
+
+def bloom_by_group(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    m_bits: int = 1 << 20,
+    k: int = 7,
+    seed: int = 12345,
+) -> DataFrame:
+    """(group, serialized Bloom over value_col) — probe with
+    ``Bloom.deserialize(blob).contains(keys)``."""
+    return sketch_blobs_by_group(
+        df, group_col, value_col, lambda: Bloom(m_bits, k, seed)
+    )
+
+
 def quantile_buckets(
     df: DataFrame,
     value_col: str,

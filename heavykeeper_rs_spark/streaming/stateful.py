@@ -135,22 +135,60 @@ def stateful_windowed_topk_stream(
     n_shards: int = 4,
     variant: str = "topk",
 ) -> DataFrame:
-    """Per-event-time-window sketches with late-data handling.
-
-    Keys are (window_start, shard); each group owns one serialized
-    HeavyKeeper in the state store. Rows later than ``watermark`` are
-    dropped by Spark's watermark; when the watermark passes a window's
-    end, the group's EventTimeTimeout fires and the state emits one
-    last row with final=1 and is removed — the streaming analog of the
-    batch ``topk_by_group`` over ``date_trunc`` windows, with bounded
-    state (open windows × shards blobs). ``variant`` selects the
+    """Per-event-time-window HeavyKeeper sketches with late-data
+    handling — the variant-threaded specialization of
+    ``stateful_windowed_sketch_stream``. ``variant`` selects the
     sketch layout; blobs carry the magic, so ``merge_window_blobs``
-    folds any of them.
-    """
+    folds any of them."""
     from ..operators.topk import VARIANTS, _deserialize_variant, _make_sketch
 
     if variant not in VARIANTS:
         raise ValueError(f"unknown variant {variant!r}; one of {sorted(VARIANTS)}")
+
+    def make(wstart: int, shard: int):
+        return _make_sketch(
+            variant,
+            params,
+            np.random.default_rng(
+                np.random.PCG64((params.seed << 9) ^ (wstart * 31 + shard))
+            ),
+        )
+
+    return stateful_windowed_sketch_stream(
+        stream_df,
+        col,
+        ts_col,
+        make,
+        lambda blob: _deserialize_variant(variant, blob),
+        window=window,
+        watermark=watermark,
+        n_shards=n_shards,
+    )
+
+
+def stateful_windowed_sketch_stream(
+    stream_df: DataFrame,
+    col: str,
+    ts_col: str,
+    make,
+    deserialize,
+    window: str = "1 hour",
+    watermark: str = "10 minutes",
+    n_shards: int = 4,
+) -> DataFrame:
+    """Per-event-time-window sketches with late-data handling, for ANY
+    mergeable sketch (HeavyKeeper variants, HLL, CMS, Bloom, ...).
+
+    ``make(window_start, shard)`` builds a fresh sketch for a state
+    group; ``deserialize(blob)`` revives one. Keys are (window_start,
+    shard); each group owns one serialized sketch in the state store.
+    Rows later than ``watermark`` are dropped by Spark's watermark;
+    when the watermark passes a window's end, the group's
+    EventTimeTimeout fires and the state emits one last row with
+    final=1 and is removed — the streaming analog of the batch
+    ``sketch_by_group`` over ``date_trunc`` windows, with bounded
+    state (open windows × shards blobs).
+    """
 
     def fold(
         key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -171,16 +209,10 @@ def stateful_windowed_topk_stream(
             return
         if state.exists:
             rows_seen, blob = state.get
-            sk = _deserialize_variant(variant, blob)
+            sk = deserialize(blob)
         else:
             rows_seen = 0
-            sk = _make_sketch(
-                variant,
-                params,
-                np.random.default_rng(
-                    np.random.PCG64((params.seed << 9) ^ (wstart * 31 + shard))
-                ),
-            )
+            sk = make(wstart, shard)
         for pdf in pdfs:
             keys = pdf["__key"].to_numpy()
             valid = pd.notna(keys)
@@ -246,7 +278,7 @@ def stateful_windowed_topk_stream(
     )
 
 
-def merge_window_blobs(rows: list) -> dict[int, "HeavyKeeper"]:
+def merge_window_blobs(rows: list, deserialize=None) -> dict[int, "HeavyKeeper"]:
     """Fold windowed-stream output rows into one sketch per window.
 
     Consumer contract: per (window, shard) take every final=1 row
@@ -256,7 +288,10 @@ def merge_window_blobs(rows: list) -> dict[int, "HeavyKeeper"]:
     ended before the watermark passed the window end), its
     largest-rows_seen update row (updates are cumulative within a
     life). Merging those blobs yields the window's exact-regime
-    sketch."""
+    sketch. ``deserialize`` defaults to the HeavyKeeper-family
+    magic-sniffing ``deserialize_any``; pass e.g. ``HLL.deserialize``
+    for ``stateful_windowed_sketch_stream`` outputs of other
+    families."""
     finals: dict[tuple[int, int], list[bytes]] = {}
     best_update: dict[tuple[int, int], tuple[int, bytes]] = {}
     for r in rows:
@@ -274,13 +309,14 @@ def merge_window_blobs(rows: list) -> dict[int, "HeavyKeeper"]:
         if not blobs:
             blobs = [best_update[k][1]]
         per_window.setdefault(k[0], []).extend(blobs)
-    from ..variants import deserialize_any
+    if deserialize is None:
+        from ..variants import deserialize_any as deserialize
 
     out: dict[int, object] = {}
     for w, blobs in per_window.items():
-        acc = deserialize_any(blobs[0])
+        acc = deserialize(blobs[0])
         for b in blobs[1:]:
-            acc.merge(deserialize_any(b))
+            acc.merge(deserialize(b))
         out[w] = acc
     return out
 
