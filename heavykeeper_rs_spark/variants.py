@@ -555,31 +555,26 @@ class CuckooTopK(_VariantBase):
         depth = self.params.depth
         flat_c = self.heavy_c.reshape(-1)
         est = np.zeros(n, dtype=np.int64)
-        # vector phase: heavy hits (primary bucket first — find_heavy order)
+        # vector phase: heavy hits (primary bucket first — find_heavy
+        # order). Matched slots are GLOBALLY unique — keys are
+        # pre-aggregated so fps are distinct within the batch, and two
+        # items matching the same (bucket, slot) would need the same
+        # fp — so a direct fancy-index scatter += replaces np.add.at,
+        # and the post-add estimate is a direct gather off the same
+        # slots instead of a 4-gather re-probe.
         m1 = (self.heavy_fp[b1] == fp[:, None]) & (self.heavy_c[b1] > 0)
         h1 = m1.any(axis=1)
         m2 = (self.heavy_fp[b2] == fp[:, None]) & (self.heavy_c[b2] > 0)
         h2 = m2.any(axis=1) & ~h1
         if h1.any():
-            np.add.at(
-                flat_c, b1[h1] * depth + m1.argmax(axis=1)[h1], w[h1].astype(np.uint64)
-            )
+            slots1 = b1[h1] * depth + m1.argmax(axis=1)[h1]
+            flat_c[slots1] += w[h1].astype(np.uint64)
+            est[h1] = flat_c[slots1].astype(np.int64)
         if h2.any():
-            np.add.at(
-                flat_c, b2[h2] * depth + m2.argmax(axis=1)[h2], w[h2].astype(np.uint64)
-            )
+            slots2 = b2[h2] * depth + m2.argmax(axis=1)[h2]
+            flat_c[slots2] += w[h2].astype(np.uint64)
+            est[h2] = flat_c[slots2].astype(np.int64)
         hit = h1 | h2
-        if hit.any():
-            # re-probe for PQ (post all adds)
-            mm1 = (self.heavy_fp[b1] == fp[:, None]) & (self.heavy_c[b1] > 0)
-            mm2 = (self.heavy_fp[b2] == fp[:, None]) & (self.heavy_c[b2] > 0)
-            c1 = np.where(
-                mm1.any(1), self.heavy_c[b1][np.arange(n), mm1.argmax(1)], 0
-            )
-            c2 = np.where(
-                mm2.any(1), self.heavy_c[b2][np.arange(n), mm2.argmax(1)], 0
-            )
-            est[hit] = np.where(c1[hit] > 0, c1[hit], c2[hit]).astype(np.int64)
         # residue: lobby duels + promotion. Processed in waves of
         # unique primary buckets (heaviest-first within a bucket), each
         # wave vectorized: heavy recheck, lobby fast-path update, duel
@@ -589,16 +584,32 @@ class CuckooTopK(_VariantBase):
         rem = np.flatnonzero(~hit)
         if rem.size:
             rem = rem[np.argsort(-w[rem], kind="stable")]
-        while rem.size:
-            _, firstpos = np.unique(b1[rem], return_index=True)
-            firstpos.sort()
-            sub = rem[firstpos]
-            self._add_wave(sub, b1, b2, fp, w, est)
-            if firstpos.size == rem.size:
-                break
-            mask = np.ones(rem.size, dtype=bool)
-            mask[firstpos] = False
-            rem = rem[mask]
+            # all waves in ONE grouping pass: occurrence-rank r of each
+            # item's primary bucket within the (weight-ordered) residue
+            # — wave k processes every item with r == k, i.e. the k-th
+            # contender of each bucket, preserving heaviest-first order
+            # per bucket without a per-wave np.unique sort
+            inv = pd.factorize(b1[rem], sort=False)[0]
+            order = np.argsort(inv, kind="stable")
+            counts = np.bincount(inv)
+            starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+            rank = np.empty(rem.size, dtype=np.int64)
+            rank[order] = np.arange(rem.size) - np.repeat(starts, counts)
+            n_waves = int(rank.max()) + 1
+            for k in range(n_waves):
+                idx = rem[rank == k]
+                if idx.size <= 24:
+                    # a wave this small costs more in fixed vector-op
+                    # dispatch than per-item work: finish this wave and
+                    # every later one scalar, in residue order (which
+                    # is rank order within each bucket — heaviest
+                    # contender first, same as the wave schedule)
+                    for t in rem[rank >= k]:
+                        est[t] = self._add_one(
+                            int(b1[t]), int(b2[t]), fp[t], int(w[t])
+                        )
+                    break
+                self._add_wave(idx, b1, b2, fp, w, est)
         self._pq_update_batch(keys, est)
 
     def _add_wave(
@@ -614,28 +625,20 @@ class CuckooTopK(_VariantBase):
         writes never conflict. Mirrors ``_add_one`` semantics exactly;
         the vector phases just batch the common outcomes."""
         depth = self.params.depth
-        flat_c = self.heavy_c.reshape(-1)
         bb1, bb2, f, ww = b1[sub], b2[sub], fp[sub], w[sub]
         n = sub.shape[0]
-        # heavy recheck (earlier waves may have promoted this fp)
-        m1 = (self.heavy_fp[bb1] == f[:, None]) & (self.heavy_c[bb1] > 0)
-        h1 = m1.any(axis=1)
-        m2 = (self.heavy_fp[bb2] == f[:, None]) & (self.heavy_c[bb2] > 0)
-        h2 = m2.any(axis=1) & ~h1
-        if h1.any():
-            slots = bb1[h1] * depth + m1.argmax(axis=1)[h1]
-            np.add.at(flat_c, slots, ww[h1].astype(np.uint64))
-            est[sub[h1]] = flat_c[slots].astype(np.int64)
-        if h2.any():
-            slots = bb2[h2] * depth + m2.argmax(axis=1)[h2]
-            np.add.at(flat_c, slots, ww[h2].astype(np.uint64))
-            est[sub[h2]] = flat_c[slots].astype(np.int64)
-        todo = ~(h1 | h2)
-        if not todo.any():
-            return
+        # No heavy recheck needed: the batch's vector phase already
+        # probed both buckets, fps are unique post-preagg, and an fp
+        # can only ENTER heavy when its own item is processed — earlier
+        # waves promote/relocate OTHER fps. (The scalar _add_one keeps
+        # its recheck because it is also the generic single-item entry
+        # point.) Only a 64-bit fingerprint collision between two
+        # distinct pre-aggregated keys could defeat this, in which case
+        # the second key duels the lobby instead of incrementing the
+        # heavy cell — the sketch stays within its error model.
         # lobby fast path (src/cuckoo.rs:635-644): empty or same fp
         lcnt = self.lobby_c[bb1]
-        fast = todo & ((lcnt == 0) | (self.lobby_fp[bb1] == f))
+        fast = (lcnt == 0) | (self.lobby_fp[bb1] == f)
         if fast.any():
             tb = bb1[fast]
             self.lobby_fp[tb] = f[fast]
@@ -643,7 +646,7 @@ class CuckooTopK(_VariantBase):
         # lobby duel (occupied by another fp): vectorized fast-reject,
         # conditioned survivors duel VECTORIZED against their lobby cell
         # (primary buckets are unique this wave)
-        duel = np.flatnonzero(todo & ~fast)
+        duel = np.flatnonzero(~fast)
         winners: np.ndarray | list = []
         if duel.size:
             force = self._force_decay
@@ -702,8 +705,89 @@ class CuckooTopK(_VariantBase):
             est[sub[hidx]] = cur.astype(np.int64)
             cand_mask = cand_mask.copy()
             cand_mask[e1] = False
-        # the rest (secondary-bucket installs, evictions with kick
-        # chains) stays scalar and ordered
+        # SECONDARY-bucket empty installs, vectorized for candidates
+        # whose secondary bucket is unique this wave (secondary buckets,
+        # unlike primaries, can collide — duplicates defer to the scalar
+        # path). Emptiness is re-read AFTER the primary installs above
+        # so a slot an e1 install just took is never double-booked;
+        # lobby cells are per-primary-bucket (unique this wave), so
+        # each candidate's lobby count is still its own.
+        rest = np.flatnonzero(cand_mask)
+        if rest.size:
+            tb2 = hb2[rest]
+            e2m = self.heavy_c[tb2] == 0
+            has2 = e2m.any(axis=1)
+            uniq = np.zeros(rest.size, dtype=bool)
+            _, fidx = np.unique(tb2, return_index=True)
+            uniq[fidx] = True
+            do2 = np.flatnonzero(has2 & uniq)
+            if do2.size:
+                sel = rest[do2]
+                tb = hb2[sel]
+                slot = e2m[do2].argmax(axis=1)
+                hidx = holders[sel]
+                tbl = hb1[sel]
+                cur = self.lobby_c[tbl].copy()
+                self.heavy_fp[tb, slot] = f[hidx]
+                self.heavy_c[tb, slot] = cur
+                self.lobby_fp[tbl] = 0
+                self.lobby_c[tbl] = 0
+                est[sub[hidx]] = cur.astype(np.int64)
+                cand_mask[sel] = False
+        # EVICTIONS, vectorized (round-4: batch the relocations by
+        # level instead of per-item kick chains). For candidates whose
+        # buckets are both full (fresh read — the install phases above
+        # may have consumed empties): pick the global-min victim cell
+        # exactly like scalar ``_min_heavy`` (primary wins ties),
+        # install the lobby item over it when lobby > victim, drop the
+        # attempt (lobby keeps the item) otherwise. Same-state rows
+        # pointing at the same bucket pick the same argmin cell, so
+        # deduping on the victim CELL makes installs conflict-free;
+        # displaced victims then relocate level-synchronously in
+        # ``_relocate_batch``.
+        rest = np.flatnonzero(cand_mask)
+        if rest.size:
+            tb1r, tb2r = hb1[rest], hb2[rest]
+            h1c = self.heavy_c[tb1r]
+            h2c = self.heavy_c[tb2r]
+            empty_any = (h1c == 0).any(axis=1) | (h2c == 0).any(axis=1)
+            ar = np.arange(rest.size)
+            i1 = h1c.argmin(axis=1)
+            c1 = h1c[ar, i1].astype(np.int64)
+            i2 = h2c.argmin(axis=1)
+            c2 = h2c[ar, i2].astype(np.int64)
+            use2 = c2 < c1
+            vbb = np.where(use2, tb2r, tb1r)
+            vii = np.where(use2, i2, i1)
+            vcc = np.where(use2, c2, c1)
+            lcr = self.lobby_c[tb1r].astype(np.int64)
+            dead = (~empty_any) & (lcr <= vcc)
+            if dead.any():
+                cand_mask[rest[dead]] = False  # lobby keeps the item
+            ev = np.flatnonzero((~empty_any) & (lcr > vcc))
+            if ev.size:
+                cells = vbb[ev] * depth + vii[ev]
+                uniqv = np.zeros(ev.size, dtype=bool)
+                _, fcell = np.unique(cells, return_index=True)
+                uniqv[fcell] = True
+                dov = ev[uniqv]
+                if dov.size:
+                    selv = rest[dov]
+                    hv = holders[selv]
+                    vbs, vis = vbb[dov], vii[dov]
+                    vfp = self.heavy_fp[vbs, vis].copy()
+                    vcnt = vcc[dov].copy()
+                    curv = lcr[dov]
+                    self.heavy_fp[vbs, vis] = f[hv]
+                    self.heavy_c[vbs, vis] = curv.astype(np.uint64)
+                    tbl = hb1[selv]
+                    self.lobby_fp[tbl] = 0
+                    self.lobby_c[tbl] = 0
+                    est[sub[hv]] = curv
+                    cand_mask[selv] = False
+                    self._relocate_batch(vfp, vcnt, vbs)
+        # the rest (colliding secondary installs / victim cells) stays
+        # scalar and ordered — rare
         for j in np.flatnonzero(cand_mask):
             i = int(holders[j])
             bb, ba = int(hb1[j]), int(hb2[j])
@@ -801,6 +885,59 @@ class CuckooTopK(_VariantBase):
         if b2 == b1:
             b2 = (b2 + 1) % w
         return b1, b2
+
+    def _relocate_batch(
+        self, fp: np.ndarray, count: np.ndarray, from_b: np.ndarray
+    ) -> None:
+        """Level-synchronous bounded kick chains: one ``_relocate``
+        hop (src/cuckoo.rs:678-707) for ALL live victims per
+        iteration, arrays shrinking as chains terminate. Duplicate
+        targets within a level would race on the shared argmin cell,
+        so all-but-the-first for each target finish on the scalar
+        chain; survivors' installs hit unique cells and the displaced
+        occupants (tc > 0 swaps) carry to the next level."""
+        fp = np.asarray(fp, dtype=np.uint64)
+        count = np.asarray(count, dtype=np.int64)
+        from_b = np.asarray(from_b, dtype=np.int64)
+        for _ in range(self.max_kicks):
+            live = count > 0
+            if not live.all():
+                fp, count, from_b = fp[live], count[live], from_b[live]
+            if fp.size == 0:
+                return
+            b1, b2 = self._pair(fp)
+            target = np.where(from_b == b1, b2, b1)
+            keep = target != from_b
+            if not keep.all():
+                fp, count, from_b, target = (
+                    fp[keep], count[keep], from_b[keep], target[keep]
+                )
+            if fp.size == 0:
+                return
+            uniq = np.zeros(fp.size, dtype=bool)
+            _, fi = np.unique(target, return_index=True)
+            uniq[fi] = True
+            for j in np.flatnonzero(~uniq):
+                self._relocate(fp[j], int(count[j]), int(from_b[j]))
+            if not uniq.all():
+                fp, count, from_b, target = (
+                    fp[uniq], count[uniq], from_b[uniq], target[uniq]
+                )
+            rowc = self.heavy_c[target]
+            i = rowc.argmin(axis=1)
+            tc = rowc[np.arange(fp.size), i].astype(np.int64)
+            install = (tc == 0) | (count > tc)
+            ins = np.flatnonzero(install)
+            if ins.size == 0:
+                return  # every remaining chain died (count <= tc > 0)
+            tbs, slots = target[ins], i[ins]
+            ofp = self.heavy_fp[tbs, slots].copy()
+            self.heavy_fp[tbs, slots] = fp[ins]
+            self.heavy_c[tbs, slots] = count[ins].astype(np.uint64)
+            swapped = tc[ins] > 0  # empty installs terminate; swaps carry on
+            fp = ofp[swapped]
+            count = tc[ins][swapped]
+            from_b = tbs[swapped]
 
     def _relocate(self, fp: np.uint64, count: int, from_b: int) -> None:
         """Bounded kick chain (src/cuckoo.rs:678-707)."""
