@@ -1110,11 +1110,16 @@ def _pipeline_ops_ok(spark: SparkSession, sf_dir: str) -> DataFrame:
       (``_length_buckets_ok``).
     - Embedding LSH recall: banded path recovers >= 90% of exact
       cosine pairs (``_embedding_lsh_recall_ok``).
+    - Multimodal decode (round-4: REAL image decode): synthesized
+      PNG/BMP/PPM and WAV blobs through the Spark decode -> resize ->
+      feature operators, values matching local decode, corrupt-row
+      capture intact (``_media_pipeline_ok``).
     """
     a = _bloom_semi_join_ok(spark, sf_dir).collect()[0]
     b = _stratified_sample_ok(spark, sf_dir).collect()[0]
     c = _length_buckets_ok(spark, sf_dir).collect()[0]
     d = _embedding_lsh_recall_ok(spark, sf_dir).collect()[0]
+    media_ok = _media_pipeline_ok(spark)
     return _local_df(
         spark,
         [(
@@ -1122,12 +1127,62 @@ def _pipeline_ops_ok(spark: SparkSession, sf_dir: str) -> DataFrame:
             int(b["n_docs"]), bool(b["sampling_ok"]),
             int(c["n_buckets"]), bool(c["buckets_ok"]),
             int(d["n_exact_pairs"]), bool(d["recall_ok"]),
+            bool(media_ok),
         )],
         "semi_n_exact bigint, semi_no_false_negatives boolean, semi_fp_bounded boolean, "
         "sample_n_docs bigint, sampling_ok boolean, "
         "lenbucket_n bigint, lenbuckets_ok boolean, "
-        "lsh_n_exact_pairs bigint, lsh_recall_ok boolean",
+        "lsh_n_exact_pairs bigint, lsh_recall_ok boolean, "
+        "media_ok boolean",
     )
+
+
+def _media_pipeline_ok(spark: SparkSession) -> bool:
+    """Decode -> resize -> features over REAL bytes with no codec libs:
+    deterministic PNG/BMP/PPM images (pure-NumPy/zlib decoders) and a
+    PCM WAV, pushed through the Spark operators as binary columns; a
+    deliberately corrupt row must be captured per-row, never fatal."""
+    import numpy as np
+
+    from heavykeeper_rs_spark.operators.multimodal import (
+        encode_bmp,
+        encode_png,
+        encode_ppm,
+        extract_features,
+        image_decoder,
+        resize_features,
+        resize_nearest,
+        synth_image,
+        synth_wav,
+        wav_decoder,
+    )
+
+    imgs = {
+        1: (encode_png, synth_image(12, 16, 3, seed=7)),
+        2: (encode_bmp, synth_image(20, 8, 3, seed=9)),
+        3: (encode_ppm, synth_image(10, 10, 1, seed=2)),
+    }
+    rows = [(mid, enc(img)) for mid, (enc, img) in imgs.items()]
+    rows.append((4, b"\x89PNG\r\n\x1a\ntruncated"))
+    df = _local_df(spark, rows, "mid bigint, blob binary")
+    got = {
+        r["id"]: r
+        for r in resize_features(df, "mid", "blob", 4, 4, decoder=image_decoder).collect()
+    }
+    ok = len(got) == 4 and not got[4]["ok"]
+    for mid, (_enc, img) in imgs.items():
+        want = resize_nearest(img, 4, 4).astype(np.float32).reshape(-1)
+        ok = ok and bool(got[mid]["ok"]) and np.allclose(got[mid]["feature"], want)
+    wavs = [(1, synth_wav(440.0)), (2, synth_wav(220.0, channels=2)), (3, b"RIFFbad")]
+    wdf = _local_df(spark, wavs, "mid bigint, blob binary")
+    wgot = {
+        r["id"]: r for r in extract_features(wdf, "mid", "blob", decoder=wav_decoder).collect()
+    }
+    for mid, blob in wavs[:2]:
+        ok = ok and bool(wgot[mid]["ok"]) and np.allclose(
+            wgot[mid]["feature"], wav_decoder(blob)
+        )
+    return ok and not wgot[3]["ok"]
 
 
 def _hk_topk_types_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1730,7 +1785,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT ROUND(list_cosine_similarity(a.embedding::DOUBLE[], "
             "b.embedding::DOUBLE[]), 6) AS cosine FROM embeddings a "
             "JOIN embeddings b ON a.vec_id < b.vec_id) WHERE cosine >= 0.40) "
-            "AS lsh_n_exact_pairs, TRUE AS lsh_recall_ok"
+            "AS lsh_n_exact_pairs, TRUE AS lsh_recall_ok, TRUE AS media_ok"
         ),
         "embedding_near_dup": (
             "SELECT * FROM ("
