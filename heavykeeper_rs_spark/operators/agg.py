@@ -116,7 +116,9 @@ def sketch_agg(
     # multi-level bounded-fan-in merge tree (see operators/topk.py
     # _tree_merge): salt starts as partition id, divides by fan_in per
     # level until <= fan_in blobs reach the driver
-    n_parts = max(keyed.rdd.getNumPartitions(), 1)
+    from .topk import estimate_partitions
+
+    n_parts = estimate_partitions(keyed)
     fan_in = max(int(merge_groups), 2)  # caller's fan-in, BEFORE rebinding
     merge_groups = n_parts  # build closure salts by pid
     combined = keyed.mapInArrow(build, _BLOB_SCHEMA)
