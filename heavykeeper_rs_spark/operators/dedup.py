@@ -480,8 +480,13 @@ def label_propagate(
     rounds: int | None = None,
     max_rounds: int = 20,
     on_nonconverged: str = "raise",
+    stats: dict | None = None,
 ) -> DataFrame:
     """Min-id connected-component labels: (id, rep_id).
+
+    Pass ``stats={}`` to receive ``{"rounds": k, "converged": bool}``
+    back (convergence-mode observability for long-running curation
+    jobs).
 
     ``ids`` has one ``id`` column; ``edges`` has (id_a, id_b). Each
     round every node takes the min of its own label and its neighbors'
@@ -519,7 +524,9 @@ def label_propagate(
         prev_sum = None
     n_rounds = max_rounds if converge else int(rounds)
     settled = not converge
+    ran = 0
     for _ in range(n_rounds):
+        ran += 1
         neigh_min = (
             both.join(labels, both.id_b == labels.id, "inner")
             .groupBy("id_a")
@@ -541,6 +548,9 @@ def label_propagate(
                 settled = True
                 break
             prev_sum = cur_sum
+    if stats is not None:
+        stats["rounds"] = ran
+        stats["converged"] = settled
     if not settled:
         msg = (
             f"label_propagate did not converge within max_rounds={max_rounds}: "
