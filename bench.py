@@ -65,8 +65,10 @@ def _cpu_control(reps: int = 5, n: int = 5_000_000) -> dict:
     a few percent; under host contention the absolute rate drops and
     the spread blows up — so a polluted bench artifact (like the
     driver-window BENCH_r03.json, uniformly ~1.3x slow) self-identifies
-    instead of reading as a code regression. Idle-box reference for
-    this container: ~24-30 Mops single-proc (see BENCH.md)."""
+    instead of reading as a code regression. Observed range on this
+    container (round 4): ~12-16 Mops single-proc; compare pre/post and
+    across artifacts rather than against an absolute — the box never
+    sits fully idle."""
     rates = []
     for _ in range(reps):
         t0 = time.time()
