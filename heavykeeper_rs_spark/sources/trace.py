@@ -1,0 +1,69 @@
+"""CAIDA-style fixed-width binary flow-trace source.
+
+The reference's headline workload reads ``data/*.dat`` files of
+13-byte records — src_ip(4) ‖ sport(2) ‖ dst_ip(4) ‖ dport(2) ‖
+proto(1) — sequentially on one thread (examples/ip_files.rs:13-98).
+Here the same files become a DataFrame of BinaryType keys: Spark's
+``binaryFile`` source lists/distributes the files (one task per file —
+traces ship as many sequential ``.dat`` parts, so file-level
+parallelism is the natural split), and an Arrow kernel slices each
+file's bytes into fixed-width records with one reshape — no per-record
+Python.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import BinaryType, StructField, StructType
+
+_KEY_SCHEMA = StructType([StructField("flow_key", BinaryType(), False)])
+
+
+def read_flow_trace(
+    spark: SparkSession, path: str, key_size: int = 13, glob: str = "*.dat"
+) -> DataFrame:
+    """(flow_key binary) — one row per ``key_size``-byte record across
+    every matching trace file. A trailing partial record (truncated
+    final write) is dropped, mirroring the reference's read_exact loop
+    (examples/ip_files.rs:27-33, which stops at the first short
+    read)."""
+
+    def slice_records(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            col = batch.column(0)
+            for i in range(len(col)):
+                blob = col[i].as_py()
+                if not blob:
+                    continue
+                n = len(blob) // key_size
+                if n == 0:
+                    continue
+                arr = np.frombuffer(blob, dtype=np.uint8, count=n * key_size)
+                flat = pa.py_buffer(arr.tobytes())
+                offsets = pa.array(
+                    np.arange(0, (n + 1) * key_size, key_size, dtype=np.int32)
+                )
+                keys = pa.BinaryArray.from_buffers(
+                    pa.binary(), n, [None, offsets.buffers()[1], flat]
+                )
+                yield pa.RecordBatch.from_arrays([keys], names=["flow_key"])
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+        .select("content")
+    )
+    return files.mapInArrow(slice_records, _KEY_SCHEMA)
+
+
+def write_flow_trace(keys: list[bytes], path: str) -> None:
+    """Fixture producer: write records back-to-back the way the
+    reference's data tooling lays them out (data/generate.py)."""
+    with open(path, "wb") as f:
+        for k in keys:
+            f.write(k)

@@ -186,3 +186,52 @@ class TestIvfSidecarViaSpark:
         # the sidecar dir must NOT leak into the main index scan
         main = spark.read.parquet(idxp)
         assert "centroid_id" not in main.columns
+
+
+class TestFlowTraceSource:
+    """CAIDA-style .dat trace source (examples/ip_files.rs:13-98
+    analog): fixed-width binary records across files, distributed."""
+
+    def test_roundtrip_and_partial_record_drop(self, spark, tmp_path):
+        import numpy as np
+
+        from heavykeeper_rs_spark.sources.trace import (
+            read_flow_trace,
+            write_flow_trace,
+        )
+
+        rng = np.random.default_rng(5)
+        keys_a = [bytes(rng.integers(0, 256, 13, dtype=np.uint8)) for _ in range(200)]
+        keys_b = [bytes(rng.integers(0, 256, 13, dtype=np.uint8)) for _ in range(117)]
+        write_flow_trace(keys_a, str(tmp_path / "t0.dat"))
+        write_flow_trace(keys_b, str(tmp_path / "t1.dat"))
+        # truncated final record must be dropped (read_exact semantics)
+        with open(tmp_path / "t1.dat", "ab") as f:
+            f.write(b"\x01\x02\x03")
+        (tmp_path / "ignore.txt").write_bytes(b"not a trace")
+        df = read_flow_trace(spark, str(tmp_path), key_size=13)
+        got = sorted(bytes(r["flow_key"]) for r in df.collect())
+        assert got == sorted(keys_a + keys_b)
+
+    def test_score_results_reference_semantics(self):
+        """score_results mirrors ip_files.rs:126-173: hit ratio over
+        reported, ARE_reported skips unknown items, ARE_true_top_k
+        charges missing items as zero-count."""
+        import importlib.util
+        import os
+
+        spec = importlib.util.spec_from_file_location(
+            "score_accuracy",
+            os.path.join(os.path.dirname(__file__), "..", "tools", "score_accuracy.py"),
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        truth = {b"a": 100, b"b": 50, b"c": 10, b"d": 8}
+        true_top = {b"a", b"b", b"c"}
+        results = [(b"a", 110), (b"b", 50), (b"x", 7)]  # x unknown to truth
+        counts = {b"a": 110, b"b": 50, b"c": 0}
+        m = mod.score_results(results, truth, true_top, lambda it: counts.get(it, 0))
+        assert m["hit_ratio"] == round(2 / 3, 4)
+        assert m["are_reported"] == round((10 / 100 + 0 / 50) / 2, 6)
+        # c missing from the sketch -> relative error 1.0 on its count
+        assert m["are_true_top_k"] == round((10 / 100 + 0 + 1.0) / 3, 6)
