@@ -1114,12 +1114,17 @@ def _pipeline_ops_ok(spark: SparkSession, sf_dir: str) -> DataFrame:
       PNG/BMP/PPM and WAV blobs through the Spark decode -> resize ->
       feature operators, values matching local decode, corrupt-row
       capture intact (``_media_pipeline_ok``).
+    - WARC source (round-4): a webtext-derived Common-Crawl-style
+      per-record-gzip WARC archive read back with byte-identical
+      extracted text per url (``_warc_pipeline_ok`` — the BASELINE's
+      per-row invariant over the native archive format).
     """
     a = _bloom_semi_join_ok(spark, sf_dir).collect()[0]
     b = _stratified_sample_ok(spark, sf_dir).collect()[0]
     c = _length_buckets_ok(spark, sf_dir).collect()[0]
     d = _embedding_lsh_recall_ok(spark, sf_dir).collect()[0]
     media_ok = _media_pipeline_ok(spark)
+    warc_ok = _warc_pipeline_ok(spark, sf_dir)
     return _local_df(
         spark,
         [(
@@ -1127,14 +1132,46 @@ def _pipeline_ops_ok(spark: SparkSession, sf_dir: str) -> DataFrame:
             int(b["n_docs"]), bool(b["sampling_ok"]),
             int(c["n_buckets"]), bool(c["buckets_ok"]),
             int(d["n_exact_pairs"]), bool(d["recall_ok"]),
-            bool(media_ok),
+            bool(media_ok), bool(warc_ok),
         )],
         "semi_n_exact bigint, semi_no_false_negatives boolean, semi_fp_bounded boolean, "
         "sample_n_docs bigint, sampling_ok boolean, "
         "lenbucket_n bigint, lenbuckets_ok boolean, "
         "lsh_n_exact_pairs bigint, lsh_recall_ok boolean, "
-        "media_ok boolean",
+        "media_ok boolean, warc_ok boolean",
     )
+
+
+def _warc_pipeline_ok(spark: SparkSession, sf_dir: str) -> bool:
+    """documents-table texts wrapped in the canonical html encoding,
+    written as a per-record-gzip WARC archive, read back through the
+    WARC source: every url must reproduce its extracted text
+    byte-identically."""
+    import tempfile
+
+    from heavykeeper_rs_spark.sources.warc import read_warc, write_warc_file
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .limit(100)
+        .collect()
+    )
+    recs = [
+        (
+            f"https://corpus.test/{r['doc_id']}",
+            "2025-03-04T05:06:07Z",
+            b"<html><body>" + r["text"].encode() + b"</body></html>",
+        )
+        for r in docs
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        write_warc_file(recs[: len(recs) // 2], f"{d}/p0.warc.gz")
+        write_warc_file(recs[len(recs) // 2 :], f"{d}/p1.warc.gz")
+        got = {r["url"]: r["text"] for r in read_warc(spark, d).collect()}
+    want = {f"https://corpus.test/{r['doc_id']}": r["text"] for r in docs}
+    return got == want
 
 
 def _media_pipeline_ok(spark: SparkSession) -> bool:
@@ -1785,7 +1822,8 @@ def oracle_sql() -> dict[str, str]:
             "SELECT ROUND(list_cosine_similarity(a.embedding::DOUBLE[], "
             "b.embedding::DOUBLE[]), 6) AS cosine FROM embeddings a "
             "JOIN embeddings b ON a.vec_id < b.vec_id) WHERE cosine >= 0.40) "
-            "AS lsh_n_exact_pairs, TRUE AS lsh_recall_ok, TRUE AS media_ok"
+            "AS lsh_n_exact_pairs, TRUE AS lsh_recall_ok, TRUE AS media_ok, "
+            "TRUE AS warc_ok"
         ),
         "embedding_near_dup": (
             "SELECT * FROM ("

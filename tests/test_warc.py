@@ -1,0 +1,123 @@
+"""WARC source tests — Common-Crawl's native format to (url, warc_ts,
+html, text) rows, including the BASELINE invariant: byte-identical
+extracted text per url."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from heavykeeper_rs_spark.sources.warc import (
+    extract_text,
+    parse_warc_records,
+    read_warc,
+    write_warc_file,
+)
+
+
+def _mk(url, ts, body):
+    return (url, ts, body)
+
+
+class TestWarcSource:
+    def test_roundtrip_gzip_and_plain(self, spark, tmp_path):
+        recs = [
+            _mk("https://a.test/1", "2025-01-02T03:04:05Z",
+                b"<html><body>alpha text</body></html>"),
+            _mk("https://b.test/2", "2025-02-03T04:05:06Z",
+                b"<html><body>beta text</body></html>"),
+        ]
+        write_warc_file(recs, str(tmp_path / "s0.warc.gz"), gzip_members=True)
+        write_warc_file(recs, str(tmp_path / "s1.warc"), gzip_members=False)
+        rows = read_warc(spark, str(tmp_path)).collect()
+        assert len(rows) == 4
+        by_url = {}
+        for r in rows:
+            by_url.setdefault(r["url"], []).append(r)
+        assert set(by_url) == {"https://a.test/1", "https://b.test/2"}
+        r = by_url["https://a.test/1"][0]
+        assert bytes(r["html"]) == recs[0][2]
+        assert r["text"] == "alpha text"
+        assert str(r["warc_ts"]) == "2025-01-02 03:04:05"
+
+    def test_non_response_records_skipped(self, spark, tmp_path):
+        body = b"<html><body>x</body></html>"
+        http = (b"HTTP/1.1 200 OK\r\n\r\n" + body)
+        req = (
+            b"WARC/1.0\r\nWARC-Type: request\r\n"
+            b"WARC-Target-URI: https://a.test/req\r\n"
+            b"WARC-Date: 2025-01-01T00:00:00Z\r\n"
+            + b"Content-Length: 4\r\n\r\nGET \r\n\r\n"
+        )
+        resp = (
+            b"WARC/1.0\r\nWARC-Type: response\r\n"
+            b"WARC-Target-URI: https://a.test/ok\r\n"
+            b"WARC-Date: 2025-01-01T00:00:00Z\r\n"
+            + b"Content-Length: " + str(len(http)).encode() + b"\r\n\r\n"
+            + http + b"\r\n\r\n"
+        )
+        (tmp_path / "m.warc").write_bytes(req + resp)
+        rows = read_warc(spark, str(tmp_path)).collect()
+        assert [r["url"] for r in rows] == ["https://a.test/ok"]
+        assert bytes(rows[0]["html"]) == body
+
+    def test_truncated_tail_does_not_kill_parse(self):
+        recs = [_mk("https://a.test/1", "2025-01-01T00:00:00Z",
+                    b"<html><body>keep</body></html>")]
+        import io
+
+        buf = io.BytesIO()
+        http = b"HTTP/1.1 200 OK\r\n\r\n" + recs[0][2]
+        whole = (
+            b"WARC/1.0\r\nWARC-Type: response\r\n"
+            b"WARC-Target-URI: https://a.test/1\r\n"
+            b"WARC-Date: 2025-01-01T00:00:00Z\r\n"
+            + b"Content-Length: " + str(len(http)).encode() + b"\r\n\r\n"
+            + http + b"\r\n\r\n"
+        )
+        # whole record + garbage tail
+        got = list(parse_warc_records(whole + b"WARC/1.0\r\nWARC-Type: res"))
+        assert len(got) == 1 and got[0]["url"] == "https://a.test/1"
+
+    def test_extract_text_tag_strip(self):
+        html = (b"<html><head><script>var x=1;</script>"
+                b"<style>p{color:red}</style></head>"
+                b"<body><p>Real</p>\n<div>page</div></body></html>")
+        assert extract_text(html) == "Real page"
+
+    def test_byte_identical_text_per_url_vs_corpus(self, spark, tmp_path):
+        """The BASELINE per-row invariant: writing a webtext corpus's
+        html through WARC and reading it back must reproduce the
+        extracted text byte-identically per url."""
+        from heavykeeper_rs_spark.sources.synth import webtext
+
+        docs = webtext(spark, 200).select(
+            F.concat(F.lit("https://synth.test/"), F.col("doc_id")).alias("url"),
+            F.date_format("warc_ts", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("ts"),
+            "html",
+            "text",
+        ).collect()
+        recs = [(r["url"], r["ts"], bytes(r["html"])) for r in docs]
+        half = len(recs) // 2
+        write_warc_file(recs[:half], str(tmp_path / "p0.warc.gz"))
+        write_warc_file(recs[half:], str(tmp_path / "p1.warc.gz"))
+        got = {
+            r["url"]: r["text"] for r in read_warc(spark, str(tmp_path)).collect()
+        }
+        want = {r["url"]: r["text"] for r in docs}
+        assert got == want  # byte-identical extracted text per url
+
+    def test_feeds_token_topk(self, spark, tmp_path):
+        """WARC -> text -> token top-K: the flagship query over the
+        native archive format."""
+        from heavykeeper_rs_spark.operators.topk import topk_tokens
+
+        recs = [
+            _mk(f"https://t.test/{i}", "2025-01-01T00:00:00Z",
+                b"<html><body>spark warc spark</body></html>")
+            for i in range(20)
+        ]
+        write_warc_file(recs, str(tmp_path / "w.warc.gz"))
+        df = read_warc(spark, str(tmp_path))
+        top = topk_tokens(df, "text", k=2, width=256, depth=4).collect()
+        assert top[0]["item"] == "spark" and top[0]["count"] == 40
