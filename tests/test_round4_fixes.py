@@ -235,3 +235,41 @@ class TestFlowTraceSource:
         assert m["are_reported"] == round((10 / 100 + 0 / 50) / 2, 6)
         # c missing from the sketch -> relative error 1.0 on its count
         assert m["are_true_top_k"] == round((10 / 100 + 0 + 1.0) / 3, 6)
+
+
+class TestNewApiEdges:
+    def test_sketch_blobs_by_group_empty_input(self, spark):
+        from heavykeeper_rs_spark.operators.agg import cms_by_group
+
+        df = spark.createDataFrame([], "g string, v string")
+        assert cms_by_group(df, "g", "v").count() == 0
+
+    def test_sketch_blobs_by_group_null_group(self, spark):
+        from heavykeeper_rs_spark.operators.agg import bloom_by_group
+        from heavykeeper_rs_spark.sketches.bloom import Bloom
+
+        df = spark.createDataFrame(
+            [(None, "x"), (None, "y"), ("a", "z")], "g string, v string"
+        )
+        got = {r["group"]: r["sketch"] for r in bloom_by_group(df, "g", "v").collect()}
+        assert set(got) == {"None", "a"}  # NULL group coalesced, not dropped
+        sk = Bloom.deserialize(got["None"])
+        import numpy as np
+
+        assert bool(sk.contains(np.asarray(["x", "y"], dtype=object)).all())
+
+    def test_estimate_partitions_no_file_plan(self, spark):
+        from heavykeeper_rs_spark.operators.topk import estimate_partitions
+
+        df = spark.createDataFrame([(1,)], "x int")
+        par = spark.sparkContext.defaultParallelism
+        assert estimate_partitions(df) == par
+        assert estimate_partitions(df, bias="low") == par
+
+    def test_estimate_partitions_file_scan(self, spark):
+        from heavykeeper_rs_spark.operators.topk import estimate_partitions
+
+        df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        par = spark.sparkContext.defaultParallelism
+        assert estimate_partitions(df, bias="low") == 1  # single file
+        assert estimate_partitions(df) == par  # high bias floors at par
