@@ -163,3 +163,35 @@ def test_buffer_hash_lane_identity(keys, seed):
             assert uniq[k] == h
         uniq[k] = h
     assert len({v for v in uniq.values()}) == len(uniq)
+
+
+@given(
+    h=st.integers(1, 24),
+    w=st.integers(1, 24),
+    ch=st.sampled_from([1, 3, 4]),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_image_codec_roundtrip_property(h, w, ch, seed):
+    """PNG (all channel counts), PPM/PGM (1/3), BMP (3) must round-trip
+    arbitrary uint8 pixel data bit-exactly."""
+    import numpy as np
+
+    from heavykeeper_rs_spark.operators.multimodal import (
+        decode_bmp,
+        decode_png,
+        decode_ppm,
+        encode_bmp,
+        encode_png,
+        encode_ppm,
+    )
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w, ch)).astype(np.uint8)
+    if ch == 1:
+        img = img[:, :, 0]
+    assert (decode_png(encode_png(img)) == img).all()
+    if ch in (1, 3):
+        assert (decode_ppm(encode_ppm(img)) == img).all()
+    if ch == 3:
+        assert (decode_bmp(encode_bmp(img)) == img).all()

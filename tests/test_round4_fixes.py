@@ -273,3 +273,98 @@ class TestNewApiEdges:
         par = spark.sparkContext.defaultParallelism
         assert estimate_partitions(df, bias="low") == 1  # single file
         assert estimate_partitions(df) == par  # high bias floors at par
+
+
+class TestSketchStore:
+    """Build-once / probe-many persisted sketch tables."""
+
+    def test_single_sketch_roundtrip_all_variants(self, spark, tmp_path):
+        from heavykeeper_rs_spark.operators.topk import topk_sketch
+        from heavykeeper_rs_spark.sources.sketch_store import (
+            load_sketch,
+            save_sketch,
+        )
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        for variant in ("topk", "bucketed", "cuckoo"):
+            sk = topk_sketch(ev, "event_type", k=5, width=1024, depth=4,
+                             variant=variant)
+            p = str(tmp_path / f"sk_{variant}")
+            save_sketch(spark, sk, p, meta={"variant": variant, "k": 5})
+            back, meta = load_sketch(spark, p)
+            assert meta["variant"] == variant
+            assert back.list() == sk.list()
+
+    def test_other_family_with_explicit_deserialize(self, spark, tmp_path):
+        from heavykeeper_rs_spark.operators.agg import hll_build
+        from heavykeeper_rs_spark.sketches.hll import HLL
+        from heavykeeper_rs_spark.sources.sketch_store import (
+            load_sketch,
+            save_sketch,
+        )
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        sk = hll_build(ev, "user_id")
+        p = str(tmp_path / "hll")
+        save_sketch(spark, sk, p)
+        back, _ = load_sketch(spark, p, deserialize=HLL.deserialize)
+        assert abs(back.estimate() - sk.estimate()) < 1e-9
+
+    def test_grouped_store_and_point_lookup(self, spark, tmp_path):
+        import numpy as np
+
+        from heavykeeper_rs_spark.operators.agg import cms_by_group
+        from heavykeeper_rs_spark.sketches.cms import CountMin
+        from heavykeeper_rs_spark.sources.sketch_store import (
+            load_group,
+            load_grouped_sketches,
+            save_grouped_sketches,
+        )
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        blobs = cms_by_group(ev, "event_type", "user_id", width=512, depth=3)
+        p = str(tmp_path / "cms_by_type")
+        save_grouped_sketches(blobs, p)
+        table = load_grouped_sketches(spark, p)
+        groups = {r["group"] for r in table.select("group").collect()}
+        assert groups == {
+            r[0] for r in ev.select("event_type").distinct().collect()
+        }
+        g = sorted(groups)[0]
+        sk = load_group(spark, p, g, deserialize=CountMin.deserialize)
+        truth = (
+            ev.filter(ev.event_type == g).groupBy("user_id").count().collect()
+        )
+        keys = np.asarray([str(r["user_id"]) for r in truth], dtype=object)
+        est = sk.estimate(keys)
+        assert all(e >= r["count"] for e, r in zip(est, truth))
+        import pytest as _pt
+
+        with _pt.raises(KeyError):
+            load_group(spark, p, "no-such-group")
+
+    def test_tampered_store_raises_never_executes(self, spark, tmp_path):
+        from heavykeeper_rs_spark.operators.topk import topk_sketch
+        from heavykeeper_rs_spark.sources.sketch_store import (
+            load_sketch,
+            save_sketch,
+        )
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        sk = topk_sketch(ev, "event_type", k=3, width=256, depth=2)
+        p = str(tmp_path / "tamper")
+        save_sketch(spark, sk, p)
+        import pickle
+
+        evil = pickle.dumps({"boom": 1})
+        df = spark.read.parquet(p)
+        from heavykeeper_rs_spark.operators.topk import local_result_df
+
+        local_result_df(
+            spark,
+            [(bytearray(evil), "{}", "HeavyKeeper")],
+            "sketch binary, meta string, sketch_type string",
+        ).coalesce(1).write.mode("overwrite").parquet(p)
+        with pytest.raises(ValueError):
+            load_sketch(spark, p)
+        assert df is not None
