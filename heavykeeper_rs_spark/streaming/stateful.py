@@ -134,12 +134,13 @@ def stateful_windowed_topk_stream(
     watermark: str = "10 minutes",
     n_shards: int = 4,
     variant: str = "topk",
+    slide: str | None = None,
 ) -> DataFrame:
     """Per-event-time-window HeavyKeeper sketches with late-data
     handling — the variant-threaded specialization of
     ``stateful_windowed_sketch_stream``. ``variant`` selects the
     sketch layout; blobs carry the magic, so ``merge_window_blobs``
-    folds any of them."""
+    folds any of them. ``slide`` < window makes the windows sliding."""
     from ..operators.topk import VARIANTS, _deserialize_variant, _make_sketch
 
     if variant not in VARIANTS:
@@ -163,6 +164,7 @@ def stateful_windowed_topk_stream(
         window=window,
         watermark=watermark,
         n_shards=n_shards,
+        slide=slide,
     )
 
 
@@ -175,6 +177,7 @@ def stateful_windowed_sketch_stream(
     window: str = "1 hour",
     watermark: str = "10 minutes",
     n_shards: int = 4,
+    slide: str | None = None,
 ) -> DataFrame:
     """Per-event-time-window sketches with late-data handling, for ANY
     mergeable sketch (HeavyKeeper variants, HLL, CMS, Bloom, ...).
@@ -188,6 +191,13 @@ def stateful_windowed_sketch_stream(
     final=1 and is removed — the streaming analog of the batch
     ``sketch_by_group`` over ``date_trunc`` windows, with bounded
     state (open windows × shards blobs).
+
+    ``slide`` (< window) turns the tumbling windows into SLIDING ones:
+    Catalyst's TimeWindowing rule expands each event into its
+    window/slide containing windows before the stateful operator, so
+    each (overlapping) window still owns an independent state group
+    and finalizes on its own end. State grows by the overlap factor —
+    size the watermark accordingly.
     """
 
     def fold(
@@ -254,15 +264,15 @@ def stateful_windowed_sketch_stream(
         stream_df.withColumn("__ts", F.col(ts_col).cast("timestamp"))
         .withWatermark("__ts", watermark)
         .select(
-            F.unix_timestamp(F.window("__ts", window).getField("start")).alias(
-                "__wstart"
-            ),
+            F.unix_timestamp(
+                F.window("__ts", window, slide or window).getField("start")
+            ).alias("__wstart"),
             (F.abs(F.xxhash64(F.col(col).cast("string"))) % n_shards)
             .cast("int")
             .alias("__shard"),
-            F.unix_timestamp(F.window("__ts", window).getField("end")).alias(
-                "__wend"
-            ),
+            F.unix_timestamp(
+                F.window("__ts", window, slide or window).getField("end")
+            ).alias("__wend"),
             F.col(col).cast("string").alias("__key"),
             # the watermark-tagged event-time column must survive the
             # projection for EventTimeTimeout to be allowed

@@ -326,3 +326,77 @@ def test_stateful_stream_variant(spark, tmp_path):
         for r in ev.groupBy("event_type").count().orderBy(F.desc("count")).limit(5).collect()
     }
     assert dict(sk.list()) == truth
+
+
+def test_sliding_window_cms_stream_vs_batch(spark, tmp_path):
+    """SLIDING event-time windows (round 4) over a non-HK family:
+    streaming CountMin per (12h window sliding every 6h, shard) —
+    every window's merged sketch must bound each event type's true
+    per-window count from above with the CM guarantee, every event
+    must land in window/slide = 2 windows, and the window-start set
+    must equal the batch sliding-window truth."""
+    import os as _os
+
+    from heavykeeper_rs_spark.sketches.cms import CountMin
+    from heavykeeper_rs_spark.streaming.stateful import (
+        merge_window_blobs,
+        stateful_windowed_sketch_stream,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src = str(tmp_path / "slsrc")
+    _os.makedirs(src)
+    _os.symlink("/root/testdata/sf0.001/events.parquet", f"{src}/events.parquet")
+    rows: list = []
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    out = stateful_windowed_sketch_stream(
+        stream,
+        "event_type",
+        "ts",
+        make=lambda wstart, shard: CountMin(1024, 4, 7),
+        deserialize=CountMin.deserialize,
+        window="12 hours",
+        slide="6 hours",
+        watermark="1 minute",
+        n_shards=2,
+    )
+    q = (
+        out.writeStream.foreachBatch(lambda b, i: rows.extend(b.collect()))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "slck"))
+        .start()
+    )
+    q.awaitTermination(300)
+    merged = merge_window_blobs(rows, deserialize=CountMin.deserialize)
+
+    # batch truth: per sliding window (2 windows per event), per type
+    truth_rows = (
+        ev.select(
+            F.unix_timestamp(
+                F.window(F.col("ts").cast("timestamp"), "12 hours", "6 hours")
+                .getField("start")
+            ).alias("w"),
+            "event_type",
+        )
+        .groupBy("w", "event_type")
+        .count()
+        .collect()
+    )
+    truth: dict = {}
+    for r in truth_rows:
+        truth.setdefault(r["w"], {})[r["event_type"]] = r["count"]
+    assert set(merged) == set(truth)
+    import numpy as np
+
+    n_events = ev.count()
+    total_rows_in_windows = sum(sum(d.values()) for d in truth.values())
+    assert total_rows_in_windows == 2 * n_events  # overlap factor
+    eps = np.e / 1024
+    for w, sk in merged.items():
+        types = np.asarray(list(truth[w]), dtype=object)
+        est = sk.estimate(types)
+        n_w = sum(truth[w].values())
+        assert int(sk.total) == n_w  # CM total is exact per window
+        for t, e in zip(types, est):
+            assert truth[w][t] <= e <= truth[w][t] + eps * n_w
