@@ -214,7 +214,10 @@ def _build_partial(
     params: HKParams, merge_groups: int, weighted: bool, variant: str = "topk"
 ):
     """mapInArrow kernel: one sketch per input partition."""
-    hashed = variant == "topk"  # zero-object lane on the canonical kernel
+    # zero-object lane on ALL layouts (round 4: variants gained
+    # add_batch_hashed; all three share the hash_items family, and
+    # hash_string_buffers produces identical values off the buffers)
+    hashed = True
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import pyarrow.compute as pc

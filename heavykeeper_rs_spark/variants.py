@@ -182,6 +182,34 @@ class _VariantBase:
                 return remaining + 1
         return None
 
+    # -- zero-object hashed lane (round 4: ported from the canonical
+    # kernel so the distributed builders feed str/bytes keys to the
+    # variant layouts without materializing Python objects either) ----
+    def add_batch_hashed(self, hashes, weights, key_take) -> None:
+        """Insert pre-hashed distinct keys WITHOUT materializing them
+        (kernel.HeavyKeeper.add_batch_hashed contract): ``hashes`` must
+        come from this sketch's seeded ``hash_items`` family —
+        ``hash_string_buffers`` produces identical values straight off
+        the Arrow buffers — and ``key_take(indices)`` materializes only
+        the keys that actually enter the top-K queue."""
+        h = np.asarray(hashes, dtype=np.uint64)
+        if h.size == 0:
+            return
+        inv, uh = pd.factorize(h, sort=False)
+        k = uh.shape[0]
+        w = np.bincount(
+            inv, weights=np.asarray(weights, dtype=np.float64), minlength=k
+        ).astype(np.int64)
+        first = np.empty(k, dtype=np.int64)
+        first[inv[::-1]] = np.arange(h.shape[0] - 1, -1, -1)
+        keep = w > 0
+        firstk = first[keep]
+        self._add_core(
+            np.asarray(uh, dtype=np.uint64)[keep],
+            w[keep],
+            lambda sel: key_take(firstk[sel]),
+        )
+
     # -- PQ ---------------------------------------------------------------
     def _pq_update_batch(self, keys: np.ndarray, counts: np.ndarray) -> None:
         mc = self.pq.min_count()
@@ -190,6 +218,18 @@ class _VariantBase:
             order = sel[np.lexsort((np.asarray(keys[sel]), -counts[sel]))]
             for i in order:
                 self.pq.upsert(_pq_key(keys[i]), int(counts[i]))
+
+    def _pq_update_batch_lazy(self, key_take, counts: np.ndarray) -> None:
+        """PQ update that materializes ONLY the candidate keys (the
+        hashed-lane analog of ``_pq_update_batch``)."""
+        mc = self.pq.min_count()
+        sel = np.flatnonzero(counts > mc)
+        if sel.size:
+            ks = np.asarray(key_take(sel), dtype=object)
+            csel = counts[sel]
+            order = np.lexsort((ks, -csel))
+            for j in order:
+                self.pq.upsert(_pq_key(ks[j]), int(csel[j]))
 
     def contains(self, item) -> bool:
         return bool(self.estimate(np.asarray([item], dtype=object))[0] > 0)
@@ -282,7 +322,10 @@ class BucketedTopK(_VariantBase):
 
     def add_batch(self, items: np.ndarray, weights: np.ndarray | None = None) -> None:
         keys, w, fp = self._preagg(items, weights)
-        n = keys.shape[0]
+        self._add_core(fp, w, lambda sel: keys[sel])
+
+    def _add_core(self, fp: np.ndarray, w: np.ndarray, key_take) -> None:
+        n = fp.shape[0]
         if n == 0:
             return
         idx = self._index(fp)
@@ -333,7 +376,7 @@ class BucketedTopK(_VariantBase):
         est = np.where(m.any(axis=1), bc[np.arange(n), m.argmax(axis=1)], 0).astype(
             np.int64
         )
-        self._pq_update_batch(keys, est)
+        self._pq_update_batch_lazy(key_take, est)
 
     def _wave(self, winners: np.ndarray, idx: np.ndarray, fp: np.ndarray, w: np.ndarray) -> None:
         """One vectorized wave: unique-bucket winners get re-match /
@@ -548,7 +591,10 @@ class CuckooTopK(_VariantBase):
 
     def add_batch(self, items: np.ndarray, weights: np.ndarray | None = None) -> None:
         keys, w, fp = self._preagg(items, weights)
-        n = keys.shape[0]
+        self._add_core(fp, w, lambda sel: keys[sel])
+
+    def _add_core(self, fp: np.ndarray, w: np.ndarray, key_take) -> None:
+        n = fp.shape[0]
         if n == 0:
             return
         b1, b2 = self._pair(fp)
@@ -610,7 +656,7 @@ class CuckooTopK(_VariantBase):
                         )
                     break
                 self._add_wave(idx, b1, b2, fp, w, est)
-        self._pq_update_batch(keys, est)
+        self._pq_update_batch_lazy(key_take, est)
 
     def _add_wave(
         self,
@@ -832,11 +878,9 @@ class CuckooTopK(_VariantBase):
 
     def _find_heavy(self, fp: np.uint64, b1: int, b2: int) -> int | None:
         for b in (b1, b2) if b1 != b2 else (b1,):
-            row_f = self.heavy_fp[b]
-            row_c = self.heavy_c[b]
-            s = np.flatnonzero((row_f == fp) & (row_c > 0))
-            if s.size:
-                return b * self.params.depth + int(s[0])
+            m = (self.heavy_fp[b] == fp) & (self.heavy_c[b] > 0)
+            if m.any():
+                return b * self.params.depth + int(m.argmax())
         return None
 
     def _promote(self, fp: np.uint64, count: int, b1: int, b2: int) -> bool:
@@ -1058,6 +1102,7 @@ class CuckooTopK(_VariantBase):
             cand = nl & ~done
             em = self.heavy_c[vp] == 0
             has_e = em.any(axis=1) & cand
+            done = done.copy()
             if has_e.any():
                 idxs = np.flatnonzero(has_e)
                 _, firstpos = np.unique(vp[idxs], return_index=True)
@@ -1066,8 +1111,62 @@ class CuckooTopK(_VariantBase):
                 ts = em.argmax(axis=1)[winners]
                 self.heavy_fp[tb, ts] = f[winners]
                 self.heavy_c[tb, ts] = c[winners]
-                done = done.copy()
                 done[winners] = True
+            # empty-SECONDARY installs (round 4, mirrors _add_wave):
+            # unique secondary buckets, emptiness re-read post-primary
+            rest2 = np.flatnonzero(nl & ~done)
+            if rest2.size:
+                tb2 = va[rest2]
+                e2m = self.heavy_c[tb2] == 0
+                has2 = e2m.any(axis=1)
+                uniq2 = np.zeros(rest2.size, dtype=bool)
+                _, f2 = np.unique(tb2, return_index=True)
+                uniq2[f2] = True
+                do2 = np.flatnonzero(has2 & uniq2)
+                if do2.size:
+                    sel2 = rest2[do2]
+                    self.heavy_fp[tb2[do2], e2m[do2].argmax(axis=1)] = f[sel2]
+                    self.heavy_c[tb2[do2], e2m[do2].argmax(axis=1)] = c[sel2]
+                    done[sel2] = True
+            # evictions (round 4, mirrors _add_wave): both buckets
+            # full, incoming strictly heavier than the global-min
+            # victim — install over cell-deduped victims, relocate the
+            # displaced occupants level-synchronously
+            rest3 = np.flatnonzero(nl & ~done)
+            if rest3.size:
+                tb1r, tb2r = vp[rest3], va[rest3]
+                h1c = self.heavy_c[tb1r]
+                h2c = self.heavy_c[tb2r]
+                full = ~((h1c == 0).any(axis=1) | (h2c == 0).any(axis=1))
+                ar = np.arange(rest3.size)
+                i1 = h1c.argmin(axis=1)
+                c1 = h1c[ar, i1].astype(np.int64)
+                i2 = h2c.argmin(axis=1)
+                c2 = h2c[ar, i2].astype(np.int64)
+                use2 = c2 < c1
+                vbb = np.where(use2, tb2r, tb1r)
+                vii = np.where(use2, i2, i1)
+                vcc = np.where(use2, c2, c1)
+                cin = c[rest3].astype(np.int64)
+                dead = full & (cin <= vcc)
+                if dead.any():
+                    done[rest3[dead]] = True  # loses to every occupant
+                ev = np.flatnonzero(full & (cin > vcc))
+                if ev.size:
+                    cells = vbb[ev] * d + vii[ev]
+                    uq = np.zeros(ev.size, dtype=bool)
+                    _, fc = np.unique(cells, return_index=True)
+                    uq[fc] = True
+                    dov = ev[uq]
+                    if dov.size:
+                        sel3 = rest3[dov]
+                        vbs, vis = vbb[dov], vii[dov]
+                        vfp = self.heavy_fp[vbs, vis].copy()
+                        vcnt = vcc[dov].copy()
+                        self.heavy_fp[vbs, vis] = f[sel3]
+                        self.heavy_c[vbs, vis] = c[sel3]
+                        done[sel3] = True
+                        self._relocate_batch(vfp, vcnt, vbs)
             rem = rem[~done]
         todo = rem
         for t in todo:
@@ -1075,8 +1174,10 @@ class CuckooTopK(_VariantBase):
             if True:
                 oc = int(other.heavy_c[b, j])
                 fp = other.heavy_fp[b, j]
-                p, a = self._pair(np.asarray([fp], dtype=np.uint64))
-                p, a = int(p[0]), int(a[0])
+                # scalar bucket_pair — bit-identical to _pair without
+                # the 1-element numpy dispatch overhead (profiled at
+                # ~half this loop's cost when it ran through _pair)
+                p, a = self._pair_one(fp)
                 count = oc
                 if self.lobby_c[p] > 0 and self.lobby_fp[p] == fp:
                     count += int(self.lobby_c[p])
@@ -1105,23 +1206,39 @@ class CuckooTopK(_VariantBase):
                     self.heavy_c[vb, vi] = count
                     self._relocate(vfp, vcount, vb)
         # lobbies of other: fold into heavy if present, else
-        # higher-count-wins (ties keep self)
-        for b in range(w):
-            oc = int(other.lobby_c[b])
-            if oc == 0:
-                continue
-            fp = other.lobby_fp[b]
-            p, a = self._pair(np.asarray([fp], dtype=np.uint64))
-            p, a = int(p[0]), int(a[0])
-            idx = self._find_heavy(fp, p, a)
-            if idx is not None:
-                self.heavy_c.reshape(-1)[idx] += np.uint64(oc)
-                continue
-            if self.lobby_c[p] > 0 and self.lobby_fp[p] == fp:
-                self.lobby_c[p] += np.uint64(oc)
-            elif self.lobby_c[p] == 0 or oc > int(self.lobby_c[p]):
-                self.lobby_fp[p] = fp
-                self.lobby_c[p] = oc
+        # higher-count-wins (ties keep self). One vector pass: lobby
+        # inserts only ever land at an fp's PRIMARY bucket, so lobby
+        # fps are distinct and each row's writes hit its own primary
+        # cell — conflict-free scatters (heavy-hit slots are unique by
+        # the distinct-fp argument, same as add_batch).
+        nzl = np.flatnonzero(other.lobby_c > 0)
+        if nzl.size:
+            f = other.lobby_fp[nzl]
+            c = other.lobby_c[nzl]
+            vp, va = self._pair(f)
+            m1 = (self.heavy_fp[vp] == f[:, None]) & (self.heavy_c[vp] > 0)
+            m2 = (self.heavy_fp[va] == f[:, None]) & (self.heavy_c[va] > 0)
+            h1 = m1.any(axis=1)
+            h2 = m2.any(axis=1) & ~h1
+            flatc = self.heavy_c.reshape(-1)
+            if h1.any():
+                flatc[vp[h1] * d + m1.argmax(axis=1)[h1]] += c[h1]
+            if h2.any():
+                flatc[va[h2] * d + m2.argmax(axis=1)[h2]] += c[h2]
+            rest = ~(h1 | h2)
+            if rest.any():
+                rp = vp[rest]
+                rf = f[rest]
+                rc = c[rest]
+                same = (self.lobby_c[rp] > 0) & (self.lobby_fp[rp] == rf)
+                if same.any():
+                    self.lobby_c[rp[same]] += rc[same]
+                take = (~same) & (
+                    (self.lobby_c[rp] == 0) | (rc > self.lobby_c[rp])
+                )
+                if take.any():
+                    self.lobby_fp[rp[take]] = rf[take]
+                    self.lobby_c[rp[take]] = rc[take]
         return self
 
     def mem_bytes(self, item_heap_fn=None) -> int:
