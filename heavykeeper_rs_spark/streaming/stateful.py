@@ -178,9 +178,12 @@ def stateful_windowed_sketch_stream(
     watermark: str = "10 minutes",
     n_shards: int = 4,
     slide: str | None = None,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Per-event-time-window sketches with late-data handling, for ANY
     mergeable sketch (HeavyKeeper variants, HLL, CMS, Bloom, ...).
+    ``weight_col`` feeds weighted adds (bytes-per-flow style streams)
+    to sketches whose ``add_batch`` accepts weights.
 
     ``make(window_start, shard)`` builds a fresh sketch for a state
     group; ``deserialize(blob)`` revives one. Keys are (window_start,
@@ -227,7 +230,12 @@ def stateful_windowed_sketch_stream(
             keys = pdf["__key"].to_numpy()
             valid = pd.notna(keys)
             rows_seen += int(valid.sum())
-            sk.add_batch(keys[valid])
+            if weighted:
+                wv = pdf["__w"].to_numpy()
+                ok = valid & pd.notna(wv)
+                sk.add_batch(keys[ok], np.asarray(wv[ok], dtype=np.float64))
+            else:
+                sk.add_batch(keys[valid])
         blob = sk.serialize()
         end_ms = int(key[2]) * 1000
         # arbitrary-stateful ops don't auto-drop late input: if the
@@ -260,24 +268,28 @@ def stateful_windowed_sketch_stream(
             }
         )
 
+    weighted = weight_col is not None
+    cols = [
+        F.unix_timestamp(
+            F.window("__ts", window, slide or window).getField("start")
+        ).alias("__wstart"),
+        (F.abs(F.xxhash64(F.col(col).cast("string"))) % n_shards)
+        .cast("int")
+        .alias("__shard"),
+        F.unix_timestamp(
+            F.window("__ts", window, slide or window).getField("end")
+        ).alias("__wend"),
+        F.col(col).cast("string").alias("__key"),
+        # the watermark-tagged event-time column must survive the
+        # projection for EventTimeTimeout to be allowed
+        F.col("__ts").alias("__evt"),
+    ]
+    if weighted:
+        cols.append(F.col(weight_col).cast("double").alias("__w"))
     keyed = (
         stream_df.withColumn("__ts", F.col(ts_col).cast("timestamp"))
         .withWatermark("__ts", watermark)
-        .select(
-            F.unix_timestamp(
-                F.window("__ts", window, slide or window).getField("start")
-            ).alias("__wstart"),
-            (F.abs(F.xxhash64(F.col(col).cast("string"))) % n_shards)
-            .cast("int")
-            .alias("__shard"),
-            F.unix_timestamp(
-                F.window("__ts", window, slide or window).getField("end")
-            ).alias("__wend"),
-            F.col(col).cast("string").alias("__key"),
-            # the watermark-tagged event-time column must survive the
-            # projection for EventTimeTimeout to be allowed
-            F.col("__ts").alias("__evt"),
-        )
+        .select(*cols)
     )
     return keyed.groupBy("__wstart", "__shard", "__wend").applyInPandasWithState(
         fold,

@@ -400,3 +400,83 @@ def test_sliding_window_cms_stream_vs_batch(spark, tmp_path):
         assert int(sk.total) == n_w  # CM total is exact per window
         for t, e in zip(types, est):
             assert truth[w][t] <= e <= truth[w][t] + eps * n_w
+
+
+def test_weighted_windowed_stream_vs_batch(spark, tmp_path):
+    """Weighted streaming sketches (round 4): per-12h-window HK top-K
+    weighted by events.value must equal the batch per-window exact
+    weighted top-K (uncontended regime)."""
+    import os as _os
+
+    from heavykeeper_rs_spark.streaming.stateful import (
+        merge_window_blobs,
+        stateful_windowed_sketch_stream,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").withColumn(
+        "w", (F.col("value") * 100).cast("long") + 1
+    )
+    src = str(tmp_path / "wsrc")
+    assert _os  # write creates the dir; os import kept for parity with siblings
+    ev.coalesce(1).write.parquet(src)
+    rows: list = []
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    params = HKParams(k=4, width=2048, depth=4, decay=0.9, seed=12345)
+
+    def make(ws, sh):
+        import numpy as _np
+
+        from heavykeeper_rs_spark.operators.topk import _make_sketch
+
+        return _make_sketch(
+            "topk",
+            params,
+            _np.random.default_rng(_np.random.PCG64((params.seed << 9) ^ (ws + sh))),
+        )
+
+    def deser(b):
+        from heavykeeper_rs_spark.kernel import HeavyKeeper
+
+        return HeavyKeeper.deserialize(b)
+
+    out = stateful_windowed_sketch_stream(
+        stream,
+        "event_type",
+        "ts",
+        make=make,
+        deserialize=deser,
+        window="12 hours",
+        watermark="1 minute",
+        n_shards=2,
+        weight_col="w",
+    )
+    q = (
+        out.writeStream.foreachBatch(lambda b, i: rows.extend(b.collect()))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "wck"))
+        .start()
+    )
+    q.awaitTermination(300)
+    merged = merge_window_blobs(rows)
+    truth_rows = (
+        ev.select(
+            (
+                F.col("ts").cast("timestamp").cast("long")
+                - F.col("ts").cast("timestamp").cast("long") % 43200
+            ).alias("win"),
+            "event_type",
+            "w",
+        )
+        .groupBy("win", "event_type")
+        .agg(F.sum("w").alias("tw"))
+        .collect()
+    )
+    truth: dict = {}
+    for r in truth_rows:
+        truth.setdefault(r["win"], []).append((r["event_type"].encode(), r["tw"]))
+    assert set(merged) == set(truth)
+    for win, sk in merged.items():
+        got = sorted(sk.list(), key=lambda t: (-t[1], t[0]))[:4]
+        want = sorted(truth[win], key=lambda t: (-t[1], t[0]))[:4]
+        assert got == want, (win, got, want)

@@ -314,3 +314,29 @@ def test_distributed_probe_all_variants(spark):
         }
         assert got == truth, variant
         assert contains_top_k(df, "k", sk).count() == 100, variant
+
+
+def test_variant_hashed_lane_identity():
+    """add_batch_hashed must produce the BIT-IDENTICAL sketch to
+    add_batch for the same keys (round 4: the zero-object lane now
+    feeds the variant layouts too). Both lanes factorize the same hash
+    sequence, so fp order, weights and rng consumption all coincide."""
+    from heavykeeper_rs_spark.kernel import hash_items
+    from heavykeeper_rs_spark.variants import BucketedTopK, CuckooTopK
+
+    rng = np.random.default_rng(17)
+    universe = [f"key-{i}".encode() for i in range(500)]
+    draws = rng.zipf(1.4, 20_000)
+    keys = np.asarray(
+        [universe[min(int(d) - 1, 499)] for d in draws], dtype=object
+    )
+    for cls in (BucketedTopK, CuckooTopK):
+        a = cls(20, 256, 4, 0.9, seed=5)
+        b = cls(20, 256, 4, 0.9, seed=5)
+        for i in range(0, len(keys), 4096):
+            chunk = keys[i : i + 4096]
+            a.add_batch(chunk)
+            h = hash_items(chunk, b.params.seed)
+            b.add_batch_hashed(h, np.ones(len(chunk)), lambda sel, c=chunk: c[sel])
+        assert a.list() == b.list(), cls.__name__
+        assert a.serialize() == b.serialize(), cls.__name__
