@@ -368,3 +368,41 @@ class TestSketchStore:
         with pytest.raises(ValueError):
             load_sketch(spark, p)
         assert df is not None
+
+
+class TestGroupedHeavyKeeperBlobTable:
+    def test_grouped_hk_blobs_roundtrip(self, spark, tmp_path):
+        """sketch_blobs_by_group is family-generic: a grouped
+        HeavyKeeper blob table persists and probes per group."""
+        from heavykeeper_rs_spark.kernel import HeavyKeeper, HKParams
+        from heavykeeper_rs_spark.operators.agg import sketch_blobs_by_group
+        from heavykeeper_rs_spark.sources.sketch_store import (
+            load_group,
+            save_grouped_sketches,
+        )
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        blobs = sketch_blobs_by_group(
+            ev,
+            "event_type",
+            "user_id",
+            make=lambda: HeavyKeeper(HKParams(k=3, width=1024, depth=4)),
+            deserialize=HeavyKeeper.deserialize,
+        )
+        p = str(tmp_path / "hk_by_type")
+        save_grouped_sketches(blobs, p)
+        g = ev.select("event_type").first()[0]
+        sk = load_group(spark, p, g, deserialize=HeavyKeeper.deserialize)
+        truth = (
+            ev.filter(ev.event_type == g)
+            .groupBy("user_id")
+            .count()
+            .orderBy(F.desc("count"), "user_id")
+            .limit(3)
+            .collect()
+        )
+        got = {it.decode(): c for it, c in sk.list()}
+        want = {str(r["user_id"]): r["count"] for r in truth}
+        # uncontended regime at this scale: counts exact for true top
+        for k, v in want.items():
+            assert got.get(k) == v, (g, got, want)

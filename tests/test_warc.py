@@ -121,3 +121,32 @@ class TestWarcSource:
         df = read_warc(spark, str(tmp_path))
         top = topk_tokens(df, "text", k=2, width=256, depth=4).collect()
         assert top[0]["item"] == "spark" and top[0]["count"] == 40
+
+
+def test_payload_containing_fake_record_header():
+    """Content-Length is authoritative: a payload that CONTAINS
+    'WARC/1.0' + CRLFCRLF sequences must not desynchronize the
+    parser."""
+    evil_body = b"<html><body>\r\n\r\nWARC/1.0\r\nWARC-Type: response\r\n\r\nfake</body></html>"
+    http = b"HTTP/1.1 200 OK\r\n\r\n" + evil_body
+    rec1 = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: https://a.test/evil\r\n"
+        b"WARC-Date: 2025-01-01T00:00:00Z\r\n"
+        + b"Content-Length: " + str(len(http)).encode() + b"\r\n\r\n"
+        + http + b"\r\n\r\n"
+    )
+    body2 = b"<html><body>after</body></html>"
+    http2 = b"HTTP/1.1 200 OK\r\n\r\n" + body2
+    rec2 = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: https://a.test/after\r\n"
+        b"WARC-Date: 2025-01-01T00:00:01Z\r\n"
+        + b"Content-Length: " + str(len(http2)).encode() + b"\r\n\r\n"
+        + http2 + b"\r\n\r\n"
+    )
+    got = list(parse_warc_records(rec1 + rec2))
+    assert [g["url"] for g in got] == ["https://a.test/evil", "https://a.test/after"]
+    from heavykeeper_rs_spark.sources.warc import _strip_http
+
+    assert _strip_http(got[0]["payload"]) == evil_body

@@ -111,10 +111,13 @@ def main() -> None:
         dt = time.time() - t0
         results = [(bytes(it), int(c)) for it, c in sk.list()]
 
-        def count_one(item, _sk=sk):
-            return int(_sk.estimate(np.asarray([item], dtype=object))[0])
-
-        m = score_results(results, truth, true_top_set, count_one)
+        # one vectorized probe for the whole true top-K (the reference
+        # calls count() per item — ip_files.rs:231; a python-side
+        # per-item loop would pay 1000 numpy dispatches instead)
+        tt = list(true_top_set)
+        est = sk.estimate(np.asarray(tt, dtype=object))
+        counts = {item: int(e) for item, e in zip(tt, est)}
+        m = score_results(results, truth, true_top_set, counts.__getitem__)
         out[variant] = {
             "width": width,
             "depth": depth,
