@@ -56,6 +56,7 @@ def stateful_topk_stream(
     params: HKParams,
     n_shards: int = 8,
     variant: str = "topk",
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Transform a streaming DataFrame into per-shard sketch updates.
 
@@ -63,12 +64,14 @@ def stateful_topk_stream(
     read the global top-K at any point. ``variant`` selects the sketch
     layout ('topk' canonical, 'bucketed', 'cuckoo') — the shard blobs
     carry the variant magic, so consumers merge via
-    ``variants.deserialize_any``.
+    ``variants.deserialize_any``. ``weight_col`` feeds weighted adds
+    (bytes-per-flow style streams).
     """
     from ..operators.topk import VARIANTS, _deserialize_variant, _make_sketch
 
     if variant not in VARIANTS:
         raise ValueError(f"unknown variant {variant!r}; one of {sorted(VARIANTS)}")
+    weighted = weight_col is not None
 
     def fold(
         key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -90,19 +93,27 @@ def stateful_topk_stream(
             keys = pdf["__key"].to_numpy()
             valid = pd.notna(keys)
             rows_seen += int(valid.sum())
-            sk.add_batch(keys[valid])
+            if weighted:
+                wv = pdf["__w"].to_numpy()
+                ok = valid & pd.notna(wv)
+                sk.add_batch(keys[ok], np.asarray(wv[ok], dtype=np.float64))
+            else:
+                sk.add_batch(keys[valid])
         blob = sk.serialize()
         state.update((rows_seen, blob))
         yield pd.DataFrame(
             {"shard": [shard], "rows_seen": [rows_seen], "sketch": [blob]}
         )
 
-    keyed = stream_df.select(
+    cols = [
         (F.xxhash64(F.col(col).cast("string")) % n_shards)
         .cast("int")
         .alias("__shard"),
         F.col(col).cast("string").alias("__key"),
-    ).withColumn("__shard", F.abs(F.col("__shard")))
+    ]
+    if weighted:
+        cols.append(F.col(weight_col).cast("double").alias("__w"))
+    keyed = stream_df.select(*cols).withColumn("__shard", F.abs(F.col("__shard")))
     return keyed.groupBy("__shard").applyInPandasWithState(
         fold,
         outputStructType=_OUT_SCHEMA,

@@ -480,3 +480,43 @@ def test_weighted_windowed_stream_vs_batch(spark, tmp_path):
         got = sorted(sk.list(), key=lambda t: (-t[1], t[0]))[:4]
         want = sorted(truth[win], key=lambda t: (-t[1], t[0]))[:4]
         assert got == want, (win, got, want)
+
+
+def test_weighted_unwindowed_stream(spark, tmp_path):
+    """weight_col on the unwindowed shard stream: global weighted
+    top-K equals the batch exact weighted counts."""
+    import os as _os
+
+    from heavykeeper_rs_spark.streaming.stateful import (
+        merge_shard_blobs,
+        stateful_topk_stream,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").withColumn(
+        "w", (F.col("value") * 10).cast("long") + 1
+    )
+    src = str(tmp_path / "uwsrc")
+    ev.coalesce(1).write.parquet(src)
+    assert _os.path.exists(src)
+    rows: list = []
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    params = HKParams(k=4, width=2048, depth=4, decay=0.9, seed=12345)
+    out = stateful_topk_stream(stream, "event_type", params, n_shards=4, weight_col="w")
+    q = (
+        out.writeStream.foreachBatch(lambda b, i: rows.extend(b.collect()))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "uwck"))
+        .start()
+    )
+    q.awaitTermination(300)
+    sk = merge_shard_blobs(rows)
+    got = sorted(sk.list(), key=lambda t: (-t[1], t[0]))[:4]
+    want = sorted(
+        (
+            (r["event_type"].encode(), r["tw"])
+            for r in ev.groupBy("event_type").agg(F.sum("w").alias("tw")).collect()
+        ),
+        key=lambda t: (-t[1], t[0]),
+    )[:4]
+    assert got == want
