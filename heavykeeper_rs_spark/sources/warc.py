@@ -62,15 +62,22 @@ _WRAP_POST = b"</body></html>"
 
 def _gunzip_members(blob: bytes) -> bytes:
     """Decompress a concatenation of gzip members (Common Crawl's
-    one-member-per-record layout) — or pass plain bytes through."""
+    one-member-per-record layout) — or pass plain bytes through.
+
+    A truncated/corrupt member (torn final write in a crawler) stops
+    the decode there and returns what was recovered: at archive scale
+    a damaged tail must cost its own records, never the task."""
     if blob[:2] != b"\x1f\x8b":
         return blob
     out = bytearray()
     pos = 0
     while pos < len(blob):
         d = zlib.decompressobj(wbits=31)
-        out.extend(d.decompress(blob[pos:]))
-        out.extend(d.flush())
+        try:
+            out.extend(d.decompress(blob[pos:]))
+            out.extend(d.flush())
+        except zlib.error:
+            break
         consumed = len(blob) - pos - len(d.unused_data)
         if consumed <= 0:
             break

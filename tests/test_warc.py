@@ -150,3 +150,23 @@ def test_payload_containing_fake_record_header():
     from heavykeeper_rs_spark.sources.warc import _strip_http
 
     assert _strip_http(got[0]["payload"]) == evil_body
+
+
+def test_truncated_gzip_member_skips_tail_not_task(spark, tmp_path):
+    """A torn final gzip member costs its own records only: the intact
+    leading members still decode, and the Spark job never dies."""
+    recs = [
+        _mk(f"https://g.test/{i}", "2025-01-01T00:00:00Z",
+            b"<html><body>ok</body></html>")
+        for i in range(3)
+    ]
+    p = tmp_path / "torn.warc.gz"
+    write_warc_file(recs, str(p))
+    blob = p.read_bytes()
+    # append a truncated gzip member (torn write)
+    import gzip
+
+    extra = gzip.compress(b"WARC/1.0\r\n...", mtime=0)
+    p.write_bytes(blob + extra[: len(extra) // 2])
+    rows = read_warc(spark, str(tmp_path)).collect()
+    assert sorted(r["url"] for r in rows) == [f"https://g.test/{i}" for i in range(3)]
