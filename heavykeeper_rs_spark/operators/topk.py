@@ -112,10 +112,14 @@ def estimate_partitions(df: DataFrame, bias: str = "high") -> int:
       defaultParallelism). Overestimate ⇒ a few empty salt groups /
       at most one extra near-empty tree level; underestimate ⇒ pids
       wrap modulo the estimate and fan in earlier. Both correct.
-    - ``bias="low"`` (per-partition reservoir sizing): #input files
-      when the plan scans files (files smaller than maxPartitionBytes
-      map 1:1 to splits — the common case), else defaultParallelism.
-      Underestimate ⇒ larger per-partition samples, which only helps.
+    - ``bias="low"`` (per-partition reservoir sizing): min(#input
+      files, defaultParallelism). The safe error direction here is a
+      SMALL count (it enlarges the per-partition reservoir): Spark
+      bin-packs small files, so a raw file count can be far ABOVE the
+      actual split count — sizing the reservoir by it would starve the
+      sample (200 packed files ⇒ m≈10 over ~8 real splits). min(...)
+      caps that: a single file reports 1 (full reservoir per split),
+      and many files report defaultParallelism at most.
     """
     par = max(df.sparkSession.sparkContext.defaultParallelism, 1)
     try:
@@ -123,7 +127,7 @@ def estimate_partitions(df: DataFrame, bias: str = "high") -> int:
     except Exception:
         n_files = 0
     if bias == "low":
-        return max(n_files, 1) if n_files else par
+        return max(min(n_files, par), 1) if n_files else par
     return max(n_files, par)
 
 

@@ -72,5 +72,10 @@ def load_group(spark: SparkSession, path: str, group: str, deserialize=None):
     )
     if not rows:
         raise KeyError(f"group {group!r} not in sketch store {path}")
+    if len(rows) > 1:
+        raise ValueError(
+            f"sketch store {path} holds multiple blobs for group {group!r} "
+            "(double-written store?) — refusing to pick one arbitrarily"
+        )
     de = deserialize or _default_deserialize
     return de(bytes(rows[0]["sketch"]))

@@ -141,6 +141,12 @@ def parse_warc_records(blob: bytes) -> Iterator[dict]:
         except ValueError:
             break
         body_start = hdr_end + 4
+        if n - body_start < length:
+            # torn tail: the stream ends inside this record's payload.
+            # Content-Length is authoritative — a short slice would be
+            # silently corrupt html/text flowing into dedup/top-K, so
+            # the damaged record is dropped (read_exact semantics).
+            break
         payload = data[body_start : body_start + length]
         pos = body_start + length
         if headers.get("warc-type") == "response":
@@ -151,14 +157,52 @@ def parse_warc_records(blob: bytes) -> Iterator[dict]:
             }
 
 
+def _iter_member_bytes(blob: bytes) -> Iterator[bytes]:
+    """Yield each gzip member's decompressed bytes one at a time —
+    Common Crawl stores one record per member, so peak memory per
+    archive stays ~(compressed file + one record) instead of the whole
+    decompressed segment. Plain (uncompressed) streams yield the
+    buffer whole. A torn member ends the iteration."""
+    if blob[:2] != b"\x1f\x8b":
+        yield blob
+        return
+    pos = 0
+    while pos < len(blob):
+        d = zlib.decompressobj(wbits=31)
+        try:
+            chunk = d.decompress(blob[pos:]) + d.flush()
+        except zlib.error:
+            return
+        consumed = len(blob) - pos - len(d.unused_data)
+        if consumed <= 0:
+            return
+        yield chunk
+        pos += consumed
+
+
 def read_warc(
-    spark: SparkSession, path: str, glob: str = "*.warc*"
+    spark: SparkSession, path: str, glob: str = "*.warc*", batch_records: int = 512
 ) -> DataFrame:
     """(url, warc_ts, html, text) — one row per WARC response record
-    across every matching archive file."""
+    across every matching archive file. Records are decoded member-by-
+    member and emitted in ``batch_records``-sized Arrow batches, so a
+    multi-GB segment never materializes decompressed-whole plus a full
+    row copy in one task (the compressed blob itself is held by the
+    binaryFile source; cap concurrent tasks for very large segments)."""
 
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from datetime import datetime, timezone
+
+        def emit(urls, tss, htmls, texts):
+            return pa.RecordBatch.from_arrays(
+                [
+                    pa.array(urls, type=pa.string()),
+                    pa.array(tss, type=pa.timestamp("us")),
+                    pa.array(htmls, type=pa.binary()),
+                    pa.array(texts, type=pa.string()),
+                ],
+                names=["url", "warc_ts", "html", "text"],
+            )
 
         for batch in batches:
             col = batch.column(0)
@@ -166,31 +210,30 @@ def read_warc(
                 blob = col[i].as_py()
                 if not blob:
                     continue
-                urls, tss, htmls, texts = [], [], [], []
-                for rec in parse_warc_records(blob):
-                    body = _strip_http(rec["payload"])
-                    urls.append(rec["url"])
-                    ts = None
-                    if rec["warc_ts"]:
-                        try:
-                            ts = datetime.fromisoformat(
-                                rec["warc_ts"].replace("Z", "+00:00")
-                            ).astimezone(timezone.utc).replace(tzinfo=None)
-                        except ValueError:
-                            ts = None
-                    tss.append(ts)
-                    htmls.append(body)
-                    texts.append(extract_text(body))
+                urls: list = []
+                tss: list = []
+                htmls: list = []
+                texts: list = []
+                for member in _iter_member_bytes(blob):
+                    for rec in parse_warc_records(member):
+                        body = _strip_http(rec["payload"])
+                        urls.append(rec["url"])
+                        ts = None
+                        if rec["warc_ts"]:
+                            try:
+                                ts = datetime.fromisoformat(
+                                    rec["warc_ts"].replace("Z", "+00:00")
+                                ).astimezone(timezone.utc).replace(tzinfo=None)
+                            except ValueError:
+                                ts = None
+                        tss.append(ts)
+                        htmls.append(body)
+                        texts.append(extract_text(body))
+                        if len(urls) >= batch_records:
+                            yield emit(urls, tss, htmls, texts)
+                            urls, tss, htmls, texts = [], [], [], []
                 if urls:
-                    yield pa.RecordBatch.from_arrays(
-                        [
-                            pa.array(urls, type=pa.string()),
-                            pa.array(tss, type=pa.timestamp("us")),
-                            pa.array(htmls, type=pa.binary()),
-                            pa.array(texts, type=pa.string()),
-                        ],
-                        names=["url", "warc_ts", "html", "text"],
-                    )
+                    yield emit(urls, tss, htmls, texts)
 
     files = (
         spark.read.format("binaryFile")

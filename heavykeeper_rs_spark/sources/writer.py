@@ -25,8 +25,11 @@ _IMPLAUSIBLE_BYTES = 1 << 50  # 1 PiB from a single write is not a real plan sta
 
 def _schema_row_bytes(schema) -> int:
     """Rough uncompressed bytes/row from the schema (Catalyst
-    defaultSize-style widths) — only used for the implausible-stats
-    fallback, where order-of-magnitude is enough to pick a file count."""
+    defaultSize-style widths) — the FLOOR for the implausible-stats
+    fallback; variable-width columns are measured from sampled rows
+    (``_sampled_row_bytes``), since a flat 64-byte guess undershoots
+    multi-KB html/text payloads ~50x and would re-create the giant
+    files this helper exists to prevent."""
     widths = {
         "byte": 1, "boolean": 1, "short": 2, "int": 4, "float": 4,
         "date": 4, "long": 8, "double": 8, "timestamp": 8, "timestamp_ntz": 8,
@@ -39,10 +42,37 @@ def _schema_row_bytes(schema) -> int:
         elif s.startswith("decimal"):
             total += 16
         elif s.startswith(("array", "map", "struct", "binary")) or s == "string":
-            total += 64  # payload columns: assume modest variable width
+            total += 64  # payload columns: floor; sampling refines this
         else:
             total += 16
     return max(total, 8)
+
+
+def _cell_bytes(v) -> int:
+    if v is None:
+        return 1
+    if isinstance(v, str):
+        return len(v.encode("utf-8", "replace"))
+    if isinstance(v, (bytes, bytearray)):
+        return len(v)
+    if isinstance(v, (list, tuple)):
+        return sum(_cell_bytes(x) for x in v)
+    if isinstance(v, dict):
+        return sum(_cell_bytes(x) + _cell_bytes(y) for x, y in v.items())
+    return 8
+
+
+def _sampled_row_bytes(df: DataFrame, n: int = 128) -> int:
+    """Average uncompressed bytes/row measured from the first ``n``
+    rows — keeps the fallback order-of-magnitude honest for wide
+    html/text payloads. Head rows may be unrepresentative; combined
+    with the schema floor via max()."""
+    rows = df.limit(n).collect()
+    if not rows:
+        return 0
+    return max(
+        sum(sum(_cell_bytes(v) for v in row) for row in rows) // len(rows), 1
+    )
 
 
 def estimated_bytes(df: DataFrame) -> int:
@@ -77,16 +107,19 @@ def write_sized(
     est = estimated_bytes(df)
     if est >= _IMPLAUSIBLE_BYTES:
         # Catalyst has no real stats for this plan (join-multiplied or
-        # defaulted). Pay one count job and size from schema widths
-        # with a conservative 3x parquet compression guess instead of
-        # trusting a number that would explode the file count.
+        # defaulted). Pay one count job plus a head sample: bytes/row
+        # = max(schema floor, measured sample average), then a 3x
+        # parquet compression guess — trusting the bogus number would
+        # explode the file count, and a schema-only width undershoots
+        # wide text/html payloads by ~50x (giant files instead).
         rows = df.count()
-        est = int(rows * _schema_row_bytes(df.schema) / 3)
+        per_row = max(_schema_row_bytes(df.schema), _sampled_row_bytes(df))
+        est = int(rows * per_row / 3)
         warnings.warn(
             "write_sized: Catalyst sizeInBytes was implausible "
             f"(>= {_IMPLAUSIBLE_BYTES}); fell back to a row-count estimate "
-            f"({rows} rows -> ~{est} bytes). Pass compression_ratio or "
-            "materialize the input for accurate sizing.",
+            f"({rows} rows x ~{per_row} B -> ~{est} bytes). Pass "
+            "compression_ratio or materialize the input for accurate sizing.",
             RuntimeWarning,
             stacklevel=2,
         )

@@ -92,12 +92,13 @@ def stateful_topk_stream(
         for pdf in pdfs:
             keys = pdf["__key"].to_numpy()
             valid = pd.notna(keys)
-            rows_seen += int(valid.sum())
             if weighted:
                 wv = pdf["__w"].to_numpy()
                 ok = valid & pd.notna(wv)
+                rows_seen += int(ok.sum())  # rows actually fed
                 sk.add_batch(keys[ok], np.asarray(wv[ok], dtype=np.float64))
             else:
+                rows_seen += int(valid.sum())
                 sk.add_batch(keys[valid])
         blob = sk.serialize()
         state.update((rows_seen, blob))
@@ -240,12 +241,13 @@ def stateful_windowed_sketch_stream(
         for pdf in pdfs:
             keys = pdf["__key"].to_numpy()
             valid = pd.notna(keys)
-            rows_seen += int(valid.sum())
             if weighted:
                 wv = pdf["__w"].to_numpy()
                 ok = valid & pd.notna(wv)
+                rows_seen += int(ok.sum())  # rows actually fed
                 sk.add_batch(keys[ok], np.asarray(wv[ok], dtype=np.float64))
             else:
+                rows_seen += int(valid.sum())
                 sk.add_batch(keys[valid])
         blob = sk.serialize()
         end_ms = int(key[2]) * 1000

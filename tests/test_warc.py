@@ -170,3 +170,41 @@ def test_truncated_gzip_member_skips_tail_not_task(spark, tmp_path):
     p.write_bytes(blob + extra[: len(extra) // 2])
     rows = read_warc(spark, str(tmp_path)).collect()
     assert sorted(r["url"] for r in rows) == [f"https://g.test/{i}" for i in range(3)]
+
+
+def test_mid_payload_truncation_drops_record():
+    """The reviewer repro: a member cut inside the PAYLOAD decompresses
+    partially with no zlib error — Content-Length must be authoritative
+    so the damaged record is dropped, never emitted short-sliced."""
+    import gzip
+
+    body = b"<html><body>" + b"x" * 2000 + b"</body></html>"
+    http = b"HTTP/1.1 200 OK\r\n\r\n" + body
+    rec = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: https://t/1\r\n"
+        b"WARC-Date: 2025-01-01T00:00:00Z\r\n"
+        + b"Content-Length: " + str(len(http)).encode() + b"\r\n\r\n"
+        + http + b"\r\n\r\n"
+    )
+    member = gzip.compress(rec, mtime=0)
+    torn = member[: int(len(member) * 0.6)]
+    from heavykeeper_rs_spark.sources.warc import _gunzip_members
+
+    partial = _gunzip_members(torn)
+    assert 0 < len(partial) < len(rec)  # decompression is silently partial
+    assert list(parse_warc_records(torn)) == []  # record dropped, no short slice
+    # plain (uncompressed) torn stream: same drop
+    assert list(parse_warc_records(rec[: len(rec) // 2])) == []
+    # an intact record BEFORE the torn one still comes through
+    good_body = b"<html><body>ok</body></html>"
+    good_http = b"HTTP/1.1 200 OK\r\n\r\n" + good_body
+    good = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: https://t/0\r\n"
+        b"WARC-Date: 2025-01-01T00:00:00Z\r\n"
+        + b"Content-Length: " + str(len(good_http)).encode() + b"\r\n\r\n"
+        + good_http + b"\r\n\r\n"
+    )
+    got = list(parse_warc_records(good + rec[: len(rec) // 2]))
+    assert [g["url"] for g in got] == ["https://t/0"]
