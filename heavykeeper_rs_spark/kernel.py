@@ -389,6 +389,8 @@ class HeavyKeeper:
         self._force_decay: bool | None = None
         self._ubuf = np.empty(0)
         self._upos = 0
+        self._decay_lut: np.ndarray | None = None
+        self._decay_lut_exact_tail = True
 
     def _u(self) -> float:
         """Buffered uniform draw (amortizes Generator call overhead in
@@ -446,6 +448,44 @@ class HeavyKeeper:
         with np.errstate(under="ignore"):
             return np.power(self.params.decay, counts.astype(np.float64))
 
+    def _decay_p_int(self, counts: np.ndarray) -> np.ndarray:
+        """LUT variant of ``_decay_p`` for integer counts — the hot-path
+        analog of the reference's precomputed threshold table
+        (src/heavykeeper.rs:95-104): ``decay**c`` becomes one table
+        gather instead of a transcendental per element.
+
+        The table is sized so the clamped tail value is below 1e-30 —
+        a decrement with probability < 1e-30 is unrealizable in any
+        stream this code will ever see, so clamping there is
+        behaviorally exact.  Only for decay so close to 1 that even
+        2**16 entries can't reach 1e-30 does the tail fall back to
+        ``np.power`` (counts beyond the table are then rare anyway)."""
+        if self._force_decay is True:
+            return np.ones(counts.shape, dtype=np.float64)
+        if self._force_decay is False:
+            return np.zeros(counts.shape, dtype=np.float64)
+        lut = self._decay_lut
+        if lut is None:
+            d = self.params.decay
+            if 0.0 < d < 1.0:
+                size = min(65536, int(math.ceil(-30.0 / math.log10(d))) + 1)
+            else:
+                size = 2  # d<=0: [1, 0] is exact for every count; d>=1 can't underflow
+            with np.errstate(under="ignore"):
+                lut = np.power(d, np.arange(size, dtype=np.float64))
+            self._decay_lut = lut
+            self._decay_lut_exact_tail = lut[-1] < 1e-30
+        c = counts.astype(np.int64, copy=False)
+        idx = np.minimum(c, lut.shape[0] - 1)
+        p = lut[idx]
+        if not self._decay_lut_exact_tail:
+            tail = c >= lut.shape[0]
+            if tail.any():
+                with np.errstate(under="ignore"):
+                    p = p.copy()
+                    p[tail] = np.power(self.params.decay, c[tail].astype(np.float64))
+        return p
+
     # -- O5/O6: weighted batch add -------------------------------------
     def add_batch(
         self,
@@ -471,14 +511,24 @@ class HeavyKeeper:
             arr = np.asarray(items, dtype=object)
         if arr.size == 0:
             return [] if return_evicted else None
-        # Pre-aggregate on the 64-bit hash instead of the raw keys:
-        # hash-table factorize (pandas khash) is ~2.5x cheaper than a
-        # uint64 sort-based np.unique, and the hash IS the sketch
-        # fingerprint anyway (full-64-bit collisions fold two keys
-        # together with probability ~n^2/2^65 — far below sketch
-        # error).
-        h_all = self._hash(arr)
-        inv, uh = pd.factorize(h_all, sort=False)
+        # Pre-aggregate with a hash-table factorize (pandas khash,
+        # ~2.5x cheaper than a uint64 sort-based np.unique). Integer
+        # lanes factorize the RAW keys so only the distinct values are
+        # hashed (6-10x less splitmix work on Zipf batches); object
+        # lanes factorize the 64-bit hash directly since hashing is
+        # the cheaper way to get a fixed-width factorize key there.
+        # Either way the hash IS the sketch fingerprint. On the raw-key
+        # lane two distinct keys can in principle share one 64-bit hash
+        # within a batch (probability ~n^2/2^65 < 1e-10 per batch); the
+        # only effect is last-write-wins on the matched fast path — a
+        # bounded, deterministic undercount far below sketch error, so
+        # no dedup pass is spent on it.
+        if arr.dtype.kind in "iu" and self._hasher is None:
+            inv, uk = pd.factorize(arr, sort=False)
+            uh = self._hash(np.asarray(uk))
+        else:
+            h_all = self._hash(arr)
+            inv, uh = pd.factorize(h_all, sort=False)
         k = uh.shape[0]
         # first-occurrence index per unique: reversed scatter (last
         # write wins == first element when traversed back-to-front)
@@ -637,16 +687,21 @@ class HeavyKeeper:
         if rem.size == 0:
             return
         # Group remaining challengers by target cell, heaviest first.
-        # Packed single-key sort: (cell << 21) | (2^21-1 - clamp(w))
+        # Packed single-key sort: (cell << 16) | (2^16-1 - clamp(w))
         # orders by (cell asc, w desc) with one stable argsort instead
-        # of lexsort's two passes; huge weights (>= 2^20) fall back to
-        # the exact two-key sort.
+        # of lexsort's two passes; the 16-bit weight digit keeps the
+        # radix pass count minimal (weights >= 65535 tie, resolved by
+        # the stable sort's original order — such twins on one cell
+        # both win their duels regardless, so the order is immaterial
+        # but still deterministic). Huge cell spaces (>= 2^47) fall
+        # back to the exact two-key sort.
         wr = w[rem]
-        if int(wr.max(initial=0)) < (1 << 20) and idx.size and int(idx.max()) < (1 << 42):
-            packed = (idx[rem].astype(np.uint64) << _U64(21)) | (
-                _U64((1 << 21) - 1) - wr.astype(np.uint64)
+        if idx.size and int(idx.max()) < (1 << 47):
+            packed = (idx[rem].astype(np.uint64) << _U64(16)) | (
+                _U64((1 << 16) - 1)
+                - np.minimum(wr, (1 << 16) - 1).astype(np.uint64)
             )
-            nbits = 21 + int(idx.max()).bit_length()
+            nbits = 16 + int(idx.max()).bit_length()
             order = rem[_radix_argsort(packed, nbits)]
         else:
             order = rem[np.lexsort((-wr, idx[rem]))]
@@ -682,13 +737,21 @@ class HeavyKeeper:
         # Vectorized fast-reject: P(>=1 decrement in w trials) =
         # 1-(1-p)^w with p = decay**count. The overwhelming majority of
         # duels end here with no state change — only conditioned
-        # survivors take the exact per-item path.
-        c = cnt_row[dcells].astype(np.float64)
-        pm = self._decay_p(c)
-        with np.errstate(divide="ignore", invalid="ignore", under="ignore"):
-            log1m = np.log1p(-pm)  # -inf when pm == 1
-            p_any = -np.expm1(w[duelers].astype(np.float64) * log1m)
-        p_any = np.where(pm >= 1.0, 1.0, p_any)
+        # survivors take the exact per-item path. For the dominant
+        # w==1 case 1-(1-p)^1 == p exactly, so the log1p/expm1
+        # transcendentals run only over the multi-weight minority.
+        pm = self._decay_p_int(cnt_row[dcells])
+        wd = w[duelers]
+        multi_m = wd != 1
+        if multi_m.any():
+            mi = np.flatnonzero(multi_m)
+            with np.errstate(divide="ignore", invalid="ignore", under="ignore"):
+                log1m = np.log1p(-pm[mi])  # -inf when pm == 1
+                p_mi = -np.expm1(wd[mi].astype(np.float64) * log1m)
+            p_any = pm.copy()
+            p_any[mi] = np.where(pm[mi] >= 1.0, 1.0, p_mi)
+        else:
+            p_any = pm
         u = self.rng.random(duelers.size)
         surv = u < p_any
         if not surv.any():
@@ -741,7 +804,7 @@ class HeavyKeeper:
             mc = scells[multi]
             mcnt = cnt_row[mc].astype(np.int64)
             mw = sw[multi].astype(np.float64)
-            mp = self._decay_p(mcnt.astype(np.float64))
+            mp = self._decay_p_int(mcnt)
             no_kill = (2.0 * mw * mp + 10.0) < mcnt
             # first occurrence per cell only
             _, firstpos = np.unique(mc, return_index=True)
@@ -857,7 +920,7 @@ class HeavyKeeper:
             ca = c[active]
             ra = remaining[active]
             with np.errstate(under="ignore", divide="ignore", invalid="ignore"):
-                p = np.power(decay, ca.astype(np.float64))
+                p = self._decay_p_int(ca)
                 log1m = np.log1p(-p)  # -inf when p == 1
                 u = self.rng.random(active.size)
                 if first:

@@ -90,6 +90,8 @@ class _VariantBase:
         self.pq = TopKQueue(k)
         self.rng = rng if rng is not None else np.random.default_rng(seed)
         self._force_decay: bool | None = None
+        self._decay_lut: np.ndarray | None = None
+        self._decay_lut_exact_tail = True
 
     # -- hashing ----------------------------------------------------------
     def _hash(self, items: np.ndarray) -> np.ndarray:
@@ -259,11 +261,12 @@ class _VariantBase:
 
     # -- vectorized duel machinery (borrowed from the kernel) ----------
     # HeavyKeeper._duel_vec only touches params.decay / rng /
-    # _force_decay / _duel_one, all of which exist here; _duel_one is
-    # adapted onto the callback-based _duel below.
+    # _force_decay / _duel_one / _decay_p_int, all of which exist
+    # here; _duel_one is adapted onto the callback-based _duel below.
     from .kernel import HeavyKeeper as _HK
 
     _duel_vec = _HK._duel_vec
+    _decay_p_int = _HK._decay_p_int
     del _HK
 
     def _duel_one(
@@ -413,9 +416,8 @@ class BucketedTopK(_VariantBase):
         if duel.any():
             dw = w[winners[duel]].astype(np.float64)
             minslot = bc[duel].argmin(axis=1)
-            minc = bc[duel].min(axis=1).astype(np.float64)
             if self._force_decay is None:
-                pm = np.power(self.params.decay, minc)
+                pm = self._decay_p_int(bc[duel].min(axis=1))
                 with np.errstate(divide="ignore", under="ignore"):
                     p_any = -np.expm1(dw * np.log1p(-np.minimum(pm, 1 - 1e-16)))
                 surv = self.rng.random(int(duel.sum())) < p_any
@@ -701,9 +703,8 @@ class CuckooTopK(_VariantBase):
             elif force is False:
                 p_any = np.zeros(duel.size)
             else:
-                c = self.lobby_c[bb1[duel]].astype(np.float64)
+                pm = self._decay_p_int(self.lobby_c[bb1[duel]])
                 with np.errstate(under="ignore", divide="ignore", invalid="ignore"):
-                    pm = np.power(self.params.decay, c)
                     p_any = -np.expm1(ww[duel].astype(np.float64) * np.log1p(-pm))
                 p_any = np.where(pm >= 1.0, 1.0, p_any)
             u = self.rng.random(duel.size)

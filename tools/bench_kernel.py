@@ -15,7 +15,10 @@ from heavykeeper_rs_spark.kernel import HeavyKeeper, HKParams  # noqa: E402
 from heavykeeper_rs_spark.variants import BucketedTopK, CuckooTopK  # noqa: E402
 
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 5_000_000
-B = 65536  # Arrow batch size in the distributed path
+# Kernel feed size in the distributed path: _build_partial coalesces
+# Spark's 65536-row Arrow batches to _COALESCE_ROWS before each kernel
+# pass (operators/topk.py), so the single-core bench feeds the same way.
+B = 262144
 
 
 def run(name, keys, params, cls=None, reps=1):
