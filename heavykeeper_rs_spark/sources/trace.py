@@ -36,8 +36,10 @@ def read_flow_trace(
         for batch in batches:
             col = batch.column(0)
             for i in range(len(col)):
-                blob = col[i].as_py()
-                if not blob:
+                # zero-copy view over the Arrow buffer — no second
+                # whole-file bytes copy into Python per task
+                blob = memoryview(col[i].as_buffer())
+                if len(blob) == 0:
                     continue
                 n = len(blob) // key_size
                 if n == 0:
@@ -59,6 +61,69 @@ def read_flow_trace(
         .select("content")
     )
     return files.mapInArrow(slice_records, _KEY_SCHEMA)
+
+
+def read_flow_trace_stream(
+    spark: SparkSession,
+    path: str,
+    key_size: int = 13,
+    glob: str = "*.dat",
+    chunk_bytes: int = 8 << 20,
+    opener=None,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """Streamed trace reader: same rows as ``read_flow_trace`` with
+    task memory bounded by ``chunk_bytes`` instead of the whole file
+    (the multi-GB-trace shape). Tasks receive file PATHS listed on the
+    driver and read fixed-width records chunk-by-chunk, carrying the
+    partial record at each chunk boundary forward; a truncated final
+    record is dropped (read_exact semantics, examples/ip_files.rs:27-33).
+    Default ``open()`` covers local/NFS paths; pass ``opener`` for
+    object stores."""
+    import glob as _glob
+    import os
+
+    raw = path[7:] if path.startswith("file://") else path
+    pat = os.path.join(raw, glob) if os.path.isdir(raw) else raw
+    files = sorted(_glob.glob(pat))
+    if not files:
+        raise FileNotFoundError(f"no trace files match {pat}")
+    par = parallelism or min(len(files), spark.sparkContext.defaultParallelism)
+    pdf = spark.createDataFrame([(f,) for f in files], "path string").repartition(
+        par, "path"
+    )
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        def emit(buf: bytes) -> pa.RecordBatch:
+            n = len(buf) // key_size
+            arr = np.frombuffer(buf, dtype=np.uint8, count=n * key_size)
+            flat = pa.py_buffer(arr.tobytes())
+            offsets = pa.array(
+                np.arange(0, (n + 1) * key_size, key_size, dtype=np.int32)
+            )
+            keys = pa.BinaryArray.from_buffers(
+                pa.binary(), n, [None, offsets.buffers()[1], flat]
+            )
+            return pa.RecordBatch.from_arrays([keys], names=["flow_key"])
+
+        for batch in batches:
+            for p in batch.column(0).to_pylist():
+                fh = opener(p) if opener is not None else open(p, "rb")
+                try:
+                    carry = b""
+                    while True:
+                        chunk = fh.read(chunk_bytes)
+                        if not chunk:
+                            break
+                        data = carry + chunk if carry else chunk
+                        usable = (len(data) // key_size) * key_size
+                        if usable:
+                            yield emit(data[:usable])
+                        carry = data[usable:]
+                finally:
+                    fh.close()
+
+    return pdf.mapInArrow(kernel, _KEY_SCHEMA)
 
 
 def write_flow_trace(keys: list[bytes], path: str) -> None:

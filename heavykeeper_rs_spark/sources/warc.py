@@ -109,75 +109,249 @@ def extract_text(html: bytes) -> str:
     return " ".join(s.split())
 
 
+class _StreamParser:
+    """Incremental WARC record parser with bounded buffering.
+
+    ``feed()`` takes decompressed chunks in any split; complete records
+    drain immediately, so the internal buffer never holds more than
+    (one in-flight record + one chunk). The torn-tail rule matches the
+    batch parser exactly: Content-Length is authoritative — a record
+    whose payload the stream ends inside is dropped, never emitted
+    short (read_exact semantics), and a non-WARC header at a record
+    boundary marks the rest of the stream dead (no resync guessing)."""
+
+    def __init__(self) -> None:
+        self._buf = bytearray()
+        self.dead = False
+
+    def feed(self, chunk) -> Iterator[dict]:
+        if self.dead:
+            return
+        self._buf.extend(chunk)
+        yield from self._drain()
+
+    def _drain(self) -> Iterator[dict]:
+        buf = self._buf
+        pos = 0
+        n = len(buf)
+        while pos < n:
+            # skip inter-record CRLFs
+            while buf[pos : pos + 2] == b"\r\n":
+                pos += 2
+            if pos >= n:
+                break
+            hdr_end = buf.find(b"\r\n\r\n", pos)
+            if hdr_end < 0:
+                break  # incomplete header — wait for more input
+            headers: dict[str, str] = {}
+            first = None
+            for line in bytes(buf[pos:hdr_end]).split(b"\r\n"):
+                if first is None:
+                    first = line
+                    continue
+                k, _, v = line.partition(b":")
+                headers[k.strip().lower().decode("latin-1")] = v.strip().decode(
+                    "latin-1", "replace"
+                )
+            if first is None or not first.startswith(b"WARC/"):
+                self.dead = True  # not a WARC stream / corrupt from here on
+                pos = n
+                break
+            try:
+                length = int(headers.get("content-length", ""))
+            except ValueError:
+                self.dead = True
+                pos = n
+                break
+            body_start = hdr_end + 4
+            if n - body_start < length:
+                break  # payload not fully buffered yet (or torn tail)
+            payload = bytes(buf[body_start : body_start + length])
+            pos = body_start + length
+            if headers.get("warc-type") == "response":
+                yield {
+                    "url": headers.get("warc-target-uri"),
+                    "warc_ts": headers.get("warc-date"),
+                    "payload": payload,
+                }
+        if pos:
+            del buf[:pos]
+
+    def buffered(self) -> int:
+        """Bytes currently held (test hook for the memory bound)."""
+        return len(self._buf)
+
+
 def parse_warc_records(blob: bytes) -> Iterator[dict]:
     """Yield {url, warc_ts, payload} for each response record in a
-    (possibly multi-member-gzip) WARC byte stream."""
-    data = _gunzip_members(blob)
-    pos = 0
-    n = len(data)
-    while pos < n:
-        # skip inter-record CRLFs
-        while data[pos : pos + 2] == b"\r\n":
-            pos += 2
-        if pos >= n:
-            break
-        hdr_end = data.find(b"\r\n\r\n", pos)
-        if hdr_end < 0:
-            break
-        headers: dict[str, str] = {}
-        first = None
-        for line in data[pos:hdr_end].split(b"\r\n"):
-            if first is None:
-                first = line
-                continue
-            k, _, v = line.partition(b":")
-            headers[k.strip().lower().decode("latin-1")] = v.strip().decode(
-                "latin-1", "replace"
-            )
-        if first is None or not first.startswith(b"WARC/"):
-            break  # not a WARC stream / corrupt from here on
-        try:
-            length = int(headers.get("content-length", ""))
-        except ValueError:
-            break
-        body_start = hdr_end + 4
-        if n - body_start < length:
-            # torn tail: the stream ends inside this record's payload.
-            # Content-Length is authoritative — a short slice would be
-            # silently corrupt html/text flowing into dedup/top-K, so
-            # the damaged record is dropped (read_exact semantics).
-            break
-        payload = data[body_start : body_start + length]
-        pos = body_start + length
-        if headers.get("warc-type") == "response":
-            yield {
-                "url": headers.get("warc-target-uri"),
-                "warc_ts": headers.get("warc-date"),
-                "payload": payload,
-            }
+    (possibly multi-member-gzip) WARC byte stream. Whatever remains
+    incomplete at end of stream (torn tail) is dropped, per the
+    Content-Length rule in ``_StreamParser``."""
+    p = _StreamParser()
+    yield from p.feed(_gunzip_members(blob))
 
 
-def _iter_member_bytes(blob: bytes) -> Iterator[bytes]:
+def _iter_member_bytes(blob, chunk: int = 4 << 20) -> Iterator[bytes]:
     """Yield each gzip member's decompressed bytes one at a time —
     Common Crawl stores one record per member, so peak memory per
     archive stays ~(compressed file + one record) instead of the whole
-    decompressed segment. Plain (uncompressed) streams yield the
-    buffer whole. A torn member ends the iteration."""
-    if blob[:2] != b"\x1f\x8b":
+    decompressed segment. Input is fed to the decompressor in
+    ``chunk``-sized windows so the per-member ``unused_data`` tail
+    copy is bounded by the window, not the file (the naive
+    whole-remainder feed is O(members x filesize)). Plain
+    (uncompressed) streams yield the buffer whole. A torn member ends
+    the iteration without yielding its partial bytes."""
+    mv = memoryview(blob)
+    n = len(mv)
+    if n < 2 or bytes(mv[:2]) != b"\x1f\x8b":
         yield blob
         return
     pos = 0
-    while pos < len(blob):
+    while pos < n:
         d = zlib.decompressobj(wbits=31)
+        out = bytearray()
+        while True:
+            end = min(pos + chunk, n)
+            try:
+                out.extend(d.decompress(mv[pos:end]))
+            except zlib.error:
+                return
+            if d.eof:
+                pos = end - len(d.unused_data)
+                break
+            pos = end
+            if end >= n:
+                return  # EOF inside a member: torn tail
+        yield bytes(out)
+
+
+def _stream_gzip_members(read, chunk_bytes: int = 4 << 20) -> Iterator[bytes]:
+    """Yield decompressed bytes from a (possibly multi-member) gzip
+    stream via bounded ``read(chunk_bytes)`` calls — at no point does
+    the whole compressed file, one whole member, or the decompressed
+    stream sit in memory. Plain (non-gzip) streams pass chunks through.
+    A torn/corrupt member ends the iteration (its partial bytes may
+    already have been yielded; the record parser's Content-Length gate
+    drops whatever they can't complete)."""
+    head = read(2)
+    if not head:
+        return
+    if bytes(head) != b"\x1f\x8b":
+        yield head
+        while True:
+            c = read(chunk_bytes)
+            if not c:
+                return
+            yield c
+    d = zlib.decompressobj(wbits=31)
+    feed = head + read(chunk_bytes)
+    while True:
+        if not feed:
+            feed = read(chunk_bytes)
+            if not feed:
+                return  # EOF (a mid-member end is a torn tail: stop)
         try:
-            chunk = d.decompress(blob[pos:]) + d.flush()
+            out = d.decompress(feed)
         except zlib.error:
             return
-        consumed = len(blob) - pos - len(d.unused_data)
-        if consumed <= 0:
-            return
-        yield chunk
-        pos += consumed
+        if out:
+            yield out
+        if d.eof:
+            feed = d.unused_data  # bounded by chunk_bytes, not the file
+            d = zlib.decompressobj(wbits=31)
+        else:
+            feed = b""
+
+
+def read_warc_stream(
+    spark: SparkSession,
+    path: str,
+    glob: str = "*.warc*",
+    chunk_bytes: int = 4 << 20,
+    batch_records: int = 512,
+    opener=None,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """Streamed WARC reader for oversized segments: same rows as
+    ``read_warc`` with task memory bounded by
+    (chunk_bytes + one in-flight record + one Arrow batch) instead of
+    the whole compressed segment — the 10 GB-archive shape
+    (``read_warc`` holds each file's compressed bytes whole via the
+    binaryFile source, fine for Common Crawl's ~1 GB segments).
+
+    Tasks receive file PATHS (listed on the driver) and stream them
+    with incremental multi-member gunzip + the incremental record
+    parser. Default ``open()`` covers local/NFS paths; pass ``opener``
+    (``path -> binary file-like``) for object stores. One semantic
+    difference from ``read_warc``: mid-archive garbage at a record
+    boundary stops THAT FILE's remaining records (no per-member
+    resync), which only matters for corrupt non-Common-Crawl layouts.
+    """
+    import glob as _glob
+    import os
+
+    raw = path[7:] if path.startswith("file://") else path
+    pat = os.path.join(raw, glob) if os.path.isdir(raw) else raw
+    files = sorted(_glob.glob(pat))
+    if not files:
+        raise FileNotFoundError(f"no WARC files match {pat}")
+    par = parallelism or min(
+        len(files), spark.sparkContext.defaultParallelism
+    )
+    pdf = spark.createDataFrame(
+        [(f,) for f in files], "path string"
+    ).repartition(par, "path")
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            for p in batch.column(0).to_pylist():
+                fh = opener(p) if opener is not None else open(p, "rb")
+                try:
+                    parser = _StreamParser()
+                    rows: list[dict] = []
+                    for chunk in _stream_gzip_members(fh.read, chunk_bytes):
+                        for rec in parser.feed(chunk):
+                            rows.append(rec)
+                            if len(rows) >= batch_records:
+                                yield _warc_batch(rows)
+                                rows = []
+                    if rows:
+                        yield _warc_batch(rows)
+                finally:
+                    fh.close()
+
+    return pdf.mapInArrow(kernel, WARC_SCHEMA)
+
+
+def _parse_warc_ts(ts: str | None):
+    from datetime import datetime, timezone
+
+    if not ts:
+        return None
+    try:
+        return (
+            datetime.fromisoformat(ts.replace("Z", "+00:00"))
+            .astimezone(timezone.utc)
+            .replace(tzinfo=None)
+        )
+    except ValueError:
+        return None
+
+
+def _warc_batch(rows: list[dict]) -> pa.RecordBatch:
+    bodies = [_strip_http(r["payload"]) for r in rows]
+    return pa.RecordBatch.from_arrays(
+        [
+            pa.array([r["url"] for r in rows], type=pa.string()),
+            pa.array(
+                [_parse_warc_ts(r["warc_ts"]) for r in rows],
+                type=pa.timestamp("us"),
+            ),
+            pa.array(bodies, type=pa.binary()),
+            pa.array([extract_text(b) for b in bodies], type=pa.string()),
+        ],
+        names=["url", "warc_ts", "html", "text"],
+    )
 
 
 def read_warc(
@@ -191,49 +365,23 @@ def read_warc(
     binaryFile source; cap concurrent tasks for very large segments)."""
 
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        from datetime import datetime, timezone
-
-        def emit(urls, tss, htmls, texts):
-            return pa.RecordBatch.from_arrays(
-                [
-                    pa.array(urls, type=pa.string()),
-                    pa.array(tss, type=pa.timestamp("us")),
-                    pa.array(htmls, type=pa.binary()),
-                    pa.array(texts, type=pa.string()),
-                ],
-                names=["url", "warc_ts", "html", "text"],
-            )
-
         for batch in batches:
             col = batch.column(0)
             for i in range(len(col)):
-                blob = col[i].as_py()
-                if not blob:
+                # zero-copy view over the Arrow buffer — no second
+                # whole-file bytes copy into Python per task
+                blob = memoryview(col[i].as_buffer())
+                if len(blob) == 0:
                     continue
-                urls: list = []
-                tss: list = []
-                htmls: list = []
-                texts: list = []
+                rows: list[dict] = []
                 for member in _iter_member_bytes(blob):
                     for rec in parse_warc_records(member):
-                        body = _strip_http(rec["payload"])
-                        urls.append(rec["url"])
-                        ts = None
-                        if rec["warc_ts"]:
-                            try:
-                                ts = datetime.fromisoformat(
-                                    rec["warc_ts"].replace("Z", "+00:00")
-                                ).astimezone(timezone.utc).replace(tzinfo=None)
-                            except ValueError:
-                                ts = None
-                        tss.append(ts)
-                        htmls.append(body)
-                        texts.append(extract_text(body))
-                        if len(urls) >= batch_records:
-                            yield emit(urls, tss, htmls, texts)
-                            urls, tss, htmls, texts = [], [], [], []
-                if urls:
-                    yield emit(urls, tss, htmls, texts)
+                        rows.append(rec)
+                        if len(rows) >= batch_records:
+                            yield _warc_batch(rows)
+                            rows = []
+                if rows:
+                    yield _warc_batch(rows)
 
     files = (
         spark.read.format("binaryFile")

@@ -208,3 +208,138 @@ def test_mid_payload_truncation_drops_record():
     )
     got = list(parse_warc_records(good + rec[: len(rec) // 2]))
     assert [g["url"] for g in got] == ["https://t/0"]
+
+
+class TestStreamedReader:
+    """read_warc_stream: bounded-memory path for oversized segments."""
+
+    def _write_corpus(self, tmp_path, n=60):
+        recs = [
+            _mk(
+                f"https://s.test/{i}",
+                "2025-05-06T07:08:09Z",
+                b"<html><body>doc %d body words here</body></html>" % i,
+            )
+            for i in range(n)
+        ]
+        write_warc_file(recs[: n // 3], str(tmp_path / "a.warc.gz"))
+        write_warc_file(recs[n // 3 : 2 * n // 3], str(tmp_path / "b.warc.gz"))
+        # one uncompressed shard exercises the plain-stream path
+        write_warc_file(
+            recs[2 * n // 3 :], str(tmp_path / "c.warc"), gzip_members=False
+        )
+        return recs
+
+    def test_matches_batch_reader(self, spark, tmp_path):
+        from heavykeeper_rs_spark.sources.warc import read_warc_stream
+
+        self._write_corpus(tmp_path)
+        batch = sorted(
+            (r["url"], r["warc_ts"], bytes(r["html"]), r["text"])
+            for r in read_warc(spark, str(tmp_path)).collect()
+        )
+        # tiny chunks force every incremental code path (header split
+        # across chunks, payload split, member boundary mid-chunk)
+        streamed = sorted(
+            (r["url"], r["warc_ts"], bytes(r["html"]), r["text"])
+            for r in read_warc_stream(
+                spark, str(tmp_path), chunk_bytes=1024, batch_records=7
+            ).collect()
+        )
+        assert streamed == batch and len(batch) == 60
+
+    def test_torn_tail_drops_only_damaged_records(self, spark, tmp_path):
+        import zlib
+
+        from heavykeeper_rs_spark.sources.warc import read_warc_stream
+
+        recs = [
+            _mk(f"https://t/{i}", "2025-01-01T00:00:00Z",
+                b"<html><body>" + bytes(str(i), "ascii") * 50 + b"</body></html>")
+            for i in range(10)
+        ]
+        write_warc_file(recs, str(tmp_path / "whole.warc.gz"))
+        blob = (tmp_path / "whole.warc.gz").read_bytes()
+        # rebuild: members 0..8 intact + 60% of member 9 (torn tail)
+        parts = []
+        pos = 0
+        for i in range(10):
+            d = zlib.decompressobj(wbits=31)
+            d.decompress(blob[pos:])
+            consumed = len(blob) - pos - len(d.unused_data)
+            parts.append(blob[pos : pos + consumed])
+            pos += consumed
+        torn = b"".join(parts[:9]) + parts[9][: int(len(parts[9]) * 0.6)]
+        (tmp_path / "whole.warc.gz").write_bytes(torn)
+        rows = read_warc_stream(spark, str(tmp_path), chunk_bytes=512).collect()
+        assert sorted(r["url"] for r in rows) == sorted(
+            f"https://t/{i}" for i in range(9)
+        )
+
+    def test_bounded_buffering_at_scale(self):
+        """The memory invariant itself: streaming a ~50 MB decompressed
+        archive through the incremental gunzip + parser never buffers
+        more than ~(one record + one chunk), independent of archive
+        size — the property that makes 10 GB segments safe."""
+        import gzip
+        import io
+
+        from heavykeeper_rs_spark.sources.warc import (
+            _StreamParser,
+            _stream_gzip_members,
+        )
+
+        n, body_len = 5000, 8 * 1024
+        chunk = 64 * 1024
+        buf = io.BytesIO()
+        body = b"<html><body>" + b"w" * body_len + b"</body></html>"
+        http = b"HTTP/1.1 200 OK\r\n\r\n" + body
+        rec = (
+            b"WARC/1.0\r\nWARC-Type: response\r\n"
+            b"WARC-Target-URI: https://big/x\r\n"
+            b"WARC-Date: 2025-01-01T00:00:00Z\r\n"
+            + b"Content-Length: " + str(len(http)).encode() + b"\r\n\r\n"
+            + http + b"\r\n\r\n"
+        )
+        member = gzip.compress(rec, mtime=0)
+        for _ in range(n):
+            buf.write(member)
+        buf.seek(0)
+        parser = _StreamParser()
+        got = 0
+        peak = 0
+        for chunk_bytes in _stream_gzip_members(buf.read, chunk):
+            for _rec in parser.feed(chunk_bytes):
+                got += 1
+            peak = max(peak, parser.buffered())
+        assert got == n
+        # bound: one in-flight record + one decompressed chunk + slack
+        assert peak < len(rec) + chunk + 4096
+
+
+def test_flow_trace_stream_matches_batch(spark, tmp_path):
+    """Streamed trace reader: chunk size deliberately NOT a multiple of
+    the record width, so every chunk boundary exercises the carry."""
+    import numpy as np
+
+    from heavykeeper_rs_spark.sources.trace import (
+        read_flow_trace,
+        read_flow_trace_stream,
+        write_flow_trace,
+    )
+
+    rng = np.random.default_rng(7)
+    keys = [bytes(rng.integers(0, 256, 13, dtype=np.uint8)) for _ in range(5000)]
+    write_flow_trace(keys[:3000], str(tmp_path / "p0.dat"))
+    write_flow_trace(keys[3000:], str(tmp_path / "p1.dat"))
+    # torn tail: 7 stray bytes after the last record of p1
+    with open(tmp_path / "p1.dat", "ab") as f:
+        f.write(b"\x01" * 7)
+    batch = sorted(bytes(r["flow_key"]) for r in read_flow_trace(spark, str(tmp_path)).collect())
+    streamed = sorted(
+        bytes(r["flow_key"])
+        for r in read_flow_trace_stream(
+            spark, str(tmp_path), chunk_bytes=1000
+        ).collect()
+    )
+    assert streamed == batch and len(batch) == 5000
