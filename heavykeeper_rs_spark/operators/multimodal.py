@@ -140,57 +140,25 @@ def decode_bmp(blob: bytes) -> np.ndarray:
     return rows[:, :, 2::-1]  # BGR(A) -> RGB
 
 
-def decode_png(blob: bytes) -> np.ndarray:
-    """PNG decode via stdlib zlib: 8-bit depth, color types 0 (gray),
-    2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA), non-interlaced;
-    all five scanline filters (None/Sub/Up/Average/Paeth). Returns
-    (H, W) for gray, else (H, W, C) uint8."""
-    import struct
-    import zlib
+# Adam7 pass geometry: (x0, y0, dx, dy) per pass (PNG spec 8.2)
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
 
-    if blob[:8] != b"\x89PNG\r\n\x1a\n":
-        raise ValueError("not a PNG blob")
-    pos = 8
-    idat = bytearray()
-    plte: bytes | None = None
-    meta = None
-    while pos + 8 <= len(blob):
-        (length,) = struct.unpack_from(">I", blob, pos)
-        ctype = blob[pos + 4 : pos + 8]
-        data = blob[pos + 8 : pos + 8 + length]
-        if ctype == b"IHDR":
-            w, h, depth, color, comp, filt, interlace = struct.unpack(
-                ">IIBBBBB", data
-            )
-            if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
-                raise ValueError(
-                    f"unsupported PNG (depth={depth}, interlace={interlace})"
-                )
-            meta = (w, h, color)
-        elif ctype == b"PLTE":
-            plte = bytes(data)
-        elif ctype == b"IDAT":
-            idat.extend(data)
-        elif ctype == b"IEND":
-            break
-        pos += 12 + length  # length + type + data + crc
-    if meta is None:
-        raise ValueError("PNG missing IHDR")
-    w, h, color = meta
-    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
-    if channels is None:
-        raise ValueError(f"unsupported PNG color type {color}")
-    try:
-        raw = zlib.decompress(bytes(idat))
-    except zlib.error as e:
-        raise ValueError(f"corrupt PNG stream: {e}") from e
-    stride = w * channels
-    if len(raw) != h * (stride + 1):
-        raise ValueError("PNG pixel data length mismatch")
-    raw = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+
+def _png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse the five PNG scanline filters over one (sub)image.
+    ``raw`` is (h, stride+1) uint8 with the filter byte leading each
+    row; ``bpp`` is bytes per pixel (the filter's left-neighbor
+    distance)."""
     filters = raw[:, 0]
     out = np.zeros((h, stride), dtype=np.uint8)
-    bpp = channels
     for y in range(h):
         f = int(filters[y])
         line = raw[y, 1:].astype(np.int64)
@@ -218,7 +186,95 @@ def decode_png(blob: bytes) -> np.ndarray:
                     raise ValueError(f"bad PNG filter {f}")
                 rec[x] = (line[x] + pred) & 0xFF
         out[y] = (rec & 0xFF).astype(np.uint8)
-    img = out.reshape(h, w, channels)
+    return out
+
+
+def _png_samples(
+    rec: np.ndarray, ph: int, pw: int, channels: int, depth: int
+) -> np.ndarray:
+    """(ph, pw*channels*depth/8) unfiltered bytes -> (ph, pw, channels)
+    uint8 samples. 16-bit samples are scaled to 8 by taking the high
+    byte (libpng's default strip-16 behavior)."""
+    if depth == 8:
+        return rec.reshape(ph, pw, channels)
+    return rec.reshape(ph, pw, channels, 2)[:, :, :, 0]
+
+
+def decode_png(blob: bytes) -> np.ndarray:
+    """PNG decode via stdlib zlib: 8- and 16-bit depths, color types 0
+    (gray), 2 (RGB), 3 (palette, 8-bit), 4 (gray+alpha), 6 (RGBA),
+    non-interlaced AND Adam7-interlaced; all five scanline filters
+    (None/Sub/Up/Average/Paeth). 16-bit samples are scaled to 8 bits
+    via high-byte strip (libpng's default). Returns (H, W) for gray,
+    else (H, W, C) uint8."""
+    import struct
+    import zlib
+
+    if blob[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG blob")
+    pos = 8
+    idat = bytearray()
+    plte: bytes | None = None
+    meta = None
+    while pos + 8 <= len(blob):
+        (length,) = struct.unpack_from(">I", blob, pos)
+        ctype = blob[pos + 4 : pos + 8]
+        data = blob[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth not in (8, 16) or comp != 0 or filt != 0 or interlace > 1:
+                raise ValueError(
+                    f"unsupported PNG (depth={depth}, interlace={interlace})"
+                )
+            if color == 3 and depth != 8:
+                raise ValueError("palette PNG requires 8-bit depth")
+            meta = (w, h, depth, color, interlace)
+        elif ctype == b"PLTE":
+            plte = bytes(data)
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + data + crc
+    if meta is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color, interlace = meta
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    if channels is None:
+        raise ValueError(f"unsupported PNG color type {color}")
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"corrupt PNG stream: {e}") from e
+    bypp = channels * (depth // 8)
+    raw = np.frombuffer(raw, dtype=np.uint8)
+    if interlace == 0:
+        stride = w * bypp
+        if len(raw) != h * (stride + 1):
+            raise ValueError("PNG pixel data length mismatch")
+        rec = _png_unfilter(raw.reshape(h, stride + 1), h, stride, bypp)
+        img = _png_samples(rec, h, w, channels, depth)
+    else:  # Adam7: seven independently-filtered sub-images
+        img = np.zeros((h, w, channels), dtype=np.uint8)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            pstride = pw * bypp
+            need = ph * (pstride + 1)
+            if pos + need > len(raw):
+                raise ValueError("PNG pixel data length mismatch")
+            rec = _png_unfilter(
+                raw[pos : pos + need].reshape(ph, pstride + 1), ph, pstride, bypp
+            )
+            pos += need
+            img[y0::dy, x0::dx] = _png_samples(rec, ph, pw, channels, depth)
+        if pos != len(raw):
+            raise ValueError("PNG pixel data length mismatch")
     if color == 3:
         if plte is None:
             raise ValueError("palette PNG missing PLTE")
@@ -258,13 +314,17 @@ def _crc_chunk(ctype: bytes, data: bytes) -> bytes:
     )
 
 
-def encode_png(img: np.ndarray) -> bytes:
-    """Minimal PNG encoder (8-bit gray/RGB/RGBA, filter 0) — the
-    fixture producer for the decode path; real corpora supply real
-    blobs."""
+def encode_png(img: np.ndarray, depth: int = 8, interlace: int = 0) -> bytes:
+    """Minimal PNG encoder (gray/RGB/RGBA, filter 0) — the fixture
+    producer for the decode path; real corpora supply real blobs.
+    ``depth=16`` widens each 8-bit sample to (v<<8 | v) big-endian so
+    the decoder's high-byte strip round-trips exactly; ``interlace=1``
+    emits the seven Adam7 passes."""
     import struct
     import zlib
 
+    if depth not in (8, 16) or interlace not in (0, 1):
+        raise ValueError(f"unsupported encode (depth={depth}, interlace={interlace})")
     arr = np.asarray(img, dtype=np.uint8)
     if arr.ndim == 2:
         arr = arr[:, :, None]
@@ -272,13 +332,34 @@ def encode_png(img: np.ndarray) -> bytes:
     color = {1: 0, 3: 2, 4: 6}.get(ch)
     if color is None:
         raise ValueError(f"unsupported channel count {ch}")
-    scan = np.concatenate(
-        [np.zeros((h, 1), dtype=np.uint8), arr.reshape(h, w * ch)], axis=1
-    )
+
+    def rows_bytes(sub: np.ndarray) -> bytes:
+        # sub: (ph, pw, ch) uint8 -> filter-0 scanlines at the depth
+        ph, pw = sub.shape[0], sub.shape[1]
+        if depth == 16:
+            wide = np.repeat(sub.reshape(ph, pw * ch, 1), 2, axis=2)  # (v, v)
+            flat = wide.reshape(ph, pw * ch * 2)
+        else:
+            flat = sub.reshape(ph, pw * ch)
+        return np.concatenate(
+            [np.zeros((ph, 1), dtype=np.uint8), flat], axis=1
+        ).tobytes()
+
+    if interlace == 0:
+        raw = rows_bytes(arr)
+    else:
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = arr[y0::dy, x0::dx]
+            if sub.shape[0] and sub.shape[1]:
+                parts.append(rows_bytes(sub))
+        raw = b"".join(parts)
     return (
         b"\x89PNG\r\n\x1a\n"
-        + _crc_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0))
-        + _crc_chunk(b"IDAT", zlib.compress(scan.tobytes()))
+        + _crc_chunk(
+            b"IHDR", struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, interlace)
+        )
+        + _crc_chunk(b"IDAT", zlib.compress(raw))
         + _crc_chunk(b"IEND", b"")
     )
 

@@ -732,3 +732,160 @@ class TestBloomPrefilter:
         small = spark.createDataFrame([Row(j="a")])
         got = {r["v"] for r in bloom_prefilter(big, "k", small, "j").collect()}
         assert 1 in got and 2 not in got
+
+
+class TestPng16AndInterlace:
+    """Round-5 verdict #9: 16-bit depth and Adam7 interlacing in the
+    stdlib PNG decoder."""
+
+    def test_16bit_round_trip(self):
+        from heavykeeper_rs_spark.operators.multimodal import (
+            decode_png,
+            encode_png,
+            synth_image,
+        )
+
+        rgb = synth_image(11, 13, 3, seed=5)
+        gray = synth_image(7, 9, 1, seed=6)
+        # encoder widens v -> (v<<8|v); decoder strips to the high byte
+        assert (decode_png(encode_png(rgb, depth=16)) == rgb).all()
+        assert (decode_png(encode_png(gray, depth=16)) == gray).all()
+
+    def test_16bit_high_byte_strip_semantics(self):
+        """A hand-built 16-bit sample 0xAB12 must decode to 0xAB
+        (libpng strip-16), not a rounding of 0xAB12/257."""
+        import struct
+        import zlib
+
+        from heavykeeper_rs_spark.operators.multimodal import decode_png
+
+        def chunk(t, d):
+            return (
+                struct.pack(">I", len(d)) + t + d
+                + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+            )
+
+        scan = b"\x00" + bytes([0xAB, 0x12, 0x00, 0xFF, 0x7F, 0x80])  # 3 gray px
+        blob = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 1, 16, 0, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(scan))
+            + chunk(b"IEND", b"")
+        )
+        assert decode_png(blob).tolist() == [[0xAB, 0x00, 0x7F]]
+
+    @pytest.mark.parametrize("hw", [(1, 1), (2, 3), (8, 8), (13, 7), (16, 17)])
+    def test_adam7_round_trip_odd_dims(self, hw):
+        from heavykeeper_rs_spark.operators.multimodal import (
+            decode_png,
+            encode_png,
+            synth_image,
+        )
+
+        h, w = hw
+        img = synth_image(h, w, 3, seed=h * 31 + w)
+        assert (decode_png(encode_png(img, interlace=1)) == img).all()
+        gray = synth_image(h, w, 1, seed=h + w)
+        assert (decode_png(encode_png(gray, interlace=1)) == gray).all()
+
+    def test_adam7_16bit_combined(self):
+        from heavykeeper_rs_spark.operators.multimodal import (
+            decode_png,
+            encode_png,
+            synth_image,
+        )
+
+        img = synth_image(13, 7, 3, seed=99)
+        assert (decode_png(encode_png(img, depth=16, interlace=1)) == img).all()
+
+    def test_adam7_filtered_passes(self):
+        """Interlaced decode with a NON-ZERO filter inside a pass: each
+        pass is independently filtered, so an Up-filtered second row of
+        pass 7 must reconstruct against pass-local geometry."""
+        import struct
+        import zlib
+
+        from heavykeeper_rs_spark.operators.multimodal import (
+            _ADAM7,
+            decode_png,
+            encode_png,
+            synth_image,
+        )
+
+        h, w = 8, 8
+        img = synth_image(h, w, 1, seed=3)
+        # build interlaced stream with filter 1 (Sub) on every row
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = img[y0::dy, x0::dx].astype(np.int64)
+            if not sub.size:
+                continue
+            for row in sub:
+                filt = np.zeros(row.shape[0], np.int64)
+                for x in range(row.shape[0]):
+                    a = row[x - 1] if x >= 1 else 0
+                    filt[x] = (row[x] - a) & 0xFF
+                parts.append(b"\x01" + filt.astype(np.uint8).tobytes())
+        raw = b"".join(parts)
+
+        def chunk(t, d):
+            return (
+                struct.pack(">I", len(d)) + t + d
+                + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+            )
+
+        blob = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 1))
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+        assert (decode_png(blob) == img).all()
+
+    def test_corrupt_variants(self):
+        import struct
+        import zlib
+
+        from heavykeeper_rs_spark.operators.multimodal import (
+            decode_png,
+            encode_png,
+            synth_image,
+        )
+
+        img = synth_image(9, 9, 3, seed=2)
+        blob = encode_png(img, depth=16, interlace=1)
+        # truncated interlaced stream -> ValueError, never a crash
+        with pytest.raises(ValueError):
+            decode_png(blob[:60])
+
+        # short pixel data inside a valid zlib stream
+        def chunk(t, d):
+            return (
+                struct.pack(">I", len(d)) + t + d
+                + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+            )
+
+        short = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 1))
+            + chunk(b"IDAT", zlib.compress(b"\x00\x01\x02"))
+            + chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError):
+            decode_png(short)
+        # 16-bit palette is invalid per spec
+        pal16 = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 3, 0, 0, 0))
+            + chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError):
+            decode_png(pal16)
+        # unsupported depth still rejected
+        d4 = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 4, 0, 0, 0, 0))
+            + chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError):
+            decode_png(d4)

@@ -19,6 +19,10 @@ merge tree), not a driver loop; truth is one exact groupBy.
 
 Usage:
   python tools/score_accuracy.py synth [n_packets]       # deterministic fixture
+  python tools/score_accuracy.py synthfile [n_packets] [n_flows] [alpha]
+      # reference-scale rehearsal: writes the deterministic fixture to
+      # on-disk .dat shards first (examples/ip_files.rs reads files),
+      # then scores through read_flow_trace over those files
   python tools/score_accuracy.py /path/to/traces [glob]  # CAIDA-style .dat files
 """
 
@@ -73,6 +77,38 @@ def main() -> None:
 
         n_packets = int(sys.argv[2]) if len(sys.argv) > 2 else 5_000_000
         df = flows(spark, n_packets, n_flows=100_000, alpha=1.3, seed=7)
+    elif src == "synthfile":
+        from heavykeeper_rs_spark.sources.synth import flows
+        from heavykeeper_rs_spark.sources.trace import read_flow_trace
+
+        n_packets = int(sys.argv[2]) if len(sys.argv) > 2 else 27_500_000
+        n_flows = int(sys.argv[3]) if len(sys.argv) > 3 else 1_030_000
+        alpha = float(sys.argv[4]) if len(sys.argv) > 4 else 1.3
+        tdir = f"/tmp/flow_trace_{n_packets}_{n_flows}_{alpha}"
+        if not os.path.isdir(tdir) or not os.listdir(tdir):
+            os.makedirs(tdir, exist_ok=True)
+            src_df = flows(spark, n_packets, n_flows=n_flows, alpha=alpha, seed=7)
+
+            def dump(batches):
+                import pyarrow as pa
+                from pyspark import TaskContext
+
+                pid = TaskContext.get().partitionId()
+                n = 0
+                with open(f"{tdir}/part-{pid:05d}.dat", "wb") as f:
+                    for batch in batches:
+                        col = batch.column(0)
+                        buf = b"".join(col.to_pylist())
+                        f.write(buf)
+                        n += len(col)
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array([n], type=pa.int64())], names=["n"]
+                )
+
+            wrote = src_df.mapInArrow(dump, "n long").groupBy().sum().collect()[0][0]
+            print(f"wrote {wrote} records to {tdir}", file=sys.stderr)
+        df = read_flow_trace(spark, tdir, key_size=13, glob="*.dat")
+        src = tdir
     else:
         from heavykeeper_rs_spark.sources.trace import read_flow_trace
 
