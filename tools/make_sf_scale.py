@@ -1,0 +1,188 @@
+"""Scale-up rehearsal data generator (round-5 verdict #6).
+
+Builds an sf1-shaped dataset from the driver's sf0.1 testdata by
+deterministic replication — /root/testdata is read-only and tops out
+at sf0.1, so the 10x gate/bench rehearsal needs its own input. The
+copies are NOT byte-identical clones (identical copies would create
+pathological count ties and quadratic dedup blowups the real
+distribution doesn't have):
+
+- every key column gets a per-copy offset (FKs offset consistently,
+  so joins keep their selectivity);
+- fact-ish tables (orders, lineitem, events, documents) drop a
+  deterministic ~3% of rows per copy (hash-gated), so replicated
+  groups get distinct counts instead of exact 10-way ties;
+- document texts get a per-copy letter suffix on every word, so
+  near-dup structure scales linearly (copies are not near-dups of
+  each other) and token tops stay well-defined;
+- embeddings get a per-copy random ORTHOGONAL rotation: intra-copy
+  geometry (cluster structure, pair densities) is preserved exactly,
+  cross-copy cosines decorrelate to the random-pair tail.
+
+Every table lands as a single <name>.parquet FILE (DuckDB-oracle
+layout, same as the driver's testdata).
+
+Usage: python tools/make_sf_scale.py [base_dir] [factor] [out_dir]
+       defaults: /root/testdata/sf0.1 10 /tmp/sf1
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import duckdb
+import numpy as np
+
+OFF = 1_000_000_000  # per-copy key offset; far above any base key
+KEEP = 97  # i>0 copies keep hash%100 < KEEP rows (~3% dropped)
+
+
+def copy_union(con, base, table, out, per_copy_select, factor):
+    selects = []
+    for i in range(factor):
+        selects.append(per_copy_select(i, f"'{base}/{table}.parquet'"))
+    q = " UNION ALL ".join(selects)
+    con.execute(f"COPY ({q}) TO '{out}/{table}.parquet' (FORMAT PARQUET)")
+
+
+def main() -> None:
+    base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    factor = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    out = sys.argv[3] if len(sys.argv) > 3 else "/tmp/sf1"
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    t0 = time.time()
+
+    # shared dims: single copy
+    for t in ("region", "nation"):
+        con.execute(
+            f"COPY (SELECT * FROM '{base}/{t}.parquet') "
+            f"TO '{out}/{t}.parquet' (FORMAT PARQUET)"
+        )
+
+    def drop(i, keycols):
+        if i == 0:
+            return ""
+        return f" WHERE hash({keycols}, {i}) % 100 < {KEEP}"
+
+    copy_union(
+        con, base, "customer", out,
+        lambda i, src: (
+            f"SELECT c_custkey + {OFF * i} AS c_custkey, c_name, c_nationkey, "
+            f"c_acctbal, c_mktsegment FROM {src}"
+        ),
+        factor,
+    )
+    copy_union(
+        con, base, "supplier", out,
+        lambda i, src: (
+            f"SELECT s_suppkey + {OFF * i} AS s_suppkey, s_name, s_nationkey, "
+            f"s_acctbal FROM {src}"
+        ),
+        factor,
+    )
+    copy_union(
+        con, base, "part", out,
+        lambda i, src: (
+            f"SELECT p_partkey + {OFF * i} AS p_partkey, p_name, p_brand, "
+            f"p_type, p_size, p_retailprice FROM {src}"
+        ),
+        factor,
+    )
+    copy_union(
+        con, base, "orders", out,
+        lambda i, src: (
+            f"SELECT o_orderkey + {OFF * i} AS o_orderkey, "
+            f"o_custkey + {OFF * i} AS o_custkey, o_orderstatus, o_totalprice, "
+            f"o_orderdate, o_orderpriority FROM {src}"
+            + drop(i, "o_orderkey")
+        ),
+        factor,
+    )
+    copy_union(
+        con, base, "lineitem", out,
+        lambda i, src: (
+            f"SELECT l_orderkey + {OFF * i} AS l_orderkey, "
+            f"l_partkey + {OFF * i} AS l_partkey, "
+            f"l_suppkey + {OFF * i} AS l_suppkey, l_linenumber, l_quantity, "
+            f"l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, "
+            f"l_shipdate FROM {src}"
+            + drop(i, "l_orderkey, l_linenumber")
+        ),
+        factor,
+    )
+    copy_union(
+        con, base, "events", out,
+        lambda i, src: (
+            f"SELECT event_id + {OFF * i} AS event_id, ts, "
+            f"user_id + {OFF * i} AS user_id, event_type, value, props "
+            f"FROM {src}" + drop(i, "event_id")
+        ),
+        factor,
+    )
+
+    def doc_select(i, src):
+        if i == 0:
+            return (
+                f"SELECT doc_id, text, lang, source, n_chars FROM {src}"
+            )
+        sfx = chr(97 + i % 26) * 2
+        return (
+            f"SELECT doc_id + {OFF * i} AS doc_id, "
+            f"regexp_replace(text, '([A-Za-z]+)', '\\1{sfx}', 'g') AS text, "
+            f"lang, source, "
+            f"CAST(length(regexp_replace(text, '([A-Za-z]+)', '\\1{sfx}', 'g')) "
+            f"AS BIGINT) AS n_chars FROM {src}" + drop(i, "doc_id")
+        )
+
+    copy_union(con, base, "documents", out, doc_select, factor)
+
+    # embeddings: per-copy orthogonal rotation, written via pyarrow
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    e = con.execute(
+        f"SELECT vec_id, embedding, label FROM '{base}/embeddings.parquet' "
+        "ORDER BY vec_id"
+    ).fetchall()
+    vec_ids = np.array([r[0] for r in e], dtype=np.int64)
+    vecs = np.array([r[1] for r in e], dtype=np.float64)
+    labels = np.array([r[2] for r in e], dtype=np.int32)
+    dim = vecs.shape[1]
+    ids_out, vecs_out, labels_out = [], [], []
+    for i in range(factor):
+        if i == 0:
+            rot = np.eye(dim)
+        else:
+            q, _ = np.linalg.qr(
+                np.random.default_rng(1000 + i).normal(size=(dim, dim))
+            )
+            rot = q
+        ids_out.append(vec_ids + OFF * i)
+        vecs_out.append(vecs @ rot)
+        labels_out.append(labels)
+    allv = np.concatenate(vecs_out).astype(np.float32)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": np.concatenate(ids_out),
+                "embedding": pa.array(list(allv), type=pa.list_(pa.float32())),
+                "label": np.concatenate(labels_out),
+            }
+        ),
+        f"{out}/embeddings.parquet",
+    )
+
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        n = con.execute(f"SELECT COUNT(*) FROM '{out}/{t}.parquet'").fetchone()[0]
+        print(f"{t:12s} {n:>10,}")
+    print(f"done in {time.time() - t0:.1f}s -> {out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -84,7 +84,9 @@ def main() -> None:
         )
     out["brute_force_sec_per_query"] = round((time.time() - t0) / len(queries), 2)
 
-    for n_probe in (1, 2, 4, 8, 16, n_cent):
+    for n_probe in (1, 2, 4, 8, 16, 32, n_cent):
+        if n_probe > n_cent:
+            continue
         t0 = time.time()
         hits = 0
         for q, truth in zip(queries, truths):
@@ -98,6 +100,10 @@ def main() -> None:
         out[f"probe_{n_probe}"] = {
             "recall_at_10": round(hits / (10 * len(queries)), 3),
             "sec_per_query": round((time.time() - t0) / len(queries), 2),
+            # index is partitionBy(centroid): a probe lists exactly
+            # n_probe of n_cent partition dirs (PartitionFilters prune
+            # the rest before any file IO)
+            "partition_fraction_listed": round(n_probe / n_cent, 4),
         }
     print(json.dumps(out))
     spark.stop()
