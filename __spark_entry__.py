@@ -10,6 +10,7 @@ them SQL-comparable; genuinely approximate runs are rows-only entries.
 
 from __future__ import annotations
 
+import math
 import os
 import sys
 from collections.abc import Callable
@@ -951,12 +952,16 @@ def _sketch_by_group_ok(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     - HLL: distinct users per type within 3% of exact.
     - t-digest: median value per type within rank tolerance 0.02.
-    - CountMin (w=65536,d=5) over user_id per type: every user's
-      estimate in [true, true + (e/w)*group_total]; additionally the
-      SUM of all per-(group,user) estimates is ORACLE-verified
-      (round-5 verdict #5): CM never underestimates, so
-      ``cms_group_est_sum`` equals DuckDB's COUNT(*) of fed rows iff
-      every estimate is exact in this width regime.
+    - CountMin (w=65536,d=5) over user_id per type: no estimate ever
+      BELOW true (deterministic CM property), and the fraction of
+      keys above the (e/w)*group_total upper bound stays within 3x
+      the published per-key failure rate e^-depth — the guarantee is
+      per-key probabilistic, so an all-keys assertion is wrong once
+      groups hold 10^5 users (caught by the round-5 sf1 rehearsal).
+      Additionally ``cms_group_total_sum`` (sum of the per-group CM
+      row totals) is ORACLE-verified against DuckDB's COUNT(*) of fed
+      rows (round-5 verdict #5) — any row lost or double-counted by
+      the per-(partition,group) partials / blob merge tree flips it.
     - Bloom over user_id per type (each group's filter built only
       from its own rows): ``bloom_group_hits`` must equal DuckDB's
       COUNT(DISTINCT (type, user)) — equality iff zero false
@@ -1005,10 +1010,6 @@ def _sketch_by_group_ok(spark: SparkSession, sf_dir: str) -> DataFrame:
     ):
         per_gu.setdefault(r["event_type"], {})[str(r["user_id"])] = r["count"]
 
-    # width 65536 puts every group's distinct-user set in the exact
-    # regime, so the per-group estimate SUM is oracle-verifiable: CM
-    # never underestimates, hence sum(est) == COUNT(*) iff every
-    # per-(group,user) estimate is exact (round-5 verdict #5)
     cms_blobs = {
         r["group"]: r["sketch"]
         for r in cms_by_group(
@@ -1016,20 +1017,27 @@ def _sketch_by_group_ok(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).collect()
     }
     cms_ok = set(cms_blobs) == set(per_gu)
-    cms_group_est_sum = 0
+    cms_group_total_sum = 0
     if cms_ok:
         eps = np.e / 65536
+        depth = 5
+        n_keys = 0
+        n_over = 0
         for g, users in per_gu.items():
             sk = CountMin.deserialize(cms_blobs[g])
             ks = np.asarray(list(users), dtype=object)
             est = sk.estimate(ks)
-            gtotal = sk.total
-            cms_group_est_sum += int(est.sum())
-            if not all(
-                users[k] <= e <= users[k] + eps * gtotal for k, e in zip(ks, est)
-            ):
+            true = np.fromiter((users[k] for k in ks), dtype=np.int64, count=len(ks))
+            cms_group_total_sum += int(sk.total)
+            if (est < true).any():  # deterministic: CM never undercounts
                 cms_ok = False
                 break
+            n_keys += len(ks)
+            n_over += int((est > true + eps * sk.total).sum())
+        # the CM upper bound is per-key probabilistic (violation rate
+        # <= e^-depth); assert the observed rate, not every key
+        if cms_ok and n_keys and n_over > 3 * math.exp(-depth) * n_keys + 3:
+            cms_ok = False
 
     bloom_blobs = {
         r["group"]: r["sketch"]
@@ -1047,11 +1055,11 @@ def _sketch_by_group_ok(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         [(
             len(hll_exact), bool(hll_ok), bool(td_ok),
-            bool(cms_ok), cms_group_est_sum,
+            bool(cms_ok), cms_group_total_sum,
             bool(bloom_ok), bloom_group_hits,
         )],
         "n_groups bigint, hll_groups_ok boolean, td_groups_ok boolean, "
-        "cms_groups_ok boolean, cms_group_est_sum bigint, "
+        "cms_groups_ok boolean, cms_group_total_sum bigint, "
         "bloom_groups_ok boolean, bloom_group_hits bigint",
     )
 
@@ -1999,7 +2007,7 @@ def oracle_sql() -> dict[str, str]:
             "TRUE AS hll_groups_ok, TRUE AS td_groups_ok, "
             "TRUE AS cms_groups_ok, "
             "(SELECT COUNT(*) FROM events WHERE event_type IS NOT NULL "
-            "AND user_id IS NOT NULL) AS cms_group_est_sum, "
+            "AND user_id IS NOT NULL) AS cms_group_total_sum, "
             "TRUE AS bloom_groups_ok, "
             "(SELECT COUNT(*) FROM (SELECT DISTINCT event_type, user_id "
             "FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL)) "
