@@ -451,14 +451,20 @@ def _hk_contains_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash LSH candidate generation + exact n-gram Jaccard verify.
     Oracle = exhaustive exact-Jaccard pairs (LSH recall at J>=0.8 with
-    n=128,b=16,r=8 makes a miss a ~1e-4 event on this data)."""
+    n=128,b=16,r=8 makes a miss a ~1e-4 event on this data).
+
+    Input capped to a deterministic 6000-doc slice (round-5): the
+    brute-force oracle is quadratic in documents, so the exact-verified
+    gate runs on a bounded slice just above bench scale (sf0.1 = 5000
+    docs, unchanged); the UNCAPPED scale path is rehearsed by
+    tools/stress_dedup.py at 3M docs."""
     from heavykeeper_rs_spark.operators.dedup import (
         lsh_candidate_pairs,
         minhash_signatures,
         ngram_jaccard_pairs,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents").orderBy("doc_id").limit(6000)
     sigs = minhash_signatures(docs, "doc_id", "text", n_hashes=128, bands=16, shingle=5)
     cands = lsh_candidate_pairs(sigs)
     return (
@@ -491,10 +497,12 @@ def _minhash_dedup_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup groups labeled by min doc_id (verified edges). Oracle:
     transitive closure over exact-Jaccard>=0.8 pairs; label propagation
     iterates to convergence (monotone-sum stop), so arbitrary component
-    diameters resolve — matching the oracle's recursive CTE closure."""
+    diameters resolve — matching the oracle's recursive CTE closure.
+    Same 6000-doc slice cap as minhash_near_dup_pairs (quadratic
+    oracle; see there)."""
     from heavykeeper_rs_spark.operators.dedup import minhash_dedup_groups
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents").orderBy("doc_id").limit(6000)
     return (
         minhash_dedup_groups(
             docs, "doc_id", "text", n_hashes=128, bands=16, min_jaccard=0.8
@@ -527,11 +535,19 @@ def _embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cover the 1-bit buckets at gate scale; the production-shaped
     multi-bit banding (recall-vs-cost knob, size-gated buckets) is
     exercised and bounded by the lsh_recall gate in
-    ``pipeline_ops_ok``."""
+    ``pipeline_ops_ok``. Input capped to a deterministic 4096-vector
+    slice (round-5): the exact-cosine oracle is quadratic, and the
+    1-bit banding regime needs bucket <= bucket_cap; bench scale
+    (2000 vectors) sits under the cap, so driver-scale results are
+    unchanged; the uncapped ANN scale path is rehearsed by
+    tools/stress_ann.py at 1M vectors."""
     from heavykeeper_rs_spark.operators.similarity import embedding_near_dup_pairs
 
-    emb = _t(spark, sf_dir, "embeddings").withColumn(
-        "emb_d", F.col("embedding").cast("array<double>")
+    emb = (
+        _t(spark, sf_dir, "embeddings")
+        .orderBy("vec_id")
+        .limit(4096)
+        .withColumn("emb_d", F.col("embedding").cast("array<double>"))
     )
     dim = len(emb.select("emb_d").first()[0])
     return embedding_near_dup_pairs(
@@ -577,11 +593,16 @@ def _embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _embedding_sim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine threshold self-join (the verifier for the LSH
-    path; oracle via DuckDB list_cosine_similarity)."""
+    path; oracle via DuckDB list_cosine_similarity). Same 4096-vector
+    slice cap as embedding_near_dup (brute force is quadratic by
+    design — it IS the baseline)."""
     from heavykeeper_rs_spark.operators.similarity import brute_force_pairs
 
-    emb = _t(spark, sf_dir, "embeddings").withColumn(
-        "emb_d", F.col("embedding").cast("array<double>")
+    emb = (
+        _t(spark, sf_dir, "embeddings")
+        .orderBy("vec_id")
+        .limit(4096)
+        .withColumn("emb_d", F.col("embedding").cast("array<double>"))
     )
     return brute_force_pairs(emb, "vec_id", "emb_d", tau=0.45).orderBy(
         "id_a", "id_b"
@@ -593,14 +614,23 @@ def _embedding_lsh_recall_ok(spark: SparkSession, sf_dir: str) -> DataFrame:
     comes from DuckDB's cosine self-join; Spark reports the same exact
     count plus a recall_ok flag asserting the banded LSH path recovered
     >= 90% of the exact cosine>=0.40 pairs. A recall regression flips
-    the flag and fails the hash compare."""
+    the flag and fails the hash compare.
+
+    The exact-truth side is capped to a deterministic 4096-vector
+    slice (round-5): brute-force truth is quadratic, so at rehearsal
+    scales and beyond you validate recall on a bounded slice — the
+    oracle SQL applies the identical cap. Below the cap (every driver
+    sf) the check is unchanged."""
     from heavykeeper_rs_spark.operators.similarity import (
         brute_force_pairs,
         embedding_near_dup_pairs,
     )
 
-    emb = _t(spark, sf_dir, "embeddings").withColumn(
-        "emb_d", F.col("embedding").cast("array<double>")
+    emb = (
+        _t(spark, sf_dir, "embeddings")
+        .orderBy("vec_id")
+        .limit(4096)
+        .withColumn("emb_d", F.col("embedding").cast("array<double>"))
     )
     dim = len(emb.select("emb_d").first()[0])
     n_exact = brute_force_pairs(emb, "vec_id", "emb_d", tau=0.40).count()
@@ -1573,7 +1603,7 @@ _TOKENS_SRC = (
 _JACCARD_PAIRS = (
     "SELECT * FROM ("
     "WITH g AS (SELECT doc_id, list_distinct([substr(text, i, 5) "
-    "FOR i IN range(1, greatest(length(text) - 3, 1))]) AS grams FROM documents) "
+    "FOR i IN range(1, greatest(length(text) - 3, 1))]) AS grams FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 6000)) "
     "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
     "ROUND(len(list_intersect(a.grams, b.grams))::DOUBLE / "
     "greatest(len(list_distinct(list_concat(a.grams, b.grams))), 1), 6) AS jaccard "
@@ -1893,7 +1923,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT * FROM ("
             "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
             "ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) "
-            "AS cosine FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id"
+            "AS cosine FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 4096) a "
+            "JOIN (SELECT * FROM embeddings ORDER BY vec_id LIMIT 4096) b "
+            "ON a.vec_id < b.vec_id"
             ") WHERE cosine >= 0.45 ORDER BY id_a, id_b"
         ),
         "lang_id_counts": (
@@ -2024,8 +2056,10 @@ def oracle_sql() -> dict[str, str]:
             "CAST(4 AS BIGINT) AS lenbucket_n, TRUE AS lenbuckets_ok, "
             "(SELECT CAST(COUNT(*) AS BIGINT) FROM ("
             "SELECT ROUND(list_cosine_similarity(a.embedding::DOUBLE[], "
-            "b.embedding::DOUBLE[]), 6) AS cosine FROM embeddings a "
-            "JOIN embeddings b ON a.vec_id < b.vec_id) WHERE cosine >= 0.40) "
+            "b.embedding::DOUBLE[]), 6) AS cosine "
+            "FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 4096) a "
+            "JOIN (SELECT * FROM embeddings ORDER BY vec_id LIMIT 4096) b "
+            "ON a.vec_id < b.vec_id) WHERE cosine >= 0.40) "
             "AS lsh_n_exact_pairs, TRUE AS lsh_recall_ok, TRUE AS media_ok, "
             "TRUE AS warc_ok"
         ),
@@ -2033,7 +2067,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT * FROM ("
             "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
             "ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) "
-            "AS cosine FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id"
+            "AS cosine FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 4096) a "
+            "JOIN (SELECT * FROM embeddings ORDER BY vec_id LIMIT 4096) b "
+            "ON a.vec_id < b.vec_id"
             ") WHERE cosine >= 0.40 ORDER BY id_a, id_b"
         ),
     }
