@@ -634,8 +634,13 @@ def _embedding_lsh_recall_ok(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dim = len(emb.select("emb_d").first()[0])
     n_exact = brute_force_pairs(emb, "vec_id", "emb_d", tau=0.40).count()
+    # bucket_cap covers the 2-bit-band buckets at the 4096 slice cap
+    # (~1024 vectors/bucket); the default 256 cap would star-thin them
+    # and the measured recall would reflect the thinning policy, not
+    # the banding (caught by the round-5 sf1 rehearsal)
     n_lsh = embedding_near_dup_pairs(
-        emb, "vec_id", "emb_d", dim=dim, tau=0.40, n_bits=16, bands=8
+        emb, "vec_id", "emb_d", dim=dim, tau=0.40, n_bits=16, bands=8,
+        bucket_cap=4096,
     ).count()  # cosine-verified, so a strict subset of the exact pairs
     return _local_df(
         spark,
