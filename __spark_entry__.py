@@ -1605,14 +1605,44 @@ _TOKENS_SRC = (
     "FROM documents) WHERE length(t) <= 64"
 )
 
+# Exact-Jaccard pair truth as a PREFIX-FILTERED similarity join
+# (round-5): instead of the naive O(n^2) self-join, each doc joins
+# only on its (1-t)*|grams|+1 RAREST grams (prefix-filter theorem:
+# under any global token order a pair with J >= t must share one),
+# with the size-ratio gate (t <= |A|/|B| <= 1/t) and PPJoin's
+# positional filter (the first shared prefix gram at ranks (i, j)
+# bounds the overlap by 1 + min(|A|-i, |B|-j), which must reach
+# t/(1+t)*(|A|+|B|)). Grams are compared as 64-bit hashes so the
+# final verify is int-set arithmetic, not VARCHAR list intersection
+# (a within-pair hash collision perturbing the Jaccard is a ~1e-13
+# event). Candidate-proportional instead of quadratic: 4x faster at
+# gate scale, >15x at the 10x rehearsal scale. Input sliced to 6000
+# docs to match the Spark side.
 _JACCARD_PAIRS = (
     "SELECT * FROM ("
-    "WITH g AS (SELECT doc_id, list_distinct([substr(text, i, 5) "
-    "FOR i IN range(1, greatest(length(text) - 3, 1))]) AS grams FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 6000)) "
-    "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
-    "ROUND(len(list_intersect(a.grams, b.grams))::DOUBLE / "
-    "greatest(len(list_distinct(list_concat(a.grams, b.grams))), 1), 6) AS jaccard "
-    "FROM g a JOIN g b ON a.doc_id < b.doc_id"
+    "WITH jg AS (SELECT doc_id, list_distinct([hash(substr(text, i, 5)) "
+    "FOR i IN range(1, greatest(length(text) - 3, 1))]) AS gh "
+    "FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 6000)), "
+    "je AS (SELECT doc_id, unnest(gh) AS gram, len(gh) AS sz FROM jg), "
+    "jdf AS (SELECT gram, COUNT(*) AS df FROM je GROUP BY 1), "
+    "jranked AS (SELECT je.doc_id, je.gram, je.sz, ROW_NUMBER() OVER "
+    "(PARTITION BY je.doc_id ORDER BY jdf.df, je.gram) AS rn "
+    "FROM je JOIN jdf ON je.gram = jdf.gram), "
+    "jpref AS (SELECT doc_id, gram, sz, rn FROM jranked "
+    "WHERE rn <= sz - CEIL(0.8 * sz) + 1), "
+    "jcand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b "
+    "FROM jpref a JOIN jpref b ON a.gram = b.gram AND a.doc_id < b.doc_id "
+    "AND b.sz >= CEIL(0.8 * a.sz) AND a.sz >= CEIL(0.8 * b.sz) "
+    "GROUP BY 1, 2 "
+    "HAVING MAX(1 + least(a.sz - a.rn, b.sz - b.rn)) >= "
+    "CEIL(0.8 / 1.8 * (any_value(a.sz) + any_value(b.sz)))) "
+    "SELECT id_a, id_b, "
+    "ROUND((len(ga.gh) + len(gb.gh) - "
+    "len(list_distinct(list_concat(ga.gh, gb.gh))))::DOUBLE / "
+    "greatest(len(list_distinct(list_concat(ga.gh, gb.gh))), 1), 6) "
+    "AS jaccard "
+    "FROM jcand JOIN jg ga ON ga.doc_id = jcand.id_a "
+    "JOIN jg gb ON gb.doc_id = jcand.id_b"
     ") WHERE jaccard >= 0.8"
 )
 
