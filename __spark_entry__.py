@@ -89,7 +89,11 @@ def _hk_weighted_topk_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity").cast("long").alias("q"),
     )
     return topk(
-        li, "pk", k=10, width=262144, depth=4, weight_col="q", tie_break_key=True
+        # depth 5: at 10x-rehearsal scale (~20k parts) the probability a
+        # boundary key collides with a heavier key in EVERY row is
+        # (2*E[pairs]/n)^depth — ~3e-5 at depth 4 (one expected casualty
+        # across 20k keys, observed at sf1), ~2e-6 at depth 5 (none)
+        li, "pk", k=10, width=262144, depth=5, weight_col="q", tie_break_key=True
     )
 
 
@@ -221,7 +225,7 @@ def _hk_weighted_topk_part_by_flag(spark: SparkSession, sf_dir: str) -> DataFram
         "l_partkey",
         k=5,
         width=65536,
-        depth=4,
+        depth=5,  # same envelope math as hk_weighted_topk_part
         weight_col="l_quantity",
     ).orderBy("group", F.desc("count"), "item")
 

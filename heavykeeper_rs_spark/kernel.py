@@ -1062,6 +1062,32 @@ class HeavyKeeper:
                     out[i] = c
         return out
 
+    def _cell_max(self, items: np.ndarray) -> np.ndarray:
+        """MAX over rows whose cell this key owns (0 if none).
+
+        The add path's PQ maintenance already uses max-over-owned
+        (``_add_unique_fp``): every owned cell accumulates ONLY its
+        key's own weight, so each is a lower bound on the true count
+        and the least-chipped row is the best sound estimate. The
+        public ``count()``/``estimate`` keep the reference's MIN
+        semantics (src/heavykeeper.rs:220-246); this internal
+        estimator serves the merge, where light colliders' early decay
+        chips would otherwise bias boundary candidates low."""
+        arr = np.asarray(items)
+        if arr.dtype.kind not in "iu":
+            arr = np.asarray(items, dtype=object)
+        n = arr.shape[0]
+        p = self.params
+        fp = self._hash(arr)
+        idxs = compose_indices(fp, p.depth, p.width)
+        out = np.zeros(n, dtype=np.int64)
+        for d in range(p.depth):
+            idx = idxs[d]
+            m = (self.fps[d, idx] == fp) & (self.counts[d, idx] > 0)
+            row = self.counts[d, idx].astype(np.int64)
+            np.maximum(out, np.where(m, row, 0), out=out)
+        return out
+
     def contains(self, item: bytes | str) -> bool:
         """O9 (src/heavykeeper.rs:177-199)."""
         return bool(self.estimate(np.asarray([item], dtype=object))[0] > 0)
@@ -1093,23 +1119,34 @@ class HeavyKeeper:
         self.params.check_compatible(other.params)
         if self._hasher is not other._hasher:
             raise SketchCompatError("hasher", self._hasher, other._hasher)
-        # Candidate merge FIRST, using pre-merge bucket_count fallback
-        # in both directions (src/bucketed.rs:377-401).
+        # Candidate values from the pre-merge sides, using bucket_count
+        # fallback in both directions (src/bucketed.rs:377-401) — but
+        # DEFER the PQ admissions until after the cell union, so every
+        # candidate competes with its freshest value. Admitting first
+        # (as a sequential merge naturally would) lets a boundary key
+        # enter with a stale fallback and get evicted by the strictly-
+        # greater rule before the cells that prove its true mass have
+        # merged — in a merge TREE that loss is order-dependent and
+        # irreversible (caught by the round-5 sf1 rehearsal: a global-
+        # rank-9 key's presence in the merged PQ varied with task
+        # completion order while its merged cells were exact).
+        pending: dict = {}
         other_items = list(other.pq.counts.items())
         if other_items:
             keys = _key_array([k for k, _ in other_items])
-            self_fallback = self.estimate(keys, use_heap=True)
-            for (item, ocount), sc in zip(other_items, self_fallback):
-                self.pq.upsert(item, int(ocount) + int(sc))
+            # PQ value when tracked, else max-over-owned cells (the
+            # add path's own PQ estimator — see _cell_max)
+            cells = self._cell_max(keys)
+            get = self.pq.counts.get
+            for (item, ocount), cc in zip(other_items, cells):
+                sc = get(item)
+                pending[item] = int(ocount) + int(sc if sc is not None else cc)
         mine = [k for k in self.pq.counts if k not in other.pq.counts]
         if mine:
             keys = _key_array(mine)
-            oc = other.estimate(keys, use_heap=False)
+            oc = other._cell_max(keys)
             for item, extra in zip(mine, oc):
-                if extra > 0:
-                    self.pq.update_if_present(
-                        item, self.pq.counts[item] + int(extra)
-                    )
+                pending[item] = self.pq.counts[item] + int(extra)
         # Cell union (src/heavykeeper.rs:437-448): equal fp -> add;
         # self empty -> copy other; else keep self.
         with np.errstate(over="ignore"):
@@ -1118,14 +1155,21 @@ class HeavyKeeper:
             empty = self.counts == 0
             self.fps[empty] = other.fps[empty]
             self.counts[empty] = other.counts[empty]
-        # Re-probe self-only candidates against the merged cells so
-        # their counts reflect other's mass when fingerprints lined up.
-        own = [k for k in self.pq.counts if k not in other.pq.counts]
-        if own:
-            keys = _key_array(own)
-            probe = self.estimate(keys, use_heap=False)
-            for item, pc in zip(own, probe):
-                self.pq.update_if_present(item, int(pc))
+        # Admit/update every candidate at max(fallback sum, merged-cell
+        # estimate): the merged cells accumulate exactly in every row
+        # the key never lost, so they are the authority for contested
+        # boundary keys; the estimate never exceeds the true count, so
+        # the monotone PQ rules are preserved.
+        if pending:
+            allk = list(pending)
+            probe = self._cell_max(_key_array(allk))
+            order = sorted(
+                range(len(allk)),
+                key=lambda i: -max(pending[allk[i]], int(probe[i])),
+            )
+            for i in order:
+                item = allk[i]
+                self.pq.upsert(item, max(pending[item], int(probe[i])))
         return self
 
     # -- O14: memory audit ------------------------------------------------

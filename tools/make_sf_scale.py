@@ -7,11 +7,17 @@ copies are NOT byte-identical clones (identical copies would create
 pathological count ties and quadratic dedup blowups the real
 distribution doesn't have):
 
-- every key column gets a per-copy offset (FKs offset consistently,
-  so joins keep their selectivity);
-- fact-ish tables (orders, lineitem, events, documents) drop a
-  deterministic ~3% of rows per copy (hash-gated), so replicated
-  groups get distinct counts instead of exact 10-way ties;
+- FACT tables scale; DIMENSIONS stay fixed (classic fact scaling):
+  customer/supplier/part are copied once, and orders/lineitem/events
+  keep their original custkey/partkey/suppkey/user_id values — 10x
+  the rows per key, NOT 10x the key cardinality, which is what a
+  bigger crawl of the same web looks like and keeps fixed-width
+  sketch queries in the regime they were sized for;
+- fact keys (o_orderkey, l_orderkey, event_id, doc_id, vec_id) get a
+  per-copy offset so rows stay unique;
+- fact tables drop a deterministic ~3% of rows per copy (hash-gated),
+  so replicated groups get distinct counts instead of exact 10-way
+  ties;
 - document texts get a per-copy letter suffix on every word, so
   near-dup structure scales linearly (copies are not near-dups of
   each other) and token tops stay well-defined;
@@ -38,14 +44,12 @@ import numpy as np
 OFF = 1_000_000_000  # per-copy key offset; far above any base key
 KEEP = 97  # i>0 copies keep hash%100 < KEEP rows (~3% dropped)
 
-
 def copy_union(con, base, table, out, per_copy_select, factor):
     selects = []
     for i in range(factor):
         selects.append(per_copy_select(i, f"'{base}/{table}.parquet'"))
     q = " UNION ALL ".join(selects)
     con.execute(f"COPY ({q}) TO '{out}/{table}.parquet' (FORMAT PARQUET)")
-
 
 def main() -> None:
     base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
@@ -55,8 +59,8 @@ def main() -> None:
     con = duckdb.connect()
     t0 = time.time()
 
-    # shared dims: single copy
-    for t in ("region", "nation"):
+    # dimensions: single copy (fact scaling)
+    for t in ("region", "nation", "customer", "supplier", "part"):
         con.execute(
             f"COPY (SELECT * FROM '{base}/{t}.parquet') "
             f"TO '{out}/{t}.parquet' (FORMAT PARQUET)"
@@ -68,34 +72,11 @@ def main() -> None:
         return f" WHERE hash({keycols}, {i}) % 100 < {KEEP}"
 
     copy_union(
-        con, base, "customer", out,
-        lambda i, src: (
-            f"SELECT c_custkey + {OFF * i} AS c_custkey, c_name, c_nationkey, "
-            f"c_acctbal, c_mktsegment FROM {src}"
-        ),
-        factor,
-    )
-    copy_union(
-        con, base, "supplier", out,
-        lambda i, src: (
-            f"SELECT s_suppkey + {OFF * i} AS s_suppkey, s_name, s_nationkey, "
-            f"s_acctbal FROM {src}"
-        ),
-        factor,
-    )
-    copy_union(
-        con, base, "part", out,
-        lambda i, src: (
-            f"SELECT p_partkey + {OFF * i} AS p_partkey, p_name, p_brand, "
-            f"p_type, p_size, p_retailprice FROM {src}"
-        ),
-        factor,
-    )
-    copy_union(
         con, base, "orders", out,
         lambda i, src: (
             f"SELECT o_orderkey + {OFF * i} AS o_orderkey, "
-            f"o_custkey + {OFF * i} AS o_custkey, o_orderstatus, o_totalprice, "
+            f"o_custkey, "
+            f"o_orderstatus, o_totalprice, "
             f"o_orderdate, o_orderpriority FROM {src}"
             + drop(i, "o_orderkey")
         ),
@@ -105,8 +86,7 @@ def main() -> None:
         con, base, "lineitem", out,
         lambda i, src: (
             f"SELECT l_orderkey + {OFF * i} AS l_orderkey, "
-            f"l_partkey + {OFF * i} AS l_partkey, "
-            f"l_suppkey + {OFF * i} AS l_suppkey, l_linenumber, l_quantity, "
+            f"l_partkey, l_suppkey, l_linenumber, l_quantity, "
             f"l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, "
             f"l_shipdate FROM {src}"
             + drop(i, "l_orderkey, l_linenumber")
@@ -117,7 +97,7 @@ def main() -> None:
         con, base, "events", out,
         lambda i, src: (
             f"SELECT event_id + {OFF * i} AS event_id, ts, "
-            f"user_id + {OFF * i} AS user_id, event_type, value, props "
+            f"user_id, event_type, value, props "
             f"FROM {src}" + drop(i, "event_id")
         ),
         factor,
@@ -182,7 +162,6 @@ def main() -> None:
         n = con.execute(f"SELECT COUNT(*) FROM '{out}/{t}.parquet'").fetchone()[0]
         print(f"{t:12s} {n:>10,}")
     print(f"done in {time.time() - t0:.1f}s -> {out}")
-
 
 if __name__ == "__main__":
     main()

@@ -67,9 +67,15 @@ def main():
         if only and name not in only:
             continue
         t0 = time.time()
-        df = fn(spark, sf_dir)
-        scols = df.columns
-        srows = [tuple(r) for r in df.collect()]
+        try:
+            df = fn(spark, sf_dir)
+            scols = df.columns
+            srows = [tuple(r) for r in df.collect()]
+        except Exception as e:  # record and continue, like the driver gate
+            failures += 1
+            msg = str(e).splitlines()[0][:200]
+            print(f"{name}: ERR ({time.time() - t0:.1f}s) {msg}")
+            continue
         spark_t = time.time() - t0
         if name not in oracles:
             print(f"{name}: rows-only ({len(srows)} rows, {spark_t:.1f}s)")
