@@ -18,9 +18,12 @@ distribution doesn't have):
 - fact tables drop a deterministic ~3% of rows per copy (hash-gated),
   so replicated groups get distinct counts instead of exact 10-way
   ties;
-- document texts get a per-copy letter suffix on every word, so
-  near-dup structure scales linearly (copies are not near-dups of
-  each other) and token tops stay well-defined;
+- document texts get a per-copy Caesar letter rotation: shingle and
+  token statistics are preserved isomorphically (no manufactured
+  ultra-common shingles — a word-suffix variant collapsed LSH buckets
+  among copies), copies are disjoint from each other, and intra-copy
+  near-dup structure is exactly the original's, so dedup work scales
+  linearly;
 - embeddings get a per-copy random ORTHOGONAL rotation: intra-copy
   geometry (cluster structure, pair densities) is preserved exactly,
   cross-copy cosines decorrelate to the random-pair tail.
@@ -108,13 +111,16 @@ def main() -> None:
             return (
                 f"SELECT doc_id, text, lang, source, n_chars FROM {src}"
             )
-        sfx = chr(97 + i % 26) * 2
+        import string
+
+        k = i % 25 + 1  # shift 1..25, never identity
+        lo = string.ascii_lowercase
+        up = string.ascii_uppercase
+        shifted = lo[k:] + lo[:k] + up[k:] + up[:k]
         return (
             f"SELECT doc_id + {OFF * i} AS doc_id, "
-            f"regexp_replace(text, '([A-Za-z]+)', '\\1{sfx}', 'g') AS text, "
-            f"lang, source, "
-            f"CAST(length(regexp_replace(text, '([A-Za-z]+)', '\\1{sfx}', 'g')) "
-            f"AS BIGINT) AS n_chars FROM {src}" + drop(i, "doc_id")
+            f"translate(text, '{lo + up}', '{shifted}') AS text, "
+            f"lang, source, n_chars FROM {src}" + drop(i, "doc_id")
         )
 
     copy_union(con, base, "documents", out, doc_select, factor)
