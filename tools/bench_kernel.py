@@ -47,10 +47,14 @@ ranks = np.arange(1, 1_000_001, dtype=np.float64)
 cdf = np.cumsum(ranks ** -1.2)
 cdf /= cdf[-1]
 bounded = (np.searchsorted(cdf, rng.random(N), side="left") + 1).astype(np.int64)
+# best-of-3 on the headline fixture: this box's single-core swings
+# with co-tenant load (see BENCH.md cpu_control notes), and the
+# headline is what rounds compare
 run(
     "REFERENCE fixture: bounded Zipf(1e6,1.2) w=4096 d=4 K=100",
     bounded,
     HKParams(k=100, width=4096, depth=4),
+    reps=3,
 )
 
 # adversarial variant: unbounded Zipf tail mixed over u64 — more
