@@ -108,6 +108,34 @@ def _hk_estimate_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _run_windowed_stream(spark: SparkSession, sf_dir: str, build):
+    """Shared harness for the streaming gate checks: watch the events
+    parquet through a FileStreamSource (symlinked into a watch dir —
+    the source wants a DIRECTORY), run ``build(stream)``'s stateful
+    windowed sketch stream via availableNow, and collect the emitted
+    blob rows. Returns (events_df, rows)."""
+    import os
+    import tempfile
+
+    ev = _t(spark, sf_dir, "events")
+    rows: list = []
+    with tempfile.TemporaryDirectory() as tmp:
+        src = f"{tmp}/src"
+        os.makedirs(src)
+        os.symlink(f"{sf_dir}/events.parquet", f"{src}/events.parquet")
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+        q = (
+            build(stream)
+            .writeStream.foreachBatch(lambda b, i: rows.extend(b.collect()))
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{tmp}/ck")
+            .start()
+        )
+        q.awaitTermination(300)
+    return ev, rows
+
+
 def _streaming_topk_check(spark: SparkSession, sf_dir: str) -> tuple[int, bool]:
     """Structured-Streaming correctness check: run the stateful
     windowed sketch stream (state-store per-(window, shard) blobs,
@@ -115,38 +143,20 @@ def _streaming_topk_check(spark: SparkSession, sf_dir: str) -> tuple[int, bool]:
     availableNow, merge the emitted blobs per window, and assert every
     window's top-3 equals the batch exact top-3. Returns
     (n_windows, ok) for the folded ``streaming_ok`` gate row."""
-    import tempfile
-
     from heavykeeper_rs_spark.kernel import HKParams
     from heavykeeper_rs_spark.streaming.stateful import (
         merge_window_blobs,
         stateful_windowed_topk_stream,
     )
 
-    import os
-
-    ev = _t(spark, sf_dir, "events")
     params = HKParams(k=6, width=2048, depth=4, decay=0.9, seed=12345)
-    rows: list = []
-    with tempfile.TemporaryDirectory() as tmp:
-        # FileStreamSource wants a DIRECTORY; the testdata table is a
-        # single parquet file — symlink it into a watch dir
-        src = f"{tmp}/src"
-        os.makedirs(src)
-        os.symlink(f"{sf_dir}/events.parquet", f"{src}/events.parquet")
-        stream = spark.readStream.schema(ev.schema).parquet(src)
-        out = stateful_windowed_topk_stream(
+    ev, rows = _run_windowed_stream(
+        spark, sf_dir,
+        lambda stream: stateful_windowed_topk_stream(
             stream, "event_type", "ts", params,
             window="12 hours", watermark="1 minute", n_shards=4,
-        )
-        q = (
-            out.writeStream.foreachBatch(lambda b, i: rows.extend(b.collect()))
-            .outputMode("update")
-            .trigger(availableNow=True)
-            .option("checkpointLocation", f"{tmp}/ck")
-            .start()
-        )
-        q.awaitTermination(300)
+        ),
+    )
     merged = merge_window_blobs(rows)
     truth_rows = (
         ev.select(
@@ -1110,23 +1120,15 @@ def _streaming_hll_check(spark: SparkSession, sf_dir: str) -> tuple[int, bool]:
     window's merged estimate must land within 3% of the batch exact
     distinct-user count. Returns (n_windows, ok) for the folded
     ``streaming_ok`` gate row."""
-    import os
-    import tempfile
-
     from heavykeeper_rs_spark.sketches.hll import HLL
     from heavykeeper_rs_spark.streaming.stateful import (
         merge_window_blobs,
         stateful_windowed_sketch_stream,
     )
 
-    ev = _t(spark, sf_dir, "events")
-    rows: list = []
-    with tempfile.TemporaryDirectory() as tmp:
-        src = f"{tmp}/src"
-        os.makedirs(src)
-        os.symlink(f"{sf_dir}/events.parquet", f"{src}/events.parquet")
-        stream = spark.readStream.schema(ev.schema).parquet(src)
-        out = stateful_windowed_sketch_stream(
+    ev, rows = _run_windowed_stream(
+        spark, sf_dir,
+        lambda stream: stateful_windowed_sketch_stream(
             stream,
             "user_id",
             "ts",
@@ -1135,15 +1137,8 @@ def _streaming_hll_check(spark: SparkSession, sf_dir: str) -> tuple[int, bool]:
             window="12 hours",
             watermark="1 minute",
             n_shards=4,
-        )
-        q = (
-            out.writeStream.foreachBatch(lambda b, i: rows.extend(b.collect()))
-            .outputMode("update")
-            .trigger(availableNow=True)
-            .option("checkpointLocation", f"{tmp}/ck")
-            .start()
-        )
-        q.awaitTermination(300)
+        ),
+    )
     merged = merge_window_blobs(rows, deserialize=HLL.deserialize)
     truth_rows = (
         ev.select(
@@ -1176,9 +1171,6 @@ def _streaming_sliding_check(spark: SparkSession, sf_dir: str) -> tuple[int, boo
     window/slide = 2 windows), and every event type's estimate obeys
     the CM sandwich true <= est <= true + (e/width)*N_window. Returns
     (n_windows, ok) for the folded ``streaming_ok`` gate row."""
-    import os
-    import tempfile
-
     import numpy as np
 
     from heavykeeper_rs_spark.sketches.cms import CountMin
@@ -1187,14 +1179,9 @@ def _streaming_sliding_check(spark: SparkSession, sf_dir: str) -> tuple[int, boo
         stateful_windowed_sketch_stream,
     )
 
-    ev = _t(spark, sf_dir, "events")
-    rows: list = []
-    with tempfile.TemporaryDirectory() as tmp:
-        src = f"{tmp}/src"
-        os.makedirs(src)
-        os.symlink(f"{sf_dir}/events.parquet", f"{src}/events.parquet")
-        stream = spark.readStream.schema(ev.schema).parquet(src)
-        out = stateful_windowed_sketch_stream(
+    ev, rows = _run_windowed_stream(
+        spark, sf_dir,
+        lambda stream: stateful_windowed_sketch_stream(
             stream,
             "event_type",
             "ts",
@@ -1204,15 +1191,8 @@ def _streaming_sliding_check(spark: SparkSession, sf_dir: str) -> tuple[int, boo
             slide="6 hours",
             watermark="1 minute",
             n_shards=4,
-        )
-        q = (
-            out.writeStream.foreachBatch(lambda b, i: rows.extend(b.collect()))
-            .outputMode("update")
-            .trigger(availableNow=True)
-            .option("checkpointLocation", f"{tmp}/ck")
-            .start()
-        )
-        q.awaitTermination(300)
+        ),
+    )
     merged = merge_window_blobs(rows, deserialize=CountMin.deserialize)
     truth_rows = (
         ev.select(

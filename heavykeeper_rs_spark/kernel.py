@@ -437,19 +437,8 @@ class HeavyKeeper:
         return hash_items(items, self.params.seed)
 
     # ------------------------------------------------------------------
-    def _decay_p(self, counts: np.ndarray) -> np.ndarray:
-        """P(decrement) = decay**count (vectorized float64; underflows
-        to 0 for large counts — same effect as the reference's 1024-
-        entry threshold table + powf tail, src/heavykeeper.rs:95-104)."""
-        if self._force_decay is True:
-            return np.ones(counts.shape, dtype=np.float64)
-        if self._force_decay is False:
-            return np.zeros(counts.shape, dtype=np.float64)
-        with np.errstate(under="ignore"):
-            return np.power(self.params.decay, counts.astype(np.float64))
-
     def _decay_p_int(self, counts: np.ndarray) -> np.ndarray:
-        """LUT variant of ``_decay_p`` for integer counts — the hot-path
+        """P(decrement) = decay**count for integer counts — the hot-path
         analog of the reference's precomputed threshold table
         (src/heavykeeper.rs:95-104): ``decay**c`` becomes one table
         gather instead of a transcendental per element.
@@ -687,21 +676,23 @@ class HeavyKeeper:
         if rem.size == 0:
             return
         # Group remaining challengers by target cell, heaviest first.
-        # Packed single-key sort: (cell << 16) | (2^16-1 - clamp(w))
-        # orders by (cell asc, w desc) with one stable argsort instead
-        # of lexsort's two passes; the 16-bit weight digit keeps the
-        # radix pass count minimal (weights >= 65535 tie, resolved by
-        # the stable sort's original order — such twins on one cell
-        # both win their duels regardless, so the order is immaterial
-        # but still deterministic). Huge cell spaces (>= 2^47) fall
-        # back to the exact two-key sort.
+        # Packed single-key sort: (cell << B) | (2^B-1 - w) orders by
+        # (cell asc, w desc) with one stable argsort instead of
+        # lexsort's two passes. B = 16 bits covers the weight exactly
+        # in typical batches; when any weight needs more, widen to a
+        # 32-bit digit rather than clamp — a clamped tie would let the
+        # LIGHTER of two >=2^B challengers install first and the
+        # heavier one's whole mass die in a hopeless duel against it.
+        # Truly huge weights or cell spaces fall back to the exact
+        # two-key sort.
         wr = w[rem]
-        if idx.size and int(idx.max()) < (1 << 47):
-            packed = (idx[rem].astype(np.uint64) << _U64(16)) | (
-                _U64((1 << 16) - 1)
-                - np.minimum(wr, (1 << 16) - 1).astype(np.uint64)
+        wmax = int(wr.max(initial=0))
+        wbits = 16 if wmax < (1 << 16) - 1 else 32
+        if wmax < (1 << wbits) - 1 and idx.size and int(idx.max()) < (1 << (63 - wbits)):
+            packed = (idx[rem].astype(np.uint64) << _U64(wbits)) | (
+                _U64((1 << wbits) - 1) - wr.astype(np.uint64)
             )
-            nbits = 16 + int(idx.max()).bit_length()
+            nbits = wbits + int(idx.max()).bit_length()
             order = rem[_radix_argsort(packed, nbits)]
         else:
             order = rem[np.lexsort((-wr, idx[rem]))]

@@ -120,6 +120,14 @@ class _StreamParser:
     short (read_exact semantics), and a non-WARC header at a record
     boundary marks the rest of the stream dead (no resync guessing)."""
 
+    # A WARC/HTTP header block beyond this is not a WARC stream; the
+    # guard keeps the buffer bounded even when a non-WARC file (e.g. a
+    # .warc.zst the gzip sniff passes through raw) never produces a
+    # header terminator — without it the "bounded memory" contract
+    # would silently fail on exactly the oversized-input shape this
+    # parser exists for.
+    MAX_HEADER_BYTES = 1 << 20
+
     def __init__(self) -> None:
         self._buf = bytearray()
         self.dead = False
@@ -142,6 +150,9 @@ class _StreamParser:
                 break
             hdr_end = buf.find(b"\r\n\r\n", pos)
             if hdr_end < 0:
+                if n - pos > self.MAX_HEADER_BYTES:
+                    self.dead = True  # no record boundary in 1 MiB: not WARC
+                    pos = n
                 break  # incomplete header — wait for more input
             headers: dict[str, str] = {}
             first = None
@@ -233,7 +244,14 @@ def _stream_gzip_members(read, chunk_bytes: int = 4 << 20) -> Iterator[bytes]:
     A torn/corrupt member ends the iteration (its partial bytes may
     already have been yielded; the record parser's Content-Length gate
     drops whatever they can't complete)."""
-    head = read(2)
+    # the io protocol permits short reads (object-store streams via
+    # opener= do this): accumulate exactly 2 sniff bytes or hit EOF
+    head = b""
+    while len(head) < 2:
+        more = read(2 - len(head))
+        if not more:
+            break
+        head = bytes(head) + bytes(more)
     if not head:
         return
     if bytes(head) != b"\x1f\x8b":
@@ -298,9 +316,12 @@ def read_warc_stream(
     par = parallelism or min(
         len(files), spark.sparkContext.defaultParallelism
     )
+    # plain repartition = round-robin: hash-partitioning by path can
+    # collide several files into one partition and leave others empty
+    # exactly when n_files is small
     pdf = spark.createDataFrame(
         [(f,) for f in files], "path string"
-    ).repartition(par, "path")
+    ).repartition(par)
 
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:

@@ -223,3 +223,36 @@ class TestDuelVecDistribution:
         # conditioned duels: both paths should agree within MC noise
         assert abs(mv - ms) < 0.15, (mv, ms)
         assert abs(sv - ss) < 0.03, (sv, ss)
+
+
+def test_heavy_twin_challengers_order_by_weight_not_position():
+    """Two challengers BOTH above the 16-bit radix digit on the same
+    cell: the sort must widen its weight digit, not clamp — a clamped
+    tie would let the lighter key (earlier in batch order) install
+    first and the heavier key's whole mass die in a hopeless duel
+    (round-5 self-review finding)."""
+    import numpy as np
+
+    from heavykeeper_rs_spark.kernel import (
+        HeavyKeeper,
+        HKParams,
+        compose_indices,
+        hash_items,
+    )
+
+    params = HKParams(k=4, width=2, depth=1, decay=0.9)
+    # find two int keys landing in the same single-row cell
+    keys = np.arange(64, dtype=np.int64)
+    idx = compose_indices(hash_items(keys, params.seed), 1, 2)[0]
+    cell0 = np.flatnonzero(idx == idx[0])
+    light, heavy = int(keys[cell0[0]]), int(keys[cell0[1]])
+    sk = HeavyKeeper(params)
+    # lighter key FIRST in the batch; both weights >= 2^16
+    sk.add_batch(
+        np.asarray([light, heavy], dtype=np.int64),
+        np.asarray([100_000, 200_000], dtype=np.int64),
+    )
+    est = sk.estimate(np.asarray([heavy, light], dtype=np.int64), use_heap=False)
+    assert int(est[0]) == 200_000  # heaviest installed first, kept the cell
+    assert int(est[1]) == 0
+    assert dict(sk.list()).get(heavy) == 200_000

@@ -343,3 +343,60 @@ def test_flow_trace_stream_matches_batch(spark, tmp_path):
         ).collect()
     )
     assert streamed == batch and len(batch) == 5000
+
+
+class TestStreamRobustness:
+    """Round-5 self-review fixes: short-reading openers, non-WARC
+    bounded buffering."""
+
+    def test_short_reading_opener_still_decodes_gzip(self):
+        """The io protocol permits read(n) to return fewer bytes; the
+        gzip sniff must still see 2 magic bytes (an object-store
+        opener shape)."""
+        import gzip
+        import io
+
+        from heavykeeper_rs_spark.sources.warc import (
+            _StreamParser,
+            _stream_gzip_members,
+        )
+
+        body = b"<html><body>short reads</body></html>"
+        http = b"HTTP/1.1 200 OK\r\n\r\n" + body
+        rec = (
+            b"WARC/1.0\r\nWARC-Type: response\r\n"
+            b"WARC-Target-URI: https://t/0\r\n"
+            b"WARC-Date: 2025-01-01T00:00:00Z\r\n"
+            + b"Content-Length: " + str(len(http)).encode() + b"\r\n\r\n"
+            + http + b"\r\n\r\n"
+        )
+        blob = gzip.compress(rec, mtime=0) * 3
+
+        class OneByteReader:
+            def __init__(self, b):
+                self._f = io.BytesIO(b)
+
+            def read(self, n):
+                return self._f.read(min(n, 1))  # pathological short reads
+
+        parser = _StreamParser()
+        got = []
+        for chunk in _stream_gzip_members(OneByteReader(blob).read, 4096):
+            got.extend(parser.feed(chunk))
+        assert [r["url"] for r in got] == ["https://t/0"] * 3
+
+    def test_non_warc_binary_keeps_buffer_bounded(self):
+        """A large non-gzip, non-WARC file (e.g. .warc.zst matched by
+        the glob) must not buffer unboundedly: the parser goes dead at
+        the header-size guard and yields nothing."""
+        from heavykeeper_rs_spark.sources.warc import _StreamParser
+
+        parser = _StreamParser()
+        junk = bytes(range(256)) * 64  # 16 KiB chunk, no CRLFCRLF
+        total = 0
+        for _ in range(200):  # ~3 MiB total
+            assert list(parser.feed(junk)) == []
+            total += len(junk)
+            assert parser.buffered() <= _StreamParser.MAX_HEADER_BYTES + len(junk)
+        assert parser.dead
+        assert parser.buffered() == 0
