@@ -256,3 +256,58 @@ def test_heavy_twin_challengers_order_by_weight_not_position():
     assert int(est[0]) == 200_000  # heaviest installed first, kept the cell
     assert int(est[1]) == 0
     assert dict(sk.list()).get(heavy) == 200_000
+
+
+def test_merge_tree_order_independent_boundary_candidates():
+    """Round-5 regression: merging the same partials in different tree
+    orders must produce the same top-K — the canonical merge used to
+    lose a boundary candidate depending on task completion order
+    (stale fallback admission + strictly-greater eviction)."""
+    import numpy as np
+
+    from heavykeeper_rs_spark.kernel import HeavyKeeper, HKParams
+    from heavykeeper_rs_spark.variants import BucketedTopK, CuckooTopK
+
+    def build_partials(make, deserialize, nparts=8):
+        rng = np.random.default_rng(0)
+        blobs = []
+        for p in range(nparts):
+            sk = make(p)
+            keys = list(range(40)) + [999]
+            ws = [1000 + 10 * k + int(rng.integers(0, 5)) for k in range(40)]
+            ws.append(1295 + int(rng.integers(0, 5)))  # boundary key
+            order = rng.permutation(len(keys))
+            sk.add_batch(
+                np.asarray([keys[i] for i in order], dtype=np.int64),
+                np.asarray([ws[i] for i in order], dtype=np.int64),
+            )
+            blobs.append(sk.serialize())
+        return blobs
+
+    cases = [
+        (
+            lambda p: HeavyKeeper(
+                HKParams(k=8, width=64, depth=4),
+                rng=np.random.default_rng(100 + p),
+            ),
+            HeavyKeeper.deserialize,
+        ),
+        (
+            lambda p: BucketedTopK(8, 64, 4, 0.9, 12345, rng=np.random.default_rng(100 + p)),
+            BucketedTopK.deserialize,
+        ),
+        (
+            lambda p: CuckooTopK(8, 64, 4, 0.9, 12345, rng=np.random.default_rng(100 + p)),
+            CuckooTopK.deserialize,
+        ),
+    ]
+    for make, deserialize in cases:
+        blobs = build_partials(make, deserialize)
+        results = set()
+        for perm_seed in range(6):
+            prm = np.random.default_rng(perm_seed).permutation(len(blobs))
+            acc = deserialize(blobs[prm[0]])
+            for i in prm[1:]:
+                acc.merge(deserialize(blobs[i]))
+            results.add(tuple(sorted(acc.list())))
+        assert len(results) == 1, f"{type(acc).__name__}: {len(results)} outcomes"
