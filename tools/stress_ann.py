@@ -73,8 +73,19 @@ def main() -> None:
     )
     out["build_sec"] = round(time.time() - t0, 1)
 
+    # held-out queries: dataset vectors + Gaussian noise at half the
+    # cluster radius — a query that IS a dataset vector makes recall
+    # trivially 1 at tiny n_probe (its own copy dominates the top-10);
+    # perturbed queries trace the real recall-vs-cost curve
     qrows = emb.orderBy("vec_id").limit(10).collect()
-    queries = [[float(x) for x in r["embedding"]] for r in qrows]
+    qrng = np.random.default_rng(97)
+    queries = [
+        [
+            float(x) + float(e)
+            for x, e in zip(r["embedding"], 0.5 * qrng.normal(size=dim))
+        ]
+        for r in qrows
+    ]
 
     t0 = time.time()
     truths = []
