@@ -5,6 +5,10 @@ Crawl-style archives — WARC in, elephant flows out.
     spark-submit --master local[8] --py-files /tmp/hk.zip \
         examples/warc_topk_job.py <warc_dir> <k> [out_parquet]
 
+Set HK_WARC_STREAM=1 to read through ``read_warc_stream`` instead —
+the bounded-task-memory path for multi-GB segments (see
+sources/warc.py; pass object-store openers there if needed).
+
 Stages (each the scale-safe path — blob-only shuffles, no row-wise
 Python):
   1. WARC decode: per-record-gzip archives -> (url, warc_ts, html,
@@ -22,6 +26,7 @@ is runnable end-to-end in this container.
 from __future__ import annotations
 
 import json
+import os
 import sys
 
 from pyspark.sql import SparkSession
@@ -56,7 +61,12 @@ def main() -> None:
         for i in range(4):
             write_warc_file(recs[i::4], f"{warc_dir}/part{i}.warc.gz")
 
-    pages = read_warc(spark, warc_dir)
+    if os.environ.get("HK_WARC_STREAM"):
+        from heavykeeper_rs_spark.sources.warc import read_warc_stream
+
+        pages = read_warc_stream(spark, warc_dir)
+    else:
+        pages = read_warc(spark, warc_dir)
     # decode once, reuse across all downstream aggregates
     pages.cache()
     n_pages = pages.count()
