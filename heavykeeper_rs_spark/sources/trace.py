@@ -23,19 +23,16 @@ from pyspark.sql.types import BinaryType, StructField, StructType
 _KEY_SCHEMA = StructType([StructField("flow_key", BinaryType(), False)])
 
 
-def read_flow_trace(
-    spark: SparkSession, path: str, key_size: int = 13, glob: str = "*.dat"
-) -> DataFrame:
-    """(flow_key binary) — one row per ``key_size``-byte record across
-    every matching trace file. A trailing partial record (truncated
-    final write) is dropped, mirroring the reference's read_exact loop
-    (examples/ip_files.rs:27-33, which stops at the first short
-    read)."""
+def _trace_blob_kernel(key_size: int):
+    """mapInArrow kernel over a (content binary) column of whole trace
+    files — module-level so the null-content guard is unit-testable."""
 
     def slice_records(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
             col = batch.column(0)
             for i in range(len(col)):
+                if not col[i].is_valid:
+                    continue  # null content: as_buffer() would be None
                 # zero-copy view over the Arrow buffer — no second
                 # whole-file bytes copy into Python per task
                 blob = memoryview(col[i].as_buffer())
@@ -54,13 +51,24 @@ def read_flow_trace(
                 )
                 yield pa.RecordBatch.from_arrays([keys], names=["flow_key"])
 
+    return slice_records
+
+
+def read_flow_trace(
+    spark: SparkSession, path: str, key_size: int = 13, glob: str = "*.dat"
+) -> DataFrame:
+    """(flow_key binary) — one row per ``key_size``-byte record across
+    every matching trace file. A trailing partial record (truncated
+    final write) is dropped, mirroring the reference's read_exact loop
+    (examples/ip_files.rs:27-33, which stops at the first short
+    read)."""
     files = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", glob)
         .load(path)
         .select("content")
     )
-    return files.mapInArrow(slice_records, _KEY_SCHEMA)
+    return files.mapInArrow(_trace_blob_kernel(key_size), _KEY_SCHEMA)
 
 
 def read_flow_trace_stream(
@@ -89,9 +97,10 @@ def read_flow_trace_stream(
     if not files:
         raise FileNotFoundError(f"no trace files match {pat}")
     par = parallelism or min(len(files), spark.sparkContext.defaultParallelism)
-    pdf = spark.createDataFrame([(f,) for f in files], "path string").repartition(
-        par, "path"
-    )
+    # plain repartition = round-robin: hash-partitioning by path can
+    # collide several files into one partition and leave others empty
+    # exactly when n_files is small (same rule as read_warc_stream)
+    pdf = spark.createDataFrame([(f,) for f in files], "path string").repartition(par)
 
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         def emit(buf: bytes) -> pa.RecordBatch:

@@ -127,10 +127,19 @@ class _StreamParser:
     # would silently fail on exactly the oversized-input shape this
     # parser exists for.
     MAX_HEADER_BYTES = 1 << 20
+    # Payload analog of the header guard: a corrupt/hostile
+    # Content-Length (e.g. 2^60) would otherwise make the parser
+    # buffer the entire rest of the stream waiting for a payload that
+    # never completes. Common Crawl truncates payloads at ~1 MiB; 1 GiB
+    # leaves room for uncurated archives while keeping "one in-flight
+    # record" an actual bound.
+    MAX_RECORD_BYTES = 1 << 30
 
-    def __init__(self) -> None:
+    def __init__(self, max_record_bytes: int | None = None) -> None:
         self._buf = bytearray()
         self.dead = False
+        if max_record_bytes is not None:
+            self.MAX_RECORD_BYTES = max_record_bytes
 
     def feed(self, chunk) -> Iterator[dict]:
         if self.dead:
@@ -174,6 +183,10 @@ class _StreamParser:
                 self.dead = True
                 pos = n
                 break
+            if length < 0 or length > self.MAX_RECORD_BYTES:
+                self.dead = True  # hostile/corrupt length: stream dead
+                pos = n
+                break
             body_start = hdr_end + 4
             if n - body_start < length:
                 break  # payload not fully buffered yet (or torn tail)
@@ -210,8 +223,11 @@ def _iter_member_bytes(blob, chunk: int = 4 << 20) -> Iterator[bytes]:
     ``chunk``-sized windows so the per-member ``unused_data`` tail
     copy is bounded by the window, not the file (the naive
     whole-remainder feed is O(members x filesize)). Plain
-    (uncompressed) streams yield the buffer whole. A torn member ends
-    the iteration without yielding its partial bytes."""
+    (uncompressed) streams yield the buffer whole. A torn final member
+    yields whatever decompressed before the tear — complete records
+    ahead of the damage still parse; the record parser's
+    Content-Length gate drops only the truly torn record (same rule as
+    the streamed path, so batch and stream agree on every layout)."""
     mv = memoryview(blob)
     n = len(mv)
     if n < 2 or bytes(mv[:2]) != b"\x1f\x8b":
@@ -226,13 +242,19 @@ def _iter_member_bytes(blob, chunk: int = 4 << 20) -> Iterator[bytes]:
             try:
                 out.extend(d.decompress(mv[pos:end]))
             except zlib.error:
+                if out:
+                    yield bytes(out)  # salvage records ahead of the corruption
                 return
             if d.eof:
                 pos = end - len(d.unused_data)
                 break
             pos = end
             if end >= n:
-                return  # EOF inside a member: torn tail
+                # EOF inside a member (torn tail): yield the partial
+                # bytes — Content-Length drops only the torn record
+                if out:
+                    yield bytes(out)
+                return
         yield bytes(out)
 
 
@@ -289,6 +311,7 @@ def read_warc_stream(
     batch_records: int = 512,
     opener=None,
     parallelism: int | None = None,
+    max_record_bytes: int | None = None,
 ) -> DataFrame:
     """Streamed WARC reader for oversized segments: same rows as
     ``read_warc`` with task memory bounded by
@@ -328,7 +351,7 @@ def read_warc_stream(
             for p in batch.column(0).to_pylist():
                 fh = opener(p) if opener is not None else open(p, "rb")
                 try:
-                    parser = _StreamParser()
+                    parser = _StreamParser(max_record_bytes=max_record_bytes)
                     rows: list[dict] = []
                     for chunk in _stream_gzip_members(fh.read, chunk_bytes):
                         for rec in parser.feed(chunk):
@@ -375,20 +398,16 @@ def _warc_batch(rows: list[dict]) -> pa.RecordBatch:
     )
 
 
-def read_warc(
-    spark: SparkSession, path: str, glob: str = "*.warc*", batch_records: int = 512
-) -> DataFrame:
-    """(url, warc_ts, html, text) — one row per WARC response record
-    across every matching archive file. Records are decoded member-by-
-    member and emitted in ``batch_records``-sized Arrow batches, so a
-    multi-GB segment never materializes decompressed-whole plus a full
-    row copy in one task (the compressed blob itself is held by the
-    binaryFile source; cap concurrent tasks for very large segments)."""
+def _warc_blob_kernel(batch_records: int):
+    """mapInArrow kernel over a (content binary) column of whole WARC
+    archives — module-level so the null-content guard is unit-testable."""
 
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
             col = batch.column(0)
             for i in range(len(col)):
+                if not col[i].is_valid:
+                    continue  # null content: as_buffer() would be None
                 # zero-copy view over the Arrow buffer — no second
                 # whole-file bytes copy into Python per task
                 blob = memoryview(col[i].as_buffer())
@@ -404,13 +423,25 @@ def read_warc(
                 if rows:
                     yield _warc_batch(rows)
 
+    return kernel
+
+
+def read_warc(
+    spark: SparkSession, path: str, glob: str = "*.warc*", batch_records: int = 512
+) -> DataFrame:
+    """(url, warc_ts, html, text) — one row per WARC response record
+    across every matching archive file. Records are decoded member-by-
+    member and emitted in ``batch_records``-sized Arrow batches, so a
+    multi-GB segment never materializes decompressed-whole plus a full
+    row copy in one task (the compressed blob itself is held by the
+    binaryFile source; cap concurrent tasks for very large segments)."""
     files = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", glob)
         .load(path)
         .select("content")
     )
-    return files.mapInArrow(kernel, WARC_SCHEMA)
+    return files.mapInArrow(_warc_blob_kernel(batch_records), WARC_SCHEMA)
 
 
 def write_warc_file(

@@ -400,3 +400,100 @@ class TestStreamRobustness:
             assert parser.buffered() <= _StreamParser.MAX_HEADER_BYTES + len(junk)
         assert parser.dead
         assert parser.buffered() == 0
+
+
+class TestRound6AdviceFixes:
+    """Regression tests for the round-5 review findings."""
+
+    def test_null_content_row_is_skipped(self, spark, tmp_path):
+        """A null binary `content` value must be skipped, not crash the
+        task (pa scalar .as_buffer() returns None for nulls)."""
+        from heavykeeper_rs_spark.sources.trace import _KEY_SCHEMA, _trace_blob_kernel
+        from heavykeeper_rs_spark.sources.warc import WARC_SCHEMA, _warc_blob_kernel
+
+        body = b"<html><body>live</body></html>"
+        http = b"HTTP/1.1 200 OK\r\n\r\n" + body
+        rec = (
+            b"WARC/1.0\r\nWARC-Type: response\r\n"
+            b"WARC-Target-URI: https://n.test/1\r\n"
+            b"WARC-Date: 2025-01-01T00:00:00Z\r\n"
+            + b"Content-Length: " + str(len(http)).encode() + b"\r\n\r\n"
+            + http + b"\r\n\r\n"
+        )
+        df = spark.createDataFrame(
+            [(None,), (rec,), (None,)], "content binary"
+        ).coalesce(1)
+        rows = df.mapInArrow(_warc_blob_kernel(512), WARC_SCHEMA).collect()
+        assert [r["url"] for r in rows] == ["https://n.test/1"]
+
+        tdf = spark.createDataFrame(
+            [(None,), (b"A" * 13 * 3 + b"xx",)], "content binary"
+        ).coalesce(1)
+        keys = tdf.mapInArrow(_trace_blob_kernel(13), _KEY_SCHEMA).collect()
+        assert len(keys) == 3  # 3 whole records, trailing partial dropped
+
+    def test_hostile_content_length_keeps_buffer_bounded(self):
+        """A corrupt/hostile Content-Length (2^60) must kill the stream
+        at the record gate, not buffer the rest of the file waiting for
+        a payload that never completes."""
+        from heavykeeper_rs_spark.sources.warc import _StreamParser
+
+        evil = (
+            b"WARC/1.0\r\nWARC-Type: response\r\n"
+            b"WARC-Target-URI: https://evil/1\r\n"
+            b"WARC-Date: 2025-01-01T00:00:00Z\r\n"
+            b"Content-Length: " + str(1 << 60).encode() + b"\r\n\r\n"
+        )
+        parser = _StreamParser()
+        assert list(parser.feed(evil)) == []
+        assert parser.dead
+        for _ in range(50):  # further chunks are dropped, not buffered
+            assert list(parser.feed(b"x" * 65536)) == []
+        assert parser.buffered() == 0
+        # negative lengths die the same way
+        p2 = _StreamParser()
+        assert list(p2.feed(evil.replace(str(1 << 60).encode(), b"-5"))) == []
+        assert p2.dead
+        # a configurable cap binds tighter
+        p3 = _StreamParser(max_record_bytes=100)
+        big = evil.replace(str(1 << 60).encode(), b"101")
+        assert list(p3.feed(big)) == []
+        assert p3.dead
+
+    def test_batch_torn_multirecord_member_salvages_leading_records(
+        self, spark, tmp_path
+    ):
+        """Non-Common-Crawl layout: several records inside ONE gzip
+        member, torn mid-payload of the last. The batch reader must
+        emit the intact leading records (and agree with the streamed
+        reader), dropping only the truly torn one."""
+        import gzip
+
+        from heavykeeper_rs_spark.sources.warc import read_warc_stream
+
+        def rec(i, pad):
+            body = b"<html><body>doc " + str(i).encode() + b" " + pad + b"</body></html>"
+            http = b"HTTP/1.1 200 OK\r\n\r\n" + body
+            return (
+                b"WARC/1.0\r\nWARC-Type: response\r\n"
+                b"WARC-Target-URI: https://m.test/" + str(i).encode() + b"\r\n"
+                b"WARC-Date: 2025-01-01T00:00:00Z\r\n"
+                + b"Content-Length: " + str(len(http)).encode() + b"\r\n\r\n"
+                + http + b"\r\n\r\n"
+            )
+        stream = b"".join(rec(i, b"y" * 400) for i in range(5))
+        member = gzip.compress(stream, mtime=0)
+        # cut inside the compressed member so decompression is partial:
+        # drop the last ~15% (the 5th record's payload region)
+        torn = member[: int(len(member) * 0.85)]
+        (tmp_path / "multi.warc.gz").write_bytes(torn)
+        batch_urls = sorted(
+            r["url"] for r in read_warc(spark, str(tmp_path)).collect()
+        )
+        stream_urls = sorted(
+            r["url"]
+            for r in read_warc_stream(spark, str(tmp_path), chunk_bytes=256).collect()
+        )
+        assert batch_urls == stream_urls
+        assert 1 <= len(batch_urls) <= 4  # leading records salvaged, tear dropped
+        assert "https://m.test/0" in batch_urls
