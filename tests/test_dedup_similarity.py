@@ -154,6 +154,31 @@ class TestSimilarity:
         rows = top.collect()
         assert len(rows) == 5 and rows[0]["cosine"] >= rows[-1]["cosine"]
 
+    def test_lossy_banding_recall_bound(self, spark):
+        """The production recall-vs-cost regime (8 two-bit bands out of
+        16 signature bits) must recover >= 90% of exact cosine>=0.40
+        pairs on the real embeddings table — the former
+        pipeline_ops_ok lsh_recall flag, kept here after round 6
+        promoted the complete 28x2-bit regime to the row-level
+        ``lsh_banded_pairs`` gate (which can't see the lossy knob)."""
+        from heavykeeper_rs_spark.operators.similarity import brute_force_pairs
+
+        emb = (
+            spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+            .orderBy("vec_id")
+            .limit(4096)
+            .withColumn("emb_d", F.col("embedding").cast("array<double>"))
+        )
+        dim = len(emb.select("emb_d").first()[0])
+        n_exact = brute_force_pairs(emb, "vec_id", "emb_d", tau=0.40).count()
+        # bucket_cap must exceed the 2-bit-band bucket size at this
+        # scale or star-thinning (not banding) dominates the measure
+        n_lsh = embedding_near_dup_pairs(
+            emb, "vec_id", "emb_d", dim=dim, tau=0.40, n_bits=16, bands=8,
+            bucket_cap=4096,
+        ).count()
+        assert n_exact > 0 and n_lsh >= 0.9 * n_exact
+
 
 class TestMultimodal:
     @pytest.fixture(scope="class")
