@@ -217,11 +217,14 @@ def _feed_str_col(sk, col: pa.Array, w: np.ndarray | None, seed: int, hashed: bo
 # Kernel feed granularity: Spark hands mapInArrow 65536-row batches
 # (session.py maxRecordsPerBatch); the NumPy kernel's per-pass dispatch
 # overhead amortizes and its Zipf pre-aggregation ratio improves with
-# batch size up to ~256k rows (measured 7.3 -> 11+ M keys/s on the
-# reference fixture), so the builder coalesces input batches to this
-# many rows before each kernel pass. The byte cap bounds task memory
-# when the key column carries long strings.
-_COALESCE_ROWS = 262144
+# batch size (measured 7.3 -> 11.7 -> 14.6 M keys/s on the reference
+# fixture at 64k -> 256k -> 1M rows — distinct-per-batch grows
+# sublinearly on Zipf, so bigger feeds do proportionally less duel
+# work), so the builder coalesces input batches to this many rows
+# before each kernel pass. An int64 key lane buffers 8 MB at this
+# setting; the byte cap bounds task memory when the key column carries
+# long strings.
+_COALESCE_ROWS = 1048576
 _COALESCE_BYTES = 128 << 20
 
 

@@ -612,17 +612,27 @@ class CuckooTopK(_VariantBase):
         # slots instead of a 4-gather re-probe.
         m1 = (self.heavy_fp[b1] == fp[:, None]) & (self.heavy_c[b1] > 0)
         h1 = m1.any(axis=1)
-        m2 = (self.heavy_fp[b2] == fp[:, None]) & (self.heavy_c[b2] > 0)
-        h2 = m2.any(axis=1) & ~h1
+        hit = h1.copy()
         if h1.any():
             slots1 = b1[h1] * depth + m1.argmax(axis=1)[h1]
             flat_c[slots1] += w[h1].astype(np.uint64)
             est[h1] = flat_c[slots1].astype(np.int64)
-        if h2.any():
-            slots2 = b2[h2] * depth + m2.argmax(axis=1)[h2]
-            flat_c[slots2] += w[h2].astype(np.uint64)
-            est[h2] = flat_c[slots2].astype(np.int64)
-        hit = h1 | h2
+        # secondary probe only for primary misses (~25-35% of rows sit
+        # in their primary bucket on Zipf steady state — the gather +
+        # compare on those rows was pure waste)
+        nh1 = np.flatnonzero(~h1)
+        if nh1.size:
+            fp2 = fp[nh1]
+            m2 = (self.heavy_fp[b2[nh1]] == fp2[:, None]) & (
+                self.heavy_c[b2[nh1]] > 0
+            )
+            h2s = m2.any(axis=1)
+            sel2 = nh1[h2s]
+            if sel2.size:
+                slots2 = b2[sel2] * depth + m2.argmax(axis=1)[h2s]
+                flat_c[slots2] += w[sel2].astype(np.uint64)
+                est[sel2] = flat_c[slots2].astype(np.int64)
+                hit[sel2] = True
         # residue: lobby duels + promotion. Processed in waves of
         # unique primary buckets (heaviest-first within a bucket), each
         # wave vectorized: heavy recheck, lobby fast-path update, duel
@@ -728,11 +738,15 @@ class CuckooTopK(_VariantBase):
             return
         hb1, hb2 = bb1[holders], bb2[holders]
         lc = self.lobby_c[hb1].astype(np.int64)
-        e1_mask = (self.heavy_c[hb1] == 0).any(axis=1)
-        has_empty = e1_mask | (self.heavy_c[hb2] == 0).any(axis=1)
-        minc = np.minimum(
-            self.heavy_c[hb1].min(axis=1), self.heavy_c[hb2].min(axis=1)
-        ).astype(np.int64)
+        # one gather per bucket row, reused for the empty probe AND the
+        # min (nothing has mutated heavy yet this wave — the phases
+        # above only touch lobbies)
+        h1c = self.heavy_c[hb1]
+        h2c = self.heavy_c[hb2]
+        e1_zero = h1c == 0
+        e1_mask = e1_zero.any(axis=1)
+        has_empty = e1_mask | (h2c == 0).any(axis=1)
+        minc = np.minimum(h1c.min(axis=1), h2c.min(axis=1)).astype(np.int64)
         cand_mask = has_empty | (lc > minc)
         # common case fully vectorized: the PRIMARY bucket has an empty
         # slot. Primary buckets are unique within a wave, so the
@@ -742,7 +756,7 @@ class CuckooTopK(_VariantBase):
         e1 = np.flatnonzero(cand_mask & e1_mask)
         if e1.size:
             tb = hb1[e1]
-            slot = (self.heavy_c[tb] == 0).argmax(axis=1)
+            slot = e1_zero[e1].argmax(axis=1)
             hidx = holders[e1]
             cur = self.lobby_c[tb].copy()
             self.heavy_fp[tb, slot] = f[hidx]

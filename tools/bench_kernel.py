@@ -15,10 +15,30 @@ from heavykeeper_rs_spark.kernel import HeavyKeeper, HKParams  # noqa: E402
 from heavykeeper_rs_spark.variants import BucketedTopK, CuckooTopK  # noqa: E402
 
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 5_000_000
+
+
+def cpu_control(tag):
+    """Same control as bench.py: a fixed NumPy burn whose Mops rate
+    brackets the run — single-core numbers on this box swing ~3x with
+    co-tenant load, so compare A/B *within* a bracket whose pre/post
+    controls agree, never across sessions. Best-of-3 with an untimed
+    warm pass: a cold first allocation reads ~5x slow and would make
+    every bracket look dirty."""
+    x = np.arange(5_000_000, dtype=np.float64)
+    y = np.sqrt(x)  # warm pages + ufunc dispatch
+    best = 0.0
+    for _ in range(3):
+        t0 = time.time()
+        for _ in range(5):
+            y = np.sqrt(x) * 1.0000001
+            y += 1.0
+        best = max(best, 25_000_000 / (time.time() - t0) / 1e6)
+    print(f"cpu_control_{tag:46s} {best:6.2f} Mops")
+    return best
 # Kernel feed size in the distributed path: _build_partial coalesces
 # Spark's 65536-row Arrow batches to _COALESCE_ROWS before each kernel
 # pass (operators/topk.py), so the single-core bench feeds the same way.
-B = 262144
+B = 1048576
 
 
 def run(name, keys, params, cls=None, reps=1):
@@ -107,7 +127,17 @@ run_dict(
     HKParams(k=100, width=4096, depth=4),
 )
 
-run("bucketed variant, reference fixture w=4096 K=100", bounded[: N // 2],
-    HKParams(k=100, width=4096, depth=4), cls=BucketedTopK)
-run("cuckoo variant, reference fixture w=4096 K=100", bounded[: N // 2],
-    HKParams(k=100, width=4096, depth=4), cls=CuckooTopK)
+# same-session A/B with cpu-control bracket (round-5 verdict #2):
+# best-of-3 each, interleaved-free back-to-back, controls pre/post —
+# the parity claim (cuckoo >= 0.9x bucketed) is only valid when the
+# two controls agree
+ctl_pre = cpu_control("pre")
+b = run("bucketed variant, reference fixture w=4096 K=100", bounded[: N // 2],
+        HKParams(k=100, width=4096, depth=4), cls=BucketedTopK, reps=3)
+c = run("cuckoo variant, reference fixture w=4096 K=100", bounded[: N // 2],
+        HKParams(k=100, width=4096, depth=4), cls=CuckooTopK, reps=3)
+ctl_post = cpu_control("post")
+print(
+    f"{'cuckoo/bucketed parity (controls pre/post above)':55s} "
+    f"{c / b:6.3f}"
+)
