@@ -497,3 +497,177 @@ class TestRound6AdviceFixes:
         assert batch_urls == stream_urls
         assert 1 <= len(batch_urls) <= 4  # leading records salvaged, tear dropped
         assert "https://m.test/0" in batch_urls
+
+
+class TestIndexedReader:
+    """read_warc_indexed: byte-range splitting of ONE oversized archive
+    via the record-aligned gzip-member sidecar index."""
+
+    def _archive(self, tmp_path, n=120, name="big.warc.gz"):
+        recs = [
+            _mk(
+                f"https://idx.test/{i}",
+                "2025-06-07T08:09:10Z",
+                b"<html><body>doc %d " % i + b"w" * (50 + i % 97) + b"</body></html>",
+            )
+            for i in range(n)
+        ]
+        p = tmp_path / name
+        write_warc_file(recs, str(p))
+        return p, recs
+
+    def test_index_offsets_are_member_starts(self, tmp_path):
+        from heavykeeper_rs_spark.sources.warc import build_warc_index
+
+        p, recs = self._archive(tmp_path)
+        offsets = build_warc_index(str(p))
+        assert len(offsets) == len(recs) and offsets[0] == 0
+        blob = p.read_bytes()
+        for o in offsets:
+            assert blob[o : o + 2] == b"\x1f\x8b"  # every offset a member start
+        assert offsets == sorted(offsets)
+
+    def test_ranged_read_matches_batch_and_splits(self, spark, tmp_path):
+        from heavykeeper_rs_spark.sources.warc import read_warc_indexed
+
+        p, recs = self._archive(tmp_path)
+        batch = sorted(
+            (r["url"], r["warc_ts"], bytes(r["html"]), r["text"])
+            for r in read_warc(spark, str(tmp_path), glob="big.warc.gz").collect()
+        )
+        df = read_warc_indexed(spark, str(p), n_splits=5, chunk_bytes=4096)
+        assert df.rdd.getNumPartitions() > 1  # genuinely intra-file parallel
+        ranged = sorted(
+            (r["url"], r["warc_ts"], bytes(r["html"]), r["text"])
+            for r in df.collect()
+        )
+        assert ranged == batch and len(batch) == len(recs)
+        # sidecar was persisted and is reused (no rebuild)
+        from heavykeeper_rs_spark.sources.warc import load_warc_index
+
+        assert load_warc_index(str(p)) is not None
+        again = sorted(
+            (r["url"],)
+            for r in read_warc_indexed(spark, str(p), n_splits=3).collect()
+        )
+        assert len(again) == len(recs)
+
+    def test_stale_sidecar_is_rebuilt(self, spark, tmp_path):
+        from heavykeeper_rs_spark.sources.warc import (
+            build_warc_index,
+            load_warc_index,
+            read_warc_indexed,
+            write_warc_index,
+        )
+
+        p, recs = self._archive(tmp_path, n=30)
+        write_warc_index(str(p), build_warc_index(str(p)))
+        # crawler appends more members after the index was built
+        extra = [
+            _mk(f"https://idx.test/late{i}", "2025-06-08T00:00:00Z",
+                b"<html><body>late</body></html>")
+            for i in range(5)
+        ]
+        import gzip as _gzip
+
+        more_path = tmp_path / "more.warc.gz"
+        write_warc_file(extra, str(more_path))
+        with open(p, "ab") as f:
+            f.write(more_path.read_bytes())
+        assert load_warc_index(str(p)) is None  # stale: size changed
+        rows = read_warc_indexed(spark, str(p), n_splits=4).collect()
+        assert len(rows) == len(recs) + 5  # rebuilt index covers the tail
+
+    def test_multirecord_and_spanning_members_split_safely(self, spark, tmp_path):
+        """Members holding several records index normally; a member that
+        starts MID-record is never a split point, so a record spanning
+        members can't be cut."""
+        import gzip as _gzip
+
+        from heavykeeper_rs_spark.sources.warc import (
+            build_warc_index,
+            read_warc_indexed,
+        )
+
+        def rec(i):
+            body = b"<html><body>m %d </body></html>" % i
+            http = b"HTTP/1.1 200 OK\r\n\r\n" + body
+            return (
+                b"WARC/1.0\r\nWARC-Type: response\r\n"
+                b"WARC-Target-URI: https://mm.test/" + str(i).encode() + b"\r\n"
+                b"WARC-Date: 2025-01-01T00:00:00Z\r\n"
+                + b"Content-Length: " + str(len(http)).encode() + b"\r\n\r\n"
+                + http + b"\r\n\r\n"
+            )
+        # member 0: records 0-2 whole; record 3 SPLIT across members 1-2;
+        # member 3: records 4-5
+        r3 = rec(3)
+        parts = [
+            b"".join(rec(i) for i in range(3)),
+            r3[: len(r3) // 2],
+            r3[len(r3) // 2 :],
+            rec(4) + rec(5),
+        ]
+        p = tmp_path / "span.warc.gz"
+        p.write_bytes(b"".join(_gzip.compress(x, mtime=0) for x in parts))
+        offsets = build_warc_index(str(p))
+        assert len(offsets) == 3  # member 2 (mid-record) skipped
+        rows = read_warc_indexed(
+            spark, str(p), n_splits=3, save_index=False
+        ).collect()
+        assert sorted(r["url"] for r in rows) == [
+            f"https://mm.test/{i}" for i in range(6)
+        ]
+
+    @pytest.mark.slow
+    def test_multi_hundred_mb_archive_splits(self, spark, tmp_path):
+        """The oversized-segment rehearsal: one ~250 MB (compressed)
+        archive of incompressible bodies read with >1 byte-range task;
+        indexed rows == streamed rows, bounded memory throughout."""
+        import gzip as _gzip
+
+        import numpy as np
+
+        from heavykeeper_rs_spark.sources.warc import (
+            build_warc_index,
+            read_warc_indexed,
+            read_warc_stream,
+        )
+
+        rng = np.random.default_rng(7)
+        p = tmp_path / "huge.warc.gz"
+        n = 2000
+        with open(p, "wb") as f:
+            for i in range(n):
+                body = (
+                    b"<html><body>"
+                    + rng.integers(33, 127, 128 * 1024, dtype=np.uint8)
+                    .astype(np.uint8).tobytes()
+                    + b"</body></html>"
+                )
+                http = b"HTTP/1.1 200 OK\r\n\r\n" + body
+                rec = (
+                    b"WARC/1.0\r\nWARC-Type: response\r\n"
+                    b"WARC-Target-URI: https://huge.test/" + str(i).encode() + b"\r\n"
+                    b"WARC-Date: 2025-01-01T00:00:00Z\r\n"
+                    + b"Content-Length: " + str(len(http)).encode() + b"\r\n\r\n"
+                    + http + b"\r\n\r\n"
+                )
+                f.write(_gzip.compress(rec, mtime=0, compresslevel=1))
+        assert p.stat().st_size > 200 << 20
+        offsets = build_warc_index(str(p))
+        assert len(offsets) == n
+        df = read_warc_indexed(spark, str(p), n_splits=8, save_index=False)
+        assert df.rdd.getNumPartitions() == 8
+        idx_counts = (
+            df.groupBy().count().collect()[0][0],
+            df.select(F.length("html").cast("long").alias("l"))
+            .groupBy().sum("l").collect()[0][0],
+        )
+        st = read_warc_stream(spark, str(tmp_path), glob="huge.warc.gz")
+        st_counts = (
+            st.groupBy().count().collect()[0][0],
+            st.select(F.length("html").cast("long").alias("l"))
+            .groupBy().sum("l").collect()[0][0],
+        )
+        assert idx_counts == st_counts == (n, n * (128 * 1024 + 26))
