@@ -41,8 +41,10 @@ def _trace_blob_kernel(key_size: int):
                 n = len(blob) // key_size
                 if n == 0:
                     continue
-                arr = np.frombuffer(blob, dtype=np.uint8, count=n * key_size)
-                flat = pa.py_buffer(arr.tobytes())
+                # zero-copy: the binary column's data buffer IS the
+                # file bytes (py_buffer holds the memoryview which
+                # holds the Arrow buffer — no tobytes copy)
+                flat = pa.py_buffer(blob[: n * key_size])
                 offsets = pa.array(
                     np.arange(0, (n + 1) * key_size, key_size, dtype=np.int32)
                 )
@@ -97,16 +99,19 @@ def read_flow_trace_stream(
     if not files:
         raise FileNotFoundError(f"no trace files match {pat}")
     par = parallelism or min(len(files), spark.sparkContext.defaultParallelism)
-    # plain repartition = round-robin: hash-partitioning by path can
-    # collide several files into one partition and leave others empty
-    # exactly when n_files is small (same rule as read_warc_stream)
-    pdf = spark.createDataFrame([(f,) for f in files], "path string").repartition(par)
+    # deterministic one-file-per-task placement: neither path-hash nor
+    # repartition(n)'s randomized round-robin spreads a few 1-row
+    # partitions evenly (see warc._one_file_per_task_df)
+    from .warc import _one_file_per_task_df
+
+    pdf = _one_file_per_task_df(spark, files, par)
 
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        def emit(buf: bytes) -> pa.RecordBatch:
-            n = len(buf) // key_size
-            arr = np.frombuffer(buf, dtype=np.uint8, count=n * key_size)
-            flat = pa.py_buffer(arr.tobytes())
+        def emit(mv) -> pa.RecordBatch:
+            # mv length is a multiple of key_size; zero-copy wrap (the
+            # py_buffer keeps the chunk alive — no tobytes copy)
+            n = len(mv) // key_size
+            flat = pa.py_buffer(mv)
             offsets = pa.array(
                 np.arange(0, (n + 1) * key_size, key_size, dtype=np.int32)
             )
@@ -124,11 +129,21 @@ def read_flow_trace_stream(
                         chunk = fh.read(chunk_bytes)
                         if not chunk:
                             break
-                        data = carry + chunk if carry else chunk
-                        usable = (len(data) // key_size) * key_size
+                        mv = memoryview(chunk)
+                        if carry:
+                            # complete ONLY the carried record — never
+                            # re-copy the whole chunk through a concat
+                            need = key_size - len(carry)
+                            if len(chunk) < need:
+                                carry = carry + chunk
+                                continue
+                            yield emit(memoryview(carry + bytes(mv[:need])))
+                            mv = mv[need:]
+                            carry = b""
+                        usable = (len(mv) // key_size) * key_size
                         if usable:
-                            yield emit(data[:usable])
-                        carry = data[usable:]
+                            yield emit(mv[:usable])
+                        carry = bytes(mv[usable:])
                 finally:
                     fh.close()
 

@@ -109,6 +109,25 @@ def extract_text(html: bytes) -> str:
     return " ".join(s.split())
 
 
+def _one_file_per_task_df(
+    spark: SparkSession, files: list[str], par: int
+) -> DataFrame:
+    """(path) DataFrame with files spread EVENLY over ``par``
+    partitions. Neither hash partitioning (path-hash collisions) nor
+    ``repartition(n)`` round-robin (Spark picks a RANDOM starting
+    target per input partition, so a handful of 1-row partitions can
+    collide onto one task — measured 2x wall on an 8-file read) places
+    few-row DataFrames evenly; ``spark.range`` with explicit
+    numPartitions slices deterministically, and ``element_at`` maps
+    ids back to paths JVM-side."""
+    from pyspark.sql import functions as F
+
+    paths = F.array(*[F.lit(f) for f in files])
+    return spark.range(0, len(files), 1, min(par, len(files))).select(
+        F.element_at(paths, (F.col("id") + 1).cast("int")).alias("path")
+    )
+
+
 class _StreamParser:
     """Incremental WARC record parser with bounded buffering.
 
@@ -215,14 +234,20 @@ def parse_warc_records(blob: bytes) -> Iterator[dict]:
     yield from p.feed(_gunzip_members(blob))
 
 
-def _iter_member_bytes(blob, chunk: int = 4 << 20) -> Iterator[bytes]:
+def _iter_member_bytes(
+    blob, chunk: int = 4 << 20, feed_start: int = 4096
+) -> Iterator[bytes]:
     """Yield each gzip member's decompressed bytes one at a time —
     Common Crawl stores one record per member, so peak memory per
     archive stays ~(compressed file + one record) instead of the whole
-    decompressed segment. Input is fed to the decompressor in
-    ``chunk``-sized windows so the per-member ``unused_data`` tail
-    copy is bounded by the window, not the file (the naive
-    whole-remainder feed is O(members x filesize)). Plain
+    decompressed segment. Feed windows start at ``feed_start`` and
+    DOUBLE per feed (capped at ``chunk``): zlib materializes
+    ``unused_data`` — a copy of whatever was fed past the member end —
+    at every member boundary, so a fixed 4 MB window costs
+    O(members x 4 MB) on Common Crawl's tiny one-record members
+    (measured 3.8k rec/s on 200-byte members); the exponential ramp
+    bounds the waste copy to ~the member's own size while still
+    reaching full-window feeds on multi-MB members. Plain
     (uncompressed) streams yield the buffer whole. A torn final member
     yields whatever decompressed before the tear — complete records
     ahead of the damage still parse; the record parser's
@@ -237,8 +262,9 @@ def _iter_member_bytes(blob, chunk: int = 4 << 20) -> Iterator[bytes]:
     while pos < n:
         d = zlib.decompressobj(wbits=31)
         out = bytearray()
+        step = feed_start
         while True:
-            end = min(pos + chunk, n)
+            end = min(pos + step, n)
             try:
                 out.extend(d.decompress(mv[pos:end]))
             except zlib.error:
@@ -255,17 +281,27 @@ def _iter_member_bytes(blob, chunk: int = 4 << 20) -> Iterator[bytes]:
                 if out:
                     yield bytes(out)
                 return
+            step = min(step * 2, chunk)
         yield bytes(out)
 
 
-def _stream_gzip_members(read, chunk_bytes: int = 4 << 20) -> Iterator[bytes]:
+def _stream_gzip_members(
+    read, chunk_bytes: int = 4 << 20, feed_start: int = 4096
+) -> Iterator[bytes]:
     """Yield decompressed bytes from a (possibly multi-member) gzip
     stream via bounded ``read(chunk_bytes)`` calls — at no point does
     the whole compressed file, one whole member, or the decompressed
     stream sit in memory. Plain (non-gzip) streams pass chunks through.
     A torn/corrupt member ends the iteration (its partial bytes may
     already have been yielded; the record parser's Content-Length gate
-    drops whatever they can't complete)."""
+    drops whatever they can't complete).
+
+    Decompressor feeds ramp from ``feed_start`` doubling to
+    ``chunk_bytes``, resetting at each member boundary: zlib copies
+    everything fed past a member's end into ``unused_data``, so
+    whole-chunk feeds cost O(members-per-chunk^2 x member size) on
+    Common Crawl's one-record members — the round-5 streamed-reader
+    throughput tax. The ramp bounds the waste to ~one member size."""
     # the io protocol permits short reads (object-store streams via
     # opener= do this): accumulate exactly 2 sniff bytes or hit EOF
     head = b""
@@ -284,23 +320,30 @@ def _stream_gzip_members(read, chunk_bytes: int = 4 << 20) -> Iterator[bytes]:
                 return
             yield c
     d = zlib.decompressobj(wbits=31)
-    feed = head + read(chunk_bytes)
+    buf = memoryview(head + read(chunk_bytes))
+    pos = 0
+    step = feed_start
     while True:
-        if not feed:
-            feed = read(chunk_bytes)
-            if not feed:
+        if pos >= len(buf):
+            nxt = read(chunk_bytes)
+            if not nxt:
                 return  # EOF (a mid-member end is a torn tail: stop)
+            buf = memoryview(nxt)
+            pos = 0
+        end = min(pos + step, len(buf))
         try:
-            out = d.decompress(feed)
+            out = d.decompress(buf[pos:end])
         except zlib.error:
             return
         if out:
             yield out
         if d.eof:
-            feed = d.unused_data  # bounded by chunk_bytes, not the file
+            pos = end - len(d.unused_data)
             d = zlib.decompressobj(wbits=31)
+            step = feed_start
         else:
-            feed = b""
+            pos = end
+            step = min(step * 2, chunk_bytes)
 
 
 def read_warc_stream(
@@ -339,12 +382,7 @@ def read_warc_stream(
     par = parallelism or min(
         len(files), spark.sparkContext.defaultParallelism
     )
-    # plain repartition = round-robin: hash-partitioning by path can
-    # collide several files into one partition and leave others empty
-    # exactly when n_files is small
-    pdf = spark.createDataFrame(
-        [(f,) for f in files], "path string"
-    ).repartition(par)
+    pdf = _one_file_per_task_df(spark, files, par)
 
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
@@ -498,6 +536,8 @@ def read_warc_indexed(
     (range GETs); default ``open()`` covers local/NFS."""
     import os
 
+    from pyspark.sql import functions as F_
+
     raw = path[7:] if path.startswith("file://") else path
     if os.path.isdir(raw):
         raise ValueError(
@@ -528,9 +568,15 @@ def read_warc_indexed(
     starts = [int(offs[0])] + [int(offs[i]) for i in cut_idx]
     ends = starts[1:] + [size]
     ranges = [(s, e) for s, e in zip(starts, ends) if e > s]
-    pdf = spark.createDataFrame(
-        [(raw, s, e) for s, e in ranges], "path string, start long, end long"
-    ).repartition(len(ranges))
+    # deterministic one-range-per-task placement (see
+    # _one_file_per_task_df for why repartition(n) is not that)
+    starts_lit = F_.array(*[F_.lit(s) for s, _ in ranges])
+    ends_lit = F_.array(*[F_.lit(e) for _, e in ranges])
+    pdf = spark.range(0, len(ranges), 1, len(ranges)).select(
+        F_.lit(raw).alias("path"),
+        F_.element_at(starts_lit, (F_.col("id") + 1).cast("int")).alias("start"),
+        F_.element_at(ends_lit, (F_.col("id") + 1).cast("int")).alias("end"),
+    )
 
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
