@@ -8,8 +8,12 @@ for the codec-free formats (``image_decoder``: pure-NumPy PPM/PGM and
 uncompressed BMP, plus PNG through stdlib ``zlib`` — all five scanline
 filters, 8-bit gray/RGB/palette/alpha). Compressed photographic
 formats (JPEG/WebP) route through the import-gated
-``pil_image_decoder``; VIDEO decode remains the one deliberate stub
-(no av/cv2 in this container) — see ``stub_decoder``.
+``pil_image_decoder``. VIDEO decode is real for uncompressed
+(BI_RGB / rawvideo) AVI — ``decode_avi`` / ``iter_avi_frames`` /
+``video_decoder`` / ``sample_frames``, a RIFF walk plus the BMP row
+logic — import-gated for MJPEG-in-AVI (each frame is a JPEG via
+Pillow); codec formats (H.264 etc.) take a swapped-in decoder — see
+``stub_decoder``.
 Decoders that raise mark rows as failed instead of killing the job —
 at 10^12 rows a 0.01% corrupt-media rate is a certainty, so per-row
 error capture is part of the operator contract.
@@ -61,15 +65,267 @@ FEATURE_SCHEMA = StructType(
 
 
 def stub_decoder(blob: bytes) -> np.ndarray:
-    """Placeholder for VIDEO decode — the one modality left stubbed.
-    Intentionally not implemented in this container (no av/cv2); swap
-    in a real callable in production. AUDIO decode is real — see
+    """Placeholder decoder for codec-compressed video (H.264 etc.) —
+    swap in a real callable (av/cv2) in production. Since round 6
+    VIDEO decode is REAL for uncompressed (BI_RGB) AVI — see
+    ``decode_avi`` / ``iter_avi_frames`` / ``video_decoder`` — and
+    import-gated for MJPEG-in-AVI (each frame is a JPEG, decoded via
+    Pillow when the executors ship it). AUDIO decode is real — see
     ``wav_decoder``; IMAGE decode is real for PNG/PPM/PGM/BMP — see
     ``image_decoder`` — and import-gated for JPEG/WebP — see
     ``pil_image_decoder``."""
     raise NotImplementedError(
-        "video decode requires codec libraries not present in this environment"
+        "codec video decode requires libraries not present in this "
+        "environment; uncompressed AVI decodes via decode_avi"
     )
+
+
+# ---------------------------------------------------------------- video
+# Real, dependency-free video decode for RIFF/AVI with uncompressed
+# BI_RGB frames (what `ffmpeg -c:v rawvideo` writes) — a RIFF chunk
+# walk plus the exact DIB row logic decode_bmp already uses. MJPEG
+# frames (biCompression 'MJPG') are each a complete JPEG and route
+# through pil_image_decoder, so they work wherever Pillow ships and
+# raise the documented NotImplementedError here.
+
+
+def _riff_chunks(mv: memoryview, start: int, end: int):
+    """Yield (fourcc, data_start, data_end) over a RIFF chunk run;
+    chunks are word-aligned (odd sizes pad one byte)."""
+    import struct
+
+    pos = start
+    while pos + 8 <= end:
+        fourcc = bytes(mv[pos : pos + 4])
+        (size,) = struct.unpack_from("<I", mv, pos + 4)
+        data_start = pos + 8
+        data_end = min(data_start + size, end)
+        yield fourcc, data_start, data_end
+        pos = data_start + size + (size & 1)
+
+
+def _parse_avi(mv: memoryview) -> dict:
+    """One forward walk collecting the video stream's geometry and the
+    byte ranges of every frame chunk (##db/##dc, including frames
+    nested in 'rec ' LISTs). Raises ValueError on non-AVI/corrupt
+    headers (per-row capture upstream turns that into ok=false)."""
+    import struct
+
+    if len(mv) < 12 or bytes(mv[:4]) != b"RIFF" or bytes(mv[8:12]) != b"AVI ":
+        raise ValueError("not an AVI blob")
+    info: dict = {"frames": [], "w": None, "h": None, "bits": None,
+                  "comp": None, "us_per_frame": None}
+
+    def walk(start: int, end: int) -> None:
+        for fourcc, ds, de in _riff_chunks(mv, start, end):
+            if fourcc == b"LIST":
+                walk(ds + 4, de)  # list type occupies the first 4 bytes
+            elif fourcc == b"avih" and de - ds >= 4:
+                (info["us_per_frame"],) = struct.unpack_from("<I", mv, ds)
+            elif fourcc == b"strf" and info["w"] is None and de - ds >= 20:
+                _, bw, bh = struct.unpack_from("<Iii", mv, ds)
+                _, bits = struct.unpack_from("<HH", mv, ds + 12)
+                (comp,) = struct.unpack_from("<I", mv, ds + 16)
+                info.update(w=bw, h=abs(bh), bits=bits, comp=comp,
+                            bottom_up=bh > 0)
+            elif fourcc[2:4] in (b"db", b"dc") and fourcc[:2].isdigit():
+                info["frames"].append((ds, de))
+
+    walk(12, len(mv))
+    if info["w"] is None:
+        raise ValueError("AVI has no video stream format (strf)")
+    return info
+
+
+def iter_avi_frames(blob) -> "Iterator[np.ndarray]":
+    """Yield each frame of an AVI as an (H, W, 3) RGB uint8 array (or
+    (H, W) for 8-bit grayscale DIBs), lazily — one decoded frame in
+    memory at a time, so long clips stream through ``sample_frames``
+    without materializing whole. BI_RGB frames decode here (pure
+    NumPy); 'MJPG' frames dispatch each JPEG to ``pil_image_decoder``
+    (import-gated)."""
+    mv = blob if isinstance(blob, memoryview) else memoryview(blob)
+    info = _parse_avi(mv)
+    w, h, bits, comp = info["w"], info["h"], info["bits"], info["comp"]
+    if comp == 0:  # BI_RGB
+        if bits not in (8, 24, 32):
+            raise ValueError(f"unsupported BI_RGB bit depth {bits}")
+        bpp = bits // 8
+        stride = (w * bpp + 3) & ~3
+        for ds, de in info["frames"]:
+            if de - ds < stride * h:
+                raise ValueError("truncated AVI frame")
+            px = np.frombuffer(mv, dtype=np.uint8, count=stride * h, offset=ds)
+            rows = px.reshape(h, stride)[:, : w * bpp].reshape(h, w, bpp)
+            if info.get("bottom_up", True):
+                rows = rows[::-1]
+            yield rows[:, :, 2::-1] if bpp >= 3 else rows[:, :, 0]
+    elif comp in (0x47504A4D, 0x67706A6D):  # 'MJPG' / 'mjpg'
+        for ds, de in info["frames"]:
+            yield pil_image_decoder(bytes(mv[ds:de]))
+    else:
+        raise NotImplementedError(
+            f"AVI compression 0x{comp:08x} needs codec libraries; only "
+            "BI_RGB (rawvideo) and MJPG (via Pillow) are built in"
+        )
+
+
+def decode_avi(blob, frame_indices: "list[int] | None" = None) -> np.ndarray:
+    """(N, H, W, 3) uint8 stack of all frames (or the selected
+    ``frame_indices``). For long clips prefer ``iter_avi_frames`` /
+    ``sample_frames`` — this materializes every selected frame."""
+    want = set(frame_indices) if frame_indices is not None else None
+    out = [
+        f
+        for i, f in enumerate(iter_avi_frames(blob))
+        if want is None or i in want
+    ]
+    if not out:
+        raise ValueError("AVI has no (selected) frames")
+    return np.stack(out)
+
+
+def video_decoder(blob: bytes) -> np.ndarray:
+    """REAL video decode -> compact feature vector
+    ``[n_frames, height, width, fps, mean_luma_first, mean_luma_mid,
+    mean_luma_last]`` — the ``extract_features``-ready summary (a
+    raveled pixel stack would explode the feature column). Raises
+    ValueError on corrupt blobs for per-row capture."""
+    mv = memoryview(blob)
+    info = _parse_avi(mv)
+    frames = list(iter_avi_frames(mv))
+    if not frames:
+        raise ValueError("AVI has no frames")
+    fps = 1e6 / info["us_per_frame"] if info.get("us_per_frame") else 0.0
+    def luma(f: np.ndarray) -> float:
+        return float(np.mean(f, dtype=np.float64))
+    return np.asarray(
+        [
+            float(len(frames)),
+            float(frames[0].shape[0]),
+            float(frames[0].shape[1]),
+            round(fps, 3),
+            round(luma(frames[0]), 3),
+            round(luma(frames[len(frames) // 2]), 3),
+            round(luma(frames[-1]), 3),
+        ],
+        dtype=np.float32,
+    )
+
+
+def encode_avi(frames: np.ndarray, fps: int = 10) -> bytes:
+    """Fixture producer: (N, H, W, 3) RGB uint8 -> uncompressed
+    BI_RGB AVI bytes (bottom-up BGR rows padded to 4 bytes — the
+    rawvideo layout), so the video pipeline runs on REAL container
+    bytes with no codec libs."""
+    import struct
+
+    frames = np.asarray(frames, dtype=np.uint8)
+    if frames.ndim != 4 or frames.shape[3] != 3:
+        raise ValueError("expected (N, H, W, 3) RGB uint8")
+    n, h, w, _ = frames.shape
+    stride = (w * 3 + 3) & ~3
+
+    def chunk(fourcc: bytes, data: bytes) -> bytes:
+        return fourcc + struct.pack("<I", len(data)) + data + (
+            b"\x00" if len(data) % 2 else b""
+        )
+
+    frame_blobs = []
+    for f in frames:
+        bgr = f[::-1, :, ::-1]  # top-down RGB -> bottom-up BGR
+        rows = np.zeros((h, stride), dtype=np.uint8)
+        rows[:, : w * 3] = bgr.reshape(h, w * 3)
+        frame_blobs.append(chunk(b"00db", rows.tobytes()))
+    movi = b"movi" + b"".join(frame_blobs)
+    avih = struct.pack(
+        "<14I", int(1_000_000 / fps), stride * h * fps, 0, 0x10, n, 0, 1,
+        stride * h, w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"DIB " + struct.pack(
+            "<IHHIIIIIIII4H", 0, 0, 0, 0, 1, fps, 0, n, stride * h,
+            0xFFFFFFFF, 0, 0, 0, w, h,
+        )
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h, 0, 0, 0, 0
+    )
+    strl = b"strl" + chunk(b"strh", strh) + chunk(b"strf", strf)
+    hdrl = b"hdrl" + chunk(b"avih", avih) + chunk(b"LIST", strl)
+    body = chunk(b"LIST", hdrl) + chunk(b"LIST", movi)
+    return b"RIFF" + struct.pack("<I", len(body) + 4) + b"AVI " + body
+
+
+def sample_frames(
+    df: DataFrame,
+    id_col: str,
+    blob_col: str,
+    every_n: int = 1,
+    out_h: int | None = None,
+    out_w: int | None = None,
+    batch_limit: int = 64,
+) -> DataFrame:
+    """REAL video frame sampling: one output row per kept frame —
+    (media_id, frame_idx, ok, error, feature) where feature is the
+    (optionally ``resize_nearest``-ed) frame raveled to float32.
+    Frames decode lazily (``iter_avi_frames``), so task memory holds
+    one decoded frame + one output batch regardless of clip length; a
+    corrupt blob costs its own row (ok=false), never the task."""
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        def flush(rows: list) -> pa.RecordBatch:
+            return pa.RecordBatch.from_arrays(
+                [
+                    pa.array([r[0] for r in rows], type=pa.int64()),
+                    pa.array([r[1] for r in rows], type=pa.int64()),
+                    pa.array([r[2] for r in rows], type=pa.bool_()),
+                    pa.array([r[3] for r in rows], type=pa.string()),
+                    pa.array([r[4] for r in rows], type=pa.list_(pa.float32())),
+                ],
+                names=["media_id", "frame_idx", "ok", "error", "feature"],
+            )
+
+        for batch in batches:
+            ids = batch.column(0).to_numpy(zero_copy_only=False)
+            col = batch.column(1)
+            rows: list = []
+            for i in range(len(ids)):
+                mid = int(ids[i])
+                try:
+                    if not col[i].is_valid:
+                        raise ValueError("null video blob")
+                    blob = memoryview(col[i].as_buffer())
+                    for fi, frame in enumerate(iter_avi_frames(blob)):
+                        if fi % every_n:
+                            continue
+                        if out_h is not None and out_w is not None:
+                            frame = resize_nearest(frame, out_h, out_w)
+                        rows.append((
+                            mid, fi, True, None,
+                            np.asarray(frame, dtype=np.float32).ravel().tolist(),
+                        ))
+                        if len(rows) >= batch_limit:
+                            yield flush(rows)
+                            rows = []
+                except Exception as e:  # per-row failure capture
+                    rows.append((mid, -1, False, f"{type(e).__name__}: {e}", None))
+            if rows:
+                yield flush(rows)
+
+    keyed = df.select(
+        F.col(id_col).cast("long").alias("__id"), F.col(blob_col).alias("__b")
+    )
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("frame_idx", LongType(), False),
+            StructField("ok", BooleanType(), False),
+            StructField("error", StringType(), True),
+            StructField("feature", ArrayType(FloatType()), True),
+        ]
+    )
+    return keyed.mapInArrow(kernel, schema)
 
 
 # --------------------------------------------------------------- images
@@ -554,7 +810,9 @@ def frame_sample_plan(
 ) -> DataFrame:
     """Video frame-sampling *plan*: expands (video, duration) into one
     row per sample timestamp — the shuffle-free explode that precedes a
-    real frame decode. Decode itself is stubbed (see stub_decoder)."""
+    real frame decode. For AVI containers the decode itself is real —
+    ``sample_frames`` decodes + resizes actual frames; codec formats
+    still go through a swapped-in decoder (see stub_decoder)."""
     return df.select(
         F.col(id_col).alias("media_id"),
         F.explode(
