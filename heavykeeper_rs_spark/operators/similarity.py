@@ -21,6 +21,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -156,30 +157,109 @@ def lsh_topk(
 
 
 def brute_force_pairs(
-    df: DataFrame, id_col: str, vec_col: str, tau: float
+    df: DataFrame, id_col: str, vec_col: str, tau: float, block: int = 2048
 ) -> DataFrame:
     """Exact cosine threshold self-join (id_a < id_b, cosine >= tau).
 
     O(n^2) — the *verifier* for the LSH path, and the right choice only
     for small re-rank sets; at corpus scale use
-    embedding_near_dup_pairs (bucket-pruned)."""
-    a = df.select(
-        F.col(id_col).cast("long").alias("id_a"),
-        F.col(vec_col).cast("array<double>").alias("va"),
+    embedding_near_dup_pairs (bucket-pruned).
+
+    Executed as a distributed BLOCK GEMM, not a row-pair theta-join:
+    vectors hash into ~``block``-row blocks (one ``applyInPandas`` row
+    per block carrying ids + a packed float64 matrix), every unordered
+    block pair joins (nb^2/2 rows of blobs — tiny), and each pair task
+    runs one NumPy matmul to prefilter at ``tau - 1e-9``. Survivors'
+    cosines are then RECOMPUTED with a strict left-to-right fold
+    (``np.cumsum`` — sequential accumulation order), so the rounded
+    values are bit-identical to a scalar loop (DuckDB's
+    list_cosine_similarity / Catalyst's aggregate fold) and immune to
+    GEMM's blocked-summation ulps. 4096 vectors x 64 dims: 325 s as a
+    BroadcastNestedLoopJoin with per-pair lambda folds -> ~2 s."""
+    src = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).filter(F.col("v").isNotNull())
+    n = src.count()
+    if n == 0:
+        return src.sparkSession.createDataFrame(
+            [], "id_a long, id_b long, cosine double"
+        )
+    nb = max(1, -(-n // block))
+    blocked = src.withColumn("bid", F.pmod(F.xxhash64("id"), F.lit(nb)))
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["id"].to_numpy(dtype=np.int64)
+        mat = np.asarray(list(pdf["v"]), dtype=np.float64)
+        return pd.DataFrame(
+            {
+                "bid": [int(pdf["bid"].iloc[0])],
+                "ids": [ids.tobytes()],
+                "mat": [mat.tobytes()],
+                "rows": [len(ids)],
+            }
+        )
+
+    blocks = blocked.groupBy("bid").applyInPandas(
+        pack, "bid int, ids binary, mat binary, rows int"
     )
-    b = df.select(
-        F.col(id_col).cast("long").alias("id_b"),
-        F.col(vec_col).cast("array<double>").alias("vb"),
+    a = blocks.select(
+        F.col("bid").alias("bid_a"), F.col("ids").alias("ids_a"),
+        F.col("mat").alias("mat_a"), F.col("rows").alias("rows_a"),
     )
-    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
-    na = F.sqrt(F.aggregate("va", F.lit(0.0), lambda s, x: s + x * x))
-    nb = F.sqrt(F.aggregate("vb", F.lit(0.0), lambda s, x: s + x * x))
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", F.round(dot / (na * nb), 6))
-        .filter(F.col("cosine") >= tau)
-        .select("id_a", "id_b", "cosine")
+    b = blocks.select(
+        F.col("bid").alias("bid_b"), F.col("ids").alias("ids_b"),
+        F.col("mat").alias("mat_b"), F.col("rows").alias("rows_b"),
     )
+    pairs = a.join(b, F.col("bid_a") <= F.col("bid_b"))
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            for r in pdf.itertuples(index=False):
+                ia = np.frombuffer(r.ids_a, dtype=np.int64)
+                ib = np.frombuffer(r.ids_b, dtype=np.int64)
+                ma = np.frombuffer(r.mat_a, dtype=np.float64).reshape(r.rows_a, -1)
+                mb = np.frombuffer(r.mat_b, dtype=np.float64).reshape(r.rows_b, -1)
+                na = np.linalg.norm(ma, axis=1)
+                nbn = np.linalg.norm(mb, axis=1)
+                g = (ma @ mb.T) / np.maximum(na[:, None] * nbn[None, :], 1e-300)
+                cand = g >= tau - 1e-9
+                if r.bid_a == r.bid_b:
+                    # self-pair task: A == B, every unordered pair
+                    # appears twice — keep one orientation
+                    cand &= ia[:, None] < ib[None, :]
+                # cross-block tasks keep BOTH orientations: an
+                # unordered pair appears exactly once in the cross
+                # product, with either element on either side (ids
+                # hash into exactly one block, so orientation is
+                # arbitrary); emitting as (min, max) canonicalizes.
+                # The r6 sf1 rehearsal caught the `ia < ib`-only
+                # version silently dropping pairs whose smaller id
+                # hashed into the b-side block.
+                ri, ci = np.nonzero(cand)
+                if ri.size == 0:
+                    continue
+                # exact sequential-fold recompute for survivors only:
+                # cumsum accumulates strictly left-to-right, matching
+                # the scalar-loop semantics both oracles use
+                prod = ma[ri] * mb[ci]
+                dot = np.cumsum(prod, axis=1)[:, -1]
+                sa = np.cumsum(ma[ri] * ma[ri], axis=1)[:, -1]
+                sb = np.cumsum(mb[ci] * mb[ci], axis=1)[:, -1]
+                cos = np.round(dot / np.sqrt(sa * sb), 6)
+                keep = cos >= tau
+                if not keep.any():
+                    continue
+                ka, kb = ia[ri[keep]], ib[ci[keep]]
+                yield pd.DataFrame(
+                    {
+                        "id_a": np.minimum(ka, kb),
+                        "id_b": np.maximum(ka, kb),
+                        "cosine": cos[keep],
+                    }
+                )
+
+    return pairs.mapInPandas(kernel, "id_a long, id_b long, cosine double")
 
 
 def _kmeans(sample: np.ndarray, n_centroids: int, seed: int, iters: int = 10) -> np.ndarray:
@@ -457,26 +537,96 @@ def embedding_near_dup_pairs(
     ).select("id", "bb.band", "bb.bh")
     from .dedup import _bucket_pairs
 
-    pairs = (
-        _bucket_pairs(banded, ["band", "bh"], "id", bucket_cap)
+    src = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    from pyspark.sql import Window
+
+    sized = banded.withColumn(
+        "bsz", F.count("*").over(Window.partitionBy("band", "bh"))
+    )
+    # WITHIN-CAP buckets verify bucket-locally: one GEMM per (band,
+    # bucket) group instead of materializing every candidate pair and
+    # joining vectors onto it — the r5 pair-materialized verify
+    # shuffled ~60M rows at the 4096-vector complete-regime gates
+    # (75 s); bucket-local GEMM ships each band's vectors once
+    # (bands x n x dim, trivially small) and emits only
+    # threshold-survivors. Dense-bucket regimes (few wide bands) are
+    # exactly where pair materialization explodes, so this is also the
+    # right 100 TB shape; sparse-bucket regimes see no change in
+    # output, just in route.
+    small = sized.filter(F.col("bsz") <= bucket_cap).join(src, "id")
+
+    def bucket_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["id"].to_numpy(dtype=np.int64)
+        M = np.asarray(list(pdf["v"]), dtype=np.float64)
+        norms = np.linalg.norm(M, axis=1)
+        g = (M @ M.T) / np.maximum(norms[:, None] * norms[None, :], 1e-300)
+        cand = (g >= tau - 1e-9) & (ids[:, None] < ids[None, :])
+        ri, ci = np.nonzero(cand)
+        if ri.size == 0:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+                {"id_a": np.int64, "id_b": np.int64, "cosine": np.float64}
+            )
+        # sequential-fold recompute (see _verify_cosine_pairs)
+        dot = np.cumsum(M[ri] * M[ci], axis=1)[:, -1]
+        sa = np.cumsum(M[ri] * M[ri], axis=1)[:, -1]
+        sb = np.cumsum(M[ci] * M[ci], axis=1)[:, -1]
+        cos = np.round(dot / np.sqrt(sa * sb), 6)
+        keep = cos >= tau
+        return pd.DataFrame(
+            {"id_a": ids[ri[keep]], "id_b": ids[ci[keep]], "cosine": cos[keep]}
+        )
+
+    small_pairs = small.groupBy("band", "bh").applyInPandas(
+        bucket_kernel, "id_a long, id_b long, cosine double"
+    )
+    # OVERSIZED buckets keep the size-gated star-thinning route (no
+    # reducer ever holds a whole degenerate bucket) + row verify
+    over = sized.filter(F.col("bsz") > bucket_cap).select("id", "band", "bh")
+    over_pairs = (
+        _bucket_pairs(over, ["band", "bh"], "id", bucket_cap)
         .select(F.col("a").alias("id_a"), F.col("b").alias("id_b"))
         .distinct()
     )
-    va = df.select(
-        F.col(id_col).cast("long").alias("id_a"),
-        F.col(vec_col).cast("array<double>").alias("va"),
+    va = src.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    vb = src.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    over_verified = _verify_cosine_pairs(
+        over_pairs.join(va, "id_a").join(vb, "id_b"), tau
     )
-    vb = df.select(
-        F.col(id_col).cast("long").alias("id_b"),
-        F.col(vec_col).cast("array<double>").alias("vb"),
-    )
-    dot = F.aggregate(F.zip_with("va", "vb", lambda a, b: a * b), F.lit(0.0), lambda s, x: s + x)
-    na = F.sqrt(F.aggregate("va", F.lit(0.0), lambda s, x: s + x * x))
-    nb = F.sqrt(F.aggregate("vb", F.lit(0.0), lambda s, x: s + x * x))
-    return (
-        pairs.join(va, "id_a")
-        .join(vb, "id_b")
-        .withColumn("cosine", F.round(dot / (na * nb), 6))
-        .filter(F.col("cosine") >= tau)
-        .select("id_a", "id_b", "cosine")
-    )
+    return small_pairs.unionByName(over_verified).distinct()
+
+
+def _verify_cosine_pairs(joined: DataFrame, tau: float) -> DataFrame:
+    """Vectorized exact-cosine verify over (id_a, id_b, va, vb) rows.
+
+    One Arrow-batched NumPy pass instead of a per-pair Catalyst lambda
+    fold (~40x on million-pair candidate sets: the complete-regime
+    gates at the 4096-vector cap materialize ~8M candidates).
+    ``np.cumsum`` accumulates strictly left-to-right, so the rounded
+    cosines are bit-identical to the scalar-loop fold the previous
+    expression version and the DuckDB oracle compute."""
+
+    def verify(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            A = np.asarray(list(pdf["va"]), dtype=np.float64)
+            B = np.asarray(list(pdf["vb"]), dtype=np.float64)
+            dot = np.cumsum(A * B, axis=1)[:, -1]
+            na = np.sqrt(np.cumsum(A * A, axis=1)[:, -1])
+            nb = np.sqrt(np.cumsum(B * B, axis=1)[:, -1])
+            cos = np.round(dot / np.maximum(na * nb, 1e-300), 6)
+            keep = cos >= tau
+            if not keep.any():
+                continue
+            yield pd.DataFrame(
+                {
+                    "id_a": pdf["id_a"].to_numpy(dtype=np.int64)[keep],
+                    "id_b": pdf["id_b"].to_numpy(dtype=np.int64)[keep],
+                    "cosine": cos[keep],
+                }
+            )
+
+    return joined.mapInPandas(verify, "id_a long, id_b long, cosine double")

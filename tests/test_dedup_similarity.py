@@ -1018,3 +1018,37 @@ class TestVideoAvi:
         }
         assert got[1]["ok"] and got[1]["feature"][0] == 3.0
         assert not got[2]["ok"]
+
+
+class TestBruteForceBlockGemm:
+    """brute_force_pairs is a block GEMM since round 6 — the sf1
+    rehearsal caught the cross-block orientation bug, pinned here."""
+
+    def test_multi_block_equals_single_block(self, spark):
+        from heavykeeper_rs_spark.operators.similarity import brute_force_pairs
+
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        ).withColumn("emb_d", F.col("embedding").cast("array<double>"))
+        single = sorted(
+            tuple(r)
+            for r in brute_force_pairs(
+                emb, "vec_id", "emb_d", tau=0.40, block=1 << 30
+            ).collect()
+        )
+        multi = sorted(
+            tuple(r)
+            for r in brute_force_pairs(
+                emb, "vec_id", "emb_d", tau=0.40, block=16
+            ).collect()
+        )
+        assert multi == single and len(single) > 0
+
+    def test_pairs_are_canonical_and_thresholded(self, spark, vectors):
+        from heavykeeper_rs_spark.operators.similarity import brute_force_pairs
+
+        got = brute_force_pairs(vectors, "vec_id", "embedding", tau=0.99, block=4).collect()
+        pairs = {(r["id_a"], r["id_b"]) for r in got}
+        assert {(0, 1), (0, 2), (1, 2)} <= pairs
+        for r in got:
+            assert r["id_a"] < r["id_b"] and r["cosine"] >= 0.99

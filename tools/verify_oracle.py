@@ -80,9 +80,11 @@ def main():
         if name not in oracles:
             print(f"{name}: rows-only ({len(srows)} rows, {spark_t:.1f}s)")
             continue
+        t1 = time.time()
         res = con.execute(oracles[name])
         ocols = [d[0] for d in res.description]
         orows = res.fetchall()
+        oracle_t = time.time() - t1
         sc, sr = normalize(scols, srows)
         oc, orr = normalize(ocols, orows)
         ok_schema = sc == oc
@@ -93,7 +95,7 @@ def main():
             failures += 1
         print(
             f"{name}: {status} (rows {len(sr)}/{len(orr)}, schema {ok_schema}, "
-            f"vals {ok_vals}, {spark_t:.1f}s)"
+            f"vals {ok_vals}, {spark_t:.1f}s, oracle {oracle_t:.1f}s)"
         )
         if not ok_schema:
             print(f"  spark cols: {sc}\n  oracle cols: {oc}")
