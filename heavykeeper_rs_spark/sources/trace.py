@@ -150,6 +150,101 @@ def read_flow_trace_stream(
     return pdf.mapInArrow(kernel, _KEY_SCHEMA)
 
 
+def read_flow_trace_split(
+    spark: SparkSession,
+    path: str,
+    key_size: int = 13,
+    glob: str = "*.dat",
+    split_bytes: int = 256 << 20,
+    chunk_bytes: int = 8 << 20,
+    opener=None,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """Intra-file parallel trace reader: ONE oversized ``.dat`` becomes
+    many byte-range tasks (the WARC analog is ``read_warc_indexed``,
+    but fixed-width records need no index — any multiple of
+    ``key_size`` is a record boundary). The driver lists files with
+    sizes and plans record-aligned slices of ≤ ``split_bytes``; each
+    task seeks to its slice and streams it in ``chunk_bytes`` reads,
+    so task memory stays bounded AND a 100 GB trace engages the whole
+    cluster instead of one task. A truncated final record is dropped
+    (read_exact semantics, examples/ip_files.rs:27-33). Rows match
+    ``read_flow_trace`` exactly (as a multiset; row order follows
+    slice order). ``opener`` must return a seekable handle."""
+    import glob as _glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    raw = path[7:] if path.startswith("file://") else path
+    pat = os.path.join(raw, glob) if os.path.isdir(raw) else raw
+    files = sorted(_glob.glob(pat))
+    if not files:
+        raise FileNotFoundError(f"no trace files match {pat}")
+    recs_per_split = max(1, split_bytes // key_size)
+    slices: list[tuple[str, int, int]] = []  # (path, start_record, n_records)
+    for f in files:
+        n_rec = os.path.getsize(f) // key_size
+        for s in range(0, n_rec, recs_per_split):
+            slices.append((f, s, min(recs_per_split, n_rec - s)))
+    if not slices:
+        # only empty/sub-record files: an empty result with the schema
+        return spark.createDataFrame([], _KEY_SCHEMA)
+    par = parallelism or min(len(slices), spark.sparkContext.defaultParallelism)
+    # deterministic one-slice-per-task placement (see _one_file_per_task_df)
+    paths = F.array(*[F.lit(p) for p, _, _ in slices])
+    starts = F.array(*[F.lit(s) for _, s, _ in slices])
+    counts = F.array(*[F.lit(c) for _, _, c in slices])
+    idx = (F.col("id") + 1).cast("int")
+    pdf = spark.range(0, len(slices), 1, min(par, len(slices))).select(
+        F.element_at(paths, idx).alias("path"),
+        F.element_at(starts, idx).alias("start_rec"),
+        F.element_at(counts, idx).alias("n_rec"),
+    )
+
+    # chunk reads stay record-aligned so every emitted buffer is a
+    # whole number of records — no carry logic needed
+    chunk_aligned = max(key_size, (chunk_bytes // key_size) * key_size)
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        def emit(mv) -> pa.RecordBatch:
+            n = len(mv) // key_size
+            flat = pa.py_buffer(mv)
+            offsets = pa.array(
+                np.arange(0, (n + 1) * key_size, key_size, dtype=np.int32)
+            )
+            keys = pa.BinaryArray.from_buffers(
+                pa.binary(), n, [None, offsets.buffers()[1], flat]
+            )
+            return pa.RecordBatch.from_arrays([keys], names=["flow_key"])
+
+        for batch in batches:
+            for p, start, cnt in zip(
+                batch.column(0).to_pylist(),
+                batch.column(1).to_pylist(),
+                batch.column(2).to_pylist(),
+            ):
+                fh = opener(p) if opener is not None else open(p, "rb")
+                try:
+                    fh.seek(start * key_size)
+                    remaining = cnt * key_size
+                    buf = b""
+                    while remaining:
+                        chunk = fh.read(min(chunk_aligned, remaining))
+                        if not chunk:
+                            break  # file shrank under us: drop the tail
+                        remaining -= len(chunk)
+                        buf = buf + chunk if buf else chunk
+                        usable = (len(buf) // key_size) * key_size
+                        if usable:
+                            yield emit(memoryview(buf)[:usable])
+                            buf = buf[usable:]
+                finally:
+                    fh.close()
+
+    return pdf.mapInArrow(kernel, _KEY_SCHEMA)
+
+
 def write_flow_trace(keys: list[bytes], path: str) -> None:
     """Fixture producer: write records back-to-back the way the
     reference's data tooling lays them out (data/generate.py)."""

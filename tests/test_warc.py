@@ -345,6 +345,47 @@ def test_flow_trace_stream_matches_batch(spark, tmp_path):
     assert streamed == batch and len(batch) == 5000
 
 
+def test_flow_trace_split_matches_batch(spark, tmp_path):
+    """Intra-file parallel trace reader: ONE file becomes many
+    byte-range tasks; rows match the batch reader as a multiset and
+    the plan really fans out past one task."""
+    import numpy as np
+
+    from heavykeeper_rs_spark.sources.trace import (
+        read_flow_trace,
+        read_flow_trace_split,
+        write_flow_trace,
+    )
+
+    rng = np.random.default_rng(11)
+    keys = [bytes(rng.integers(0, 256, 13, dtype=np.uint8)) for _ in range(9000)]
+    write_flow_trace(keys, str(tmp_path / "big.dat"))
+    # torn tail: 5 stray bytes → dropped by both readers
+    with open(tmp_path / "big.dat", "ab") as f:
+        f.write(b"\x02" * 5)
+    # split_bytes NOT a multiple of 13 → recs_per_split floors;
+    # chunk_bytes NOT a multiple of 13 → chunk alignment floors too
+    df = read_flow_trace_split(
+        spark, str(tmp_path), split_bytes=20_000, chunk_bytes=1000
+    )
+    assert df.rdd.getNumPartitions() > 1  # one file, many tasks
+    split_rows = sorted(bytes(r["flow_key"]) for r in df.collect())
+    batch_rows = sorted(
+        bytes(r["flow_key"]) for r in read_flow_trace(spark, str(tmp_path)).collect()
+    )
+    assert split_rows == batch_rows and len(batch_rows) == 9000
+
+
+def test_flow_trace_split_empty_and_tiny_files(spark, tmp_path):
+    from heavykeeper_rs_spark.sources.trace import read_flow_trace_split
+
+    (tmp_path / "empty.dat").write_bytes(b"")
+    (tmp_path / "subrecord.dat").write_bytes(b"\x00" * 12)  # < one record
+    df = read_flow_trace_split(spark, str(tmp_path))
+    assert df.count() == 0
+    assert [f.name for f in df.schema.fields] == ["flow_key"]
+
+
 class TestStreamRobustness:
     """Round-5 self-review fixes: short-reading openers, non-WARC
     bounded buffering."""
