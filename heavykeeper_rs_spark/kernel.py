@@ -53,6 +53,9 @@ from .errors import InvalidDecay, InvalidDepth, InvalidK, InvalidWidth, SketchCo
 from .serde import dumps as serde_dumps, loads as serde_loads
 
 _U64 = np.uint64
+# add_batch dense-preagg bound: bincount table never exceeds this many
+# slots (8 B each -> 32 MB transient ceiling per task)
+_DENSE_DOMAIN_CAP = 1 << 22
 _HASH_COMPOSE_K = _U64(0x517CC1B727220A95)  # src/hash_composition.rs:15
 _DEFAULT_SEED = 12345  # src/heavykeeper.rs:111-115 (fixed default seed)
 _MAGIC = b"HKS1"
@@ -513,6 +516,41 @@ class HeavyKeeper:
         # bounded, deterministic undercount far below sketch error, so
         # no dedup pass is spent on it.
         if arr.dtype.kind in "iu" and self._hasher is None:
+            # Dense small-domain fast path: when the batch's keys live
+            # in a small non-negative range (event types, ports, ids,
+            # the reference's bounded-Zipf bench fixture), ONE bincount
+            # over the value range replaces the khash factorize, the
+            # weight accumulation AND the first-occurrence scatter —
+            # each unique VALUE is its own representative. The count
+            # table is bounded to 4 rows per batch element (and 2^22
+            # slots absolute), so the transient stays a few MB per
+            # task. Tie-order among equal-weight duelers differs from
+            # the factorize lane (value-ascending vs first-occurrence);
+            # both are deterministic and the estimates are identical in
+            # distribution — exact-equality regression lives in
+            # tests/test_kernel.py::test_dense_preagg_matches_factorize.
+            if arr.size >= 4096:
+                amin = int(arr.min())
+                amax = int(arr.max())
+                if amin >= 0 and amax < min(4 * arr.size, _DENSE_DOMAIN_CAP):
+                    if weights is None:
+                        cnt = np.bincount(arr, minlength=amax + 1)
+                    else:
+                        cnt = np.bincount(
+                            arr,
+                            weights=np.asarray(weights, dtype=np.float64),
+                            minlength=amax + 1,
+                        )
+                    uk_d = np.flatnonzero(cnt)
+                    w_d = cnt[uk_d].astype(np.int64)
+                    keep_d = w_d > 0
+                    uk_d = uk_d[keep_d]
+                    return self._add_unique(
+                        uk_d,
+                        w_d[keep_d],
+                        fp=self._hash(uk_d),
+                        return_evicted=return_evicted,
+                    )
             inv, uk = pd.factorize(arr, sort=False)
             uh = self._hash(np.asarray(uk))
         else:

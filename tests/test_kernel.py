@@ -352,6 +352,50 @@ def test_radix_argsort_matches_comparison_sort():
         assert np.array_equal(got, want), (nbits, n)
 
 
+def test_dense_preagg_matches_factorize():
+    """The dense small-domain bincount preagg in add_batch must agree
+    with the khash-factorize lane: identical exact counts on an
+    uncontended fixture (where order effects cannot matter), identical
+    (unique, weight) multisets on weighted and cancelling inputs."""
+    from heavykeeper_rs_spark.kernel import _DENSE_DOMAIN_CAP
+
+    rng = np.random.default_rng(42)
+    n = 20_000
+    keys = rng.integers(0, 500, n, dtype=np.int64)  # dense-eligible
+    wide = HKParams(k=600, width=8192, depth=4, decay=0.9, seed=7)
+
+    dense = HeavyKeeper(wide)
+    dense.add_batch(keys)
+    assert int(keys.max()) < min(4 * n, _DENSE_DOMAIN_CAP)  # took dense
+
+    fact = HeavyKeeper(wide)
+    for chunk in np.array_split(keys, 8):  # < 4096 rows -> factorize
+        assert chunk.size < 4096
+        fact.add_batch(chunk)
+
+    truth = {int(k): int(c) for k, c in zip(*np.unique(keys, return_counts=True))}
+    got_dense = {k: c for k, c in dense.list()}
+    got_fact = {k: c for k, c in fact.list()}
+    assert got_dense == truth
+    assert got_fact == truth
+
+    # weighted + zero/cancel weights: nonpositive totals are dropped
+    # on both lanes
+    wk = np.asarray([1, 1, 2, 3, 3, 4], dtype=np.int64)
+    ww = np.asarray([5, -5, 0, 2, 2, 7], dtype=np.int64)
+    wk_big = np.tile(wk, 1024)  # cross the 4096-row dense threshold
+    ww_big = np.tile(ww, 1024)
+    a = HeavyKeeper(wide)
+    a.add_batch(wk_big, ww_big)
+    assert dict(a.list()) == {3: 4096, 4: 7168}
+
+    # large / negative domains must fall back (and stay correct)
+    neg = np.r_[np.full(5000, -3, dtype=np.int64), np.arange(5000, dtype=np.int64)]
+    b = HeavyKeeper(wide)
+    b.add_batch(neg)
+    assert b.estimate(np.asarray([-3], dtype=np.int64))[0] == 5000
+
+
 def test_query_deprecated_alias():
     """O10 parity: query() == contains() with a DeprecationWarning
     (deprecated in the reference since 0.6.9)."""
