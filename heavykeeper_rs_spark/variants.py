@@ -45,6 +45,7 @@ from .serde import dumps as serde_dumps, loads as serde_loads
 from .kernel import (
     HKParams,
     TopKQueue,
+    _DENSE_DOMAIN_CAP,
     _as_bytes,
     _key_array,
     _pq_key,
@@ -112,6 +113,26 @@ class _VariantBase:
             arr = np.asarray(items, dtype=object)
         if arr.size == 0:
             return arr, np.zeros(0, np.int64), np.zeros(0, np.uint64)
+        if arr.dtype.kind in "iu" and arr.size >= 4096:
+            # dense small-domain fast path (kernel.add_batch's twin):
+            # one bincount replaces factorize + weight fold + first-
+            # occurrence scatter, and only the UNIQUE values are hashed
+            amin = int(arr.min())
+            amax = int(arr.max())
+            if amin >= 0 and amax < min(4 * arr.size, _DENSE_DOMAIN_CAP):
+                if weights is None:
+                    cnt = np.bincount(arr, minlength=amax + 1)
+                else:
+                    cnt = np.bincount(
+                        arr,
+                        weights=np.asarray(weights, dtype=np.float64),
+                        minlength=amax + 1,
+                    )
+                uk_d = np.flatnonzero(cnt)
+                w_d = cnt[uk_d].astype(np.int64)
+                keep_d = w_d > 0
+                uk_d = uk_d[keep_d]
+                return uk_d, w_d[keep_d], self._hash(uk_d)
         h_all = self._hash(arr)
         inv, uh = pd.factorize(h_all, sort=False)
         k = uh.shape[0]

@@ -395,6 +395,18 @@ def test_dense_preagg_matches_factorize():
     b.add_batch(neg)
     assert b.estimate(np.asarray([-3], dtype=np.int64))[0] == 5000
 
+    # the variants share the dense _preagg twin
+    from heavykeeper_rs_spark.variants import BucketedTopK, CuckooTopK
+
+    for cls in (BucketedTopK, CuckooTopK):
+        vd = cls(600, 8192, 4, seed=7)
+        vd.add_batch(keys)
+        vf = cls(600, 8192, 4, seed=7)
+        for chunk in np.array_split(keys, 8):
+            vf.add_batch(chunk)
+        assert dict(vd.list()) == truth, cls.__name__
+        assert dict(vf.list()) == truth, cls.__name__
+
 
 def test_query_deprecated_alias():
     """O10 parity: query() == contains() with a DeprecationWarning
