@@ -537,11 +537,14 @@ class HeavyKeeper:
                 amin = int(arr.min())
                 amax = int(arr.max())
                 if amin >= 0 and amax < min(4 * arr.size, _DENSE_DOMAIN_CAP):
+                    # bincount can't safe-cast uint64; the range check
+                    # above bounds values < 2^22 so an int64 view is exact
+                    arr_d = arr.astype(np.int64) if arr.dtype.kind == "u" else arr
                     if weights is None:
-                        cnt = np.bincount(arr, minlength=amax + 1)
+                        cnt = np.bincount(arr_d, minlength=amax + 1)
                     else:
                         cnt = np.bincount(
-                            arr,
+                            arr_d,
                             weights=np.asarray(weights, dtype=np.float64),
                             minlength=amax + 1,
                         )

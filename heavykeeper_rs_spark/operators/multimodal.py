@@ -122,7 +122,17 @@ def _parse_avi(mv: memoryview) -> dict:
                 walk(ds + 4, de)  # list type occupies the first 4 bytes
             elif fourcc == b"avih" and de - ds >= 4:
                 (info["us_per_frame"],) = struct.unpack_from("<I", mv, ds)
-            elif fourcc == b"strf" and info["w"] is None and de - ds >= 20:
+            elif fourcc == b"strh" and de - ds >= 4:
+                # remember which stream owns the next strf: an AVI may
+                # legally list its audio strl first, and its strf is
+                # WAVEFORMATEX — not frame geometry
+                info["_stream_type"] = bytes(mv[ds : ds + 4])
+            elif (
+                fourcc == b"strf"
+                and info["w"] is None
+                and de - ds >= 20
+                and info.get("_stream_type", b"vids") == b"vids"
+            ):
                 _, bw, bh = struct.unpack_from("<Iii", mv, ds)
                 _, bits = struct.unpack_from("<HH", mv, ds + 12)
                 (comp,) = struct.unpack_from("<I", mv, ds + 16)
@@ -175,11 +185,13 @@ def decode_avi(blob, frame_indices: "list[int] | None" = None) -> np.ndarray:
     ``frame_indices``). For long clips prefer ``iter_avi_frames`` /
     ``sample_frames`` — this materializes every selected frame."""
     want = set(frame_indices) if frame_indices is not None else None
-    out = [
-        f
-        for i, f in enumerate(iter_avi_frames(blob))
-        if want is None or i in want
-    ]
+    last = max(want) if want else -1
+    out = []
+    for i, f in enumerate(iter_avi_frames(blob)):
+        if want is None or i in want:
+            out.append(f)
+        if want is not None and i >= last:
+            break  # don't decode the tail past the last wanted frame
     if not out:
         raise ValueError("AVI has no (selected) frames")
     return np.stack(out)
@@ -193,21 +205,35 @@ def video_decoder(blob: bytes) -> np.ndarray:
     ValueError on corrupt blobs for per-row capture."""
     mv = memoryview(blob)
     info = _parse_avi(mv)
-    frames = list(iter_avi_frames(mv))
-    if not frames:
+    n = len(info["frames"])  # known up front from the chunk walk
+    if not n:
         raise ValueError("AVI has no frames")
     fps = 1e6 / info["us_per_frame"] if info.get("us_per_frame") else 0.0
+
     def luma(f: np.ndarray) -> float:
         return float(np.mean(f, dtype=np.float64))
+
+    # one streaming pass, O(1) decoded frames held — a long clip's
+    # frame stack would otherwise dwarf task memory
+    first_shape = None
+    luma_first = luma_mid = luma_last = 0.0
+    for i, f in enumerate(iter_avi_frames(mv)):
+        if i == 0:
+            first_shape = f.shape
+            luma_first = luma(f)
+        if i == n // 2:
+            luma_mid = luma(f)
+        if i == n - 1:
+            luma_last = luma(f)
     return np.asarray(
         [
-            float(len(frames)),
-            float(frames[0].shape[0]),
-            float(frames[0].shape[1]),
+            float(n),
+            float(first_shape[0]),
+            float(first_shape[1]),
             round(fps, 3),
-            round(luma(frames[0]), 3),
-            round(luma(frames[len(frames) // 2]), 3),
-            round(luma(frames[-1]), 3),
+            round(luma_first, 3),
+            round(luma_mid, 3),
+            round(luma_last, 3),
         ],
         dtype=np.float32,
     )
@@ -291,8 +317,12 @@ def sample_frames(
             col = batch.column(1)
             rows: list = []
             for i in range(len(ids)):
-                mid = int(ids[i])
+                mid = -1  # survives a null id: the error row still emits
                 try:
+                    v = ids[i]
+                    if v is None or (isinstance(v, float) and v != v):
+                        raise ValueError("null media id")
+                    mid = int(v)
                     if not col[i].is_valid:
                         raise ValueError("null video blob")
                     blob = memoryview(col[i].as_buffer())

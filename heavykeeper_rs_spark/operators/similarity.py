@@ -246,7 +246,13 @@ def brute_force_pairs(
                 dot = np.cumsum(prod, axis=1)[:, -1]
                 sa = np.cumsum(ma[ri] * ma[ri], axis=1)[:, -1]
                 sb = np.cumsum(mb[ci] * mb[ci], axis=1)[:, -1]
-                cos = np.round(dot / np.sqrt(sa * sb), 6)
+                # sqrt(sa)*sqrt(sb), NOT sqrt(sa*sb): DuckDB's
+                # list_cosine_similarity takes the two square roots
+                # separately, and the forms differ in the last ulp —
+                # enough to flip a 6-decimal rounding boundary
+                cos = np.round(
+                    dot / np.maximum(np.sqrt(sa) * np.sqrt(sb), 1e-300), 6
+                )
                 keep = cos >= tau
                 if not keep.any():
                     continue
@@ -569,11 +575,13 @@ def embedding_near_dup_pairs(
             return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
                 {"id_a": np.int64, "id_b": np.int64, "cosine": np.float64}
             )
-        # sequential-fold recompute (see _verify_cosine_pairs)
+        # sequential-fold recompute (see _verify_cosine_pairs); the
+        # separate square roots match DuckDB bit-for-bit — sqrt(sa*sb)
+        # can differ in the last ulp and flip a rounding boundary
         dot = np.cumsum(M[ri] * M[ci], axis=1)[:, -1]
         sa = np.cumsum(M[ri] * M[ri], axis=1)[:, -1]
         sb = np.cumsum(M[ci] * M[ci], axis=1)[:, -1]
-        cos = np.round(dot / np.sqrt(sa * sb), 6)
+        cos = np.round(dot / np.maximum(np.sqrt(sa) * np.sqrt(sb), 1e-300), 6)
         keep = cos >= tau
         return pd.DataFrame(
             {"id_a": ids[ri[keep]], "id_b": ids[ci[keep]], "cosine": cos[keep]}

@@ -23,6 +23,21 @@ from pyspark.sql.types import BinaryType, StructField, StructType
 _KEY_SCHEMA = StructType([StructField("flow_key", BinaryType(), False)])
 
 
+def _emit_keys(mv, key_size: int) -> pa.RecordBatch:
+    """(flow_key binary) RecordBatch over a buffer whose length is a
+    whole number of ``key_size`` records — zero-copy: ``py_buffer``
+    holds the memoryview (which holds the chunk / Arrow buffer), no
+    tobytes copy. The single fixed-width slicer every trace lane
+    (batch, streamed, byte-range split) shares."""
+    n = len(mv) // key_size
+    flat = pa.py_buffer(mv)
+    offsets = pa.array(np.arange(0, (n + 1) * key_size, key_size, dtype=np.int32))
+    keys = pa.BinaryArray.from_buffers(
+        pa.binary(), n, [None, offsets.buffers()[1], flat]
+    )
+    return pa.RecordBatch.from_arrays([keys], names=["flow_key"])
+
+
 def _trace_blob_kernel(key_size: int):
     """mapInArrow kernel over a (content binary) column of whole trace
     files — module-level so the null-content guard is unit-testable."""
@@ -41,17 +56,8 @@ def _trace_blob_kernel(key_size: int):
                 n = len(blob) // key_size
                 if n == 0:
                     continue
-                # zero-copy: the binary column's data buffer IS the
-                # file bytes (py_buffer holds the memoryview which
-                # holds the Arrow buffer — no tobytes copy)
-                flat = pa.py_buffer(blob[: n * key_size])
-                offsets = pa.array(
-                    np.arange(0, (n + 1) * key_size, key_size, dtype=np.int32)
-                )
-                keys = pa.BinaryArray.from_buffers(
-                    pa.binary(), n, [None, offsets.buffers()[1], flat]
-                )
-                yield pa.RecordBatch.from_arrays([keys], names=["flow_key"])
+                # the binary column's data buffer IS the file bytes
+                yield _emit_keys(blob[: n * key_size], key_size)
 
     return slice_records
 
@@ -108,17 +114,7 @@ def read_flow_trace_stream(
 
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         def emit(mv) -> pa.RecordBatch:
-            # mv length is a multiple of key_size; zero-copy wrap (the
-            # py_buffer keeps the chunk alive — no tobytes copy)
-            n = len(mv) // key_size
-            flat = pa.py_buffer(mv)
-            offsets = pa.array(
-                np.arange(0, (n + 1) * key_size, key_size, dtype=np.int32)
-            )
-            keys = pa.BinaryArray.from_buffers(
-                pa.binary(), n, [None, offsets.buffers()[1], flat]
-            )
-            return pa.RecordBatch.from_arrays([keys], names=["flow_key"])
+            return _emit_keys(mv, key_size)
 
         for batch in batches:
             for p in batch.column(0).to_pylist():
@@ -191,15 +187,17 @@ def read_flow_trace_split(
         # only empty/sub-record files: an empty result with the schema
         return spark.createDataFrame([], _KEY_SCHEMA)
     par = parallelism or min(len(slices), spark.sparkContext.defaultParallelism)
-    # deterministic one-slice-per-task placement (see _one_file_per_task_df)
-    paths = F.array(*[F.lit(p) for p, _, _ in slices])
-    starts = F.array(*[F.lit(s) for _, s, _ in slices])
-    counts = F.array(*[F.lit(c) for _, _, c in slices])
-    idx = (F.col("id") + 1).cast("int")
-    pdf = spark.range(0, len(slices), 1, min(par, len(slices))).select(
-        F.element_at(paths, idx).alias("path"),
-        F.element_at(starts, idx).alias("start_rec"),
-        F.element_at(counts, idx).alias("n_rec"),
+    # deterministic one-slice-per-task placement (see _rows_per_task_df)
+    from .warc import _rows_per_task_df
+
+    pdf = _rows_per_task_df(
+        spark,
+        {
+            "path": [p for p, _, _ in slices],
+            "start_rec": [s for _, s, _ in slices],
+            "n_rec": [c for _, _, c in slices],
+        },
+        par,
     )
 
     # chunk reads stay record-aligned so every emitted buffer is a
@@ -208,15 +206,7 @@ def read_flow_trace_split(
 
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         def emit(mv) -> pa.RecordBatch:
-            n = len(mv) // key_size
-            flat = pa.py_buffer(mv)
-            offsets = pa.array(
-                np.arange(0, (n + 1) * key_size, key_size, dtype=np.int32)
-            )
-            keys = pa.BinaryArray.from_buffers(
-                pa.binary(), n, [None, offsets.buffers()[1], flat]
-            )
-            return pa.RecordBatch.from_arrays([keys], names=["flow_key"])
+            return _emit_keys(mv, key_size)
 
         for batch in batches:
             for p, start, cnt in zip(

@@ -109,23 +109,37 @@ def extract_text(html: bytes) -> str:
     return " ".join(s.split())
 
 
-def _one_file_per_task_df(
-    spark: SparkSession, files: list[str], par: int
+def _rows_per_task_df(
+    spark: SparkSession, cols: "dict[str, list]", par: int
 ) -> DataFrame:
-    """(path) DataFrame with files spread EVENLY over ``par``
-    partitions. Neither hash partitioning (path-hash collisions) nor
+    """Small work-list DataFrame (one row per element of each column
+    in ``cols``, all the same length) spread EVENLY over ``par``
+    partitions. Neither hash partitioning (key-hash collisions) nor
     ``repartition(n)`` round-robin (Spark picks a RANDOM starting
     target per input partition, so a handful of 1-row partitions can
     collide onto one task — measured 2x wall on an 8-file read) places
     few-row DataFrames evenly; ``spark.range`` with explicit
     numPartitions slices deterministically, and ``element_at`` maps
-    ids back to paths JVM-side."""
+    ids back to values JVM-side. Shared by every source that fans a
+    driver-built work list (files, byte ranges, record slices) out to
+    tasks."""
     from pyspark.sql import functions as F
 
-    paths = F.array(*[F.lit(f) for f in files])
-    return spark.range(0, len(files), 1, min(par, len(files))).select(
-        F.element_at(paths, (F.col("id") + 1).cast("int")).alias("path")
+    n = len(next(iter(cols.values())))
+    idx = (F.col("id") + 1).cast("int")
+    return spark.range(0, n, 1, min(par, n)).select(
+        *[
+            F.element_at(F.array(*[F.lit(v) for v in vals]), idx).alias(name)
+            for name, vals in cols.items()
+        ]
     )
+
+
+def _one_file_per_task_df(
+    spark: SparkSession, files: list[str], par: int
+) -> DataFrame:
+    """(path) work-list DataFrame — see ``_rows_per_task_df``."""
+    return _rows_per_task_df(spark, {"path": files}, par)
 
 
 class _StreamParser:
@@ -427,7 +441,7 @@ def build_warc_index(
         pending = b""
         d = zlib.decompressobj(wbits=31)
         head = b""
-        first = True
+        sniff = b""  # accumulate 2 magic bytes — openers may short-read
         while True:
             if pending:
                 data, pending = pending, b""
@@ -435,9 +449,9 @@ def build_warc_index(
                 data = fh.read(chunk_bytes)
                 if not data:
                     break
-            if first:
-                first = False
-                if bytes(data[:2]) != b"\x1f\x8b":
+            if len(sniff) < 2:
+                sniff += bytes(data[: 2 - len(sniff)])
+                if len(sniff) >= 2 and sniff != b"\x1f\x8b":
                     raise ValueError(
                         f"{path}: not gzip — a plain .warc has no member "
                         "boundaries to index; use read_warc/read_warc_stream"
@@ -483,9 +497,15 @@ def write_warc_index(path: str, offsets: list[int], index_path: str | None = Non
     import pyarrow.parquet as pq
 
     index_path = index_path or _index_sidecar_path(path)
+    st = os.stat(path)
     table = pa.table(
         {"offset": pa.array(offsets, type=pa.int64())},
-        metadata={b"warc_file_size": str(os.path.getsize(path)).encode()},
+        metadata={
+            b"warc_file_size": str(st.st_size).encode(),
+            # size alone misses a same-length in-place rewrite; mtime
+            # closes that hole
+            b"warc_file_mtime_ns": str(st.st_mtime_ns).encode(),
+        },
     )
     pq.write_table(table, index_path)
     return index_path
@@ -493,9 +513,10 @@ def write_warc_index(path: str, offsets: list[int], index_path: str | None = Non
 
 def load_warc_index(path: str, index_path: str | None = None) -> list[int] | None:
     """Load a previously-written sidecar index, or None when the
-    sidecar is absent or STALE (the archive's size changed — e.g. a
-    crawler appended members since the index was built; silently using
-    it would drop the new tail from every ranged read)."""
+    sidecar is absent or STALE (the archive's size or mtime changed —
+    e.g. a crawler appended members, or rewrote the file in place at
+    the same length, since the index was built; silently using it
+    would seek to offsets that are no longer member starts)."""
     import os
 
     import pyarrow.parquet as pq
@@ -505,8 +526,14 @@ def load_warc_index(path: str, index_path: str | None = None) -> list[int] | Non
         return None
     table = pq.read_table(index_path)
     meta = table.schema.metadata or {}
+    st = os.stat(path)
     recorded = meta.get(b"warc_file_size")
-    if recorded is None or int(recorded) != os.path.getsize(path):
+    if recorded is None or int(recorded) != st.st_size:
+        return None
+    mtime = meta.get(b"warc_file_mtime_ns")
+    # same-size in-place rewrites move mtime; indexes written before
+    # the mtime field existed (no key) stay usable
+    if mtime is not None and int(mtime) != st.st_mtime_ns:
         return None
     return table.column("offset").to_pylist()
 
@@ -568,14 +595,16 @@ def read_warc_indexed(
     starts = [int(offs[0])] + [int(offs[i]) for i in cut_idx]
     ends = starts[1:] + [size]
     ranges = [(s, e) for s, e in zip(starts, ends) if e > s]
-    # deterministic one-range-per-task placement (see
-    # _one_file_per_task_df for why repartition(n) is not that)
-    starts_lit = F_.array(*[F_.lit(s) for s, _ in ranges])
-    ends_lit = F_.array(*[F_.lit(e) for _, e in ranges])
-    pdf = spark.range(0, len(ranges), 1, len(ranges)).select(
-        F_.lit(raw).alias("path"),
-        F_.element_at(starts_lit, (F_.col("id") + 1).cast("int")).alias("start"),
-        F_.element_at(ends_lit, (F_.col("id") + 1).cast("int")).alias("end"),
+    # deterministic one-range-per-task placement (see _rows_per_task_df
+    # for why repartition(n) is not that)
+    pdf = _rows_per_task_df(
+        spark,
+        {
+            "path": [raw] * len(ranges),
+            "start": [s for s, _ in ranges],
+            "end": [e for _, e in ranges],
+        },
+        len(ranges),
     )
 
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:

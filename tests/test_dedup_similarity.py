@@ -972,6 +972,60 @@ class TestVideoAvi:
         with pytest.raises(ValueError):
             decode_avi(encode_avi(frames)[:-40])
 
+    def test_audio_first_stream_list_is_skipped(self):
+        """An AVI may legally list its audio strl before the video one;
+        the audio strf (WAVEFORMATEX) must not be parsed as frame
+        geometry."""
+        import struct
+
+        from heavykeeper_rs_spark.operators.multimodal import decode_avi, encode_avi
+
+        def chunk(fourcc, data):
+            return (
+                fourcc + struct.pack("<I", len(data)) + data
+                + (b"\0" if len(data) & 1 else b"")
+            )
+
+        frames = self._clip(n=3)
+        orig = encode_avi(frames, fps=10)
+        # audio strf: 24 bytes that would decode as w=9999 garbage if
+        # mistaken for a BITMAPINFOHEADER
+        audio_strf = struct.pack("<Iii", 0, 9999, 9999) + struct.pack("<HHII", 1, 8, 0, 0)
+        audio_strl = chunk(
+            b"LIST",
+            b"strl"
+            + chunk(b"strh", b"auds" + b"\0" * 52)
+            + chunk(b"strf", audio_strf),
+        )
+        body = audio_strl + orig[12:]
+        blob = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"AVI " + body
+        got = decode_avi(blob)
+        assert got.shape == frames.shape and (got == frames).all()
+
+    def test_sample_frames_null_media_id(self, spark):
+        """A null id row costs itself an ok=false row, never the task."""
+        from pyspark.sql.types import (
+            BinaryType,
+            LongType,
+            StructField,
+            StructType,
+        )
+
+        from heavykeeper_rs_spark.operators.multimodal import encode_avi, sample_frames
+
+        f1 = self._clip(n=2, h=4, w=4, seed=5)
+        schema = StructType(
+            [StructField("mid", LongType(), True), StructField("blob", BinaryType(), True)]
+        )
+        df = spark.createDataFrame(
+            [(7, bytes(encode_avi(f1))), (None, bytes(encode_avi(f1)))], schema
+        )
+        out = sample_frames(df, "mid", "blob").collect()
+        good = [r for r in out if r["media_id"] == 7]
+        bad = [r for r in out if r["media_id"] == -1]
+        assert len(good) == 2 and all(r["ok"] for r in good)
+        assert len(bad) == 1 and not bad[0]["ok"] and "media id" in bad[0]["error"]
+
     def test_sample_frames_spark_end_to_end(self, spark):
         from heavykeeper_rs_spark.operators.multimodal import (
             encode_avi,

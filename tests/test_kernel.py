@@ -408,12 +408,22 @@ def _dense_preagg_body():
     b.add_batch(neg)
     assert b.estimate(np.asarray([-3], dtype=np.int64))[0] == 5000
 
+    # uint64 batches take the dense lane too (bincount can't safe-cast
+    # uint64 — the lane must int64-view them; regression for a crash)
+    ukeys = keys.astype(np.uint64)
+    c = HeavyKeeper(wide)
+    c.add_batch(ukeys)
+    assert dict(c.list()) == truth
+
     # the variants share the dense _preagg twin
     from heavykeeper_rs_spark.variants import BucketedTopK, CuckooTopK
 
     for cls in (BucketedTopK, CuckooTopK):
         vd = cls(600, 8192, 4, seed=7)
-        vd.add_batch(keys)
+        vd.add_batch(ukeys)  # uint64: exercises the int64-view guard
+        vd2 = cls(600, 8192, 4, seed=7)
+        vd2.add_batch(keys)
+        assert dict(vd2.list()) == truth, cls.__name__
         vf = cls(600, 8192, 4, seed=7)
         for chunk in np.array_split(keys, 8):
             vf.add_batch(chunk)

@@ -619,6 +619,48 @@ class TestIndexedReader:
         rows = read_warc_indexed(spark, str(p), n_splits=4).collect()
         assert len(rows) == len(recs) + 5  # rebuilt index covers the tail
 
+    def test_same_size_rewrite_invalidates_index(self, tmp_path):
+        """Size alone misses an in-place rewrite that lands on the same
+        byte length; the sidecar's mtime field catches it."""
+        import os
+
+        from heavykeeper_rs_spark.sources.warc import (
+            build_warc_index,
+            load_warc_index,
+            write_warc_index,
+        )
+
+        p, _ = self._archive(tmp_path, n=20)
+        write_warc_index(str(p), build_warc_index(str(p)))
+        assert load_warc_index(str(p)) is not None
+        p.write_bytes(p.read_bytes())  # same size, rewritten in place
+        os.utime(p, ns=(1_000_000_000, 9_876_543_210_000_000))
+        assert load_warc_index(str(p)) is None  # stale: mtime moved
+
+    def test_build_index_with_short_reading_opener(self, tmp_path):
+        """A stream whose first read returns 1 byte (object-store
+        openers short-read) must still classify the archive as gzip."""
+        from heavykeeper_rs_spark.sources.warc import build_warc_index
+
+        p, _ = self._archive(tmp_path, n=12)
+        direct = build_warc_index(str(p))
+
+        class Short:
+            def __init__(self, fh):
+                self.fh, self.first = fh, True
+
+            def read(self, n=-1):
+                if self.first:
+                    self.first = False
+                    return self.fh.read(1)
+                return self.fh.read(n)
+
+            def close(self):
+                self.fh.close()
+
+        got = build_warc_index(str(p), opener=lambda pp: Short(open(pp, "rb")))
+        assert got == direct and len(got) == 12
+
     def test_multirecord_and_spanning_members_split_safely(self, spark, tmp_path):
         """Members holding several records index normally; a member that
         starts MID-record is never a split point, so a record spanning
