@@ -57,6 +57,32 @@ VARIANTS = {
     "cuckoo": CuckooTopK,
 }
 
+#: Default candidate-pool floor for the DISTRIBUTED top-k operators.
+#:
+#: The final top-k is chosen from the UNION of the partials' priority
+#: queues (cells carry only fingerprints, so an item no partial ever
+#: admitted cannot be *named* at merge time). On a near-uniform domain
+#: of D keys, a k-sized partial PQ is sampled almost uniformly from
+#: the D keys, so a true top-k member survives P partitions with
+#: probability ~ 1 - (1 - k/D)^P — at D=800, k=20, P=32 that loses
+#: ~1 in 4 of the true top-20 (observed at the 100x rehearsal).
+#: Tracking ``max(2k, 256)`` candidates per partial drives the miss
+#: probability below 1e-5 there while costing only ~tens of KiB per
+#: blob next to the MiB-scale cell arrays. ``candidates=`` overrides
+#: the floor in either direction (e.g. huge grouped jobs where blob
+#: count x PQ size dominates shuffle bytes). The kernel-level sketch
+#: (``topk_sketch``, ``contains_top_k``) keeps the reference's exact
+#: k-sized PQ semantics — the floor applies only to operators that
+#: cut their result back to k rows.
+_CANDIDATE_FLOOR = 256
+
+
+def _track_k(k: int, tie_break_key: bool, candidates: int | None) -> int:
+    """Partial-PQ size for a distributed top-``k`` (see
+    ``_CANDIDATE_FLOOR``)."""
+    base = 2 * k if tie_break_key else k
+    return max(base, _CANDIDATE_FLOOR if candidates is None else int(candidates))
+
 
 def local_result_df(spark: SparkSession, data: list, schema) -> DataFrame:
     """Tiny driver-side result list -> DataFrame via pandas/Arrow.
@@ -418,6 +444,7 @@ def topk(
     merge_groups: int = 64,
     tie_break_key: bool = False,
     variant: str = "topk",
+    candidates: int | None = None,
 ) -> DataFrame:
     """Top-K most frequent values of ``df[col]`` as a DataFrame
     ``(item string, count long)`` ordered by count desc.
@@ -425,18 +452,22 @@ def topk(
     ``tie_break_key=True`` orders ties by item asc (instead of the
     reference's insertion-sequence rule, src/priority_queue.rs:204-207)
     — needed for deterministic comparison against SQL oracles. The
-    sketch tracks 2k candidates then cuts to k so boundary ties resolve
-    identically to ``ORDER BY count DESC, item LIMIT k`` whenever the
-    sketch is exact in that regime.
+    sketch tracks ``max(2k, _CANDIDATE_FLOOR)`` candidates then cuts
+    to k, so boundary ties resolve identically to ``ORDER BY count
+    DESC, item LIMIT k`` whenever the sketch is exact in that regime
+    AND the candidate pool survives the union-of-partial-PQs noise on
+    flat domains (see ``_CANDIDATE_FLOOR``). ``candidates=`` pins the
+    partial PQ size explicitly.
     """
-    track = 2 * k if tie_break_key else k
+    track = _track_k(k, tie_break_key, candidates)
     sk = topk_sketch(
         df, col, track, width, depth, decay, seed, weight_col, merge_groups, variant
     )
     spark = df.sparkSession
     rows = sk.list()
     if tie_break_key:
-        rows = sorted(rows, key=lambda t: (-t[1], t[0]))[:k]
+        rows = sorted(rows, key=lambda t: (-t[1], t[0]))
+    rows = rows[:k]
     data = [(_item_str(item), int(c)) for item, c in rows]
     schema = StructType(
         [StructField("item", StringType(), False), StructField("count", LongType(), False)]
@@ -572,6 +603,7 @@ def topk_tokens(
     max_token_len: int = 64,
     merge_groups: int = 64,
     tie_break_key: bool = False,
+    candidates: int | None = None,
 ) -> DataFrame:
     """Top-K tokens with tokenization INSIDE the sketch kernel.
 
@@ -587,7 +619,8 @@ def topk_tokens(
     import re
 
     params = HKParams(
-        k=2 * k if tie_break_key else k, width=width, depth=depth, decay=decay, seed=seed
+        k=_track_k(k, tie_break_key, candidates),
+        width=width, depth=depth, decay=decay, seed=seed,
     )
     rex = re.compile(token_re)
     import os
@@ -651,7 +684,8 @@ def topk_tokens(
     )
     rows = sk.list()
     if tie_break_key:
-        rows = sorted(rows, key=lambda t: (-t[1], t[0]))[:k]
+        rows = sorted(rows, key=lambda t: (-t[1], t[0]))
+    rows = rows[:k]
     data = [(item.decode("utf-8", errors="replace"), int(c)) for item, c in rows]
     schema = StructType(
         [StructField("item", StringType(), False), StructField("count", LongType(), False)]
@@ -825,6 +859,7 @@ def topk_by_group(
     max_live_groups: int = 4096,
     weight_col: str | None = None,
     variant: str = "topk",
+    candidates: int | None = None,
 ) -> DataFrame:
     """Top-K keys within each group — one sketch per group, built
     scale-safe: partial sketches per (partition, group) map-side, then
@@ -846,7 +881,8 @@ def topk_by_group(
     if variant not in VARIANTS:
         raise ValueError(f"unknown variant {variant!r}; one of {sorted(VARIANTS)}")
     params = HKParams(
-        k=2 * k if tie_break_key else k, width=width, depth=depth, decay=decay, seed=seed
+        k=_track_k(k, tie_break_key, candidates),
+        width=width, depth=depth, decay=decay, seed=seed,
     )
     out_schema = StructType(
         [
@@ -884,7 +920,8 @@ def topk_by_group(
         sk = _deserialize_variant(variant, _merge_variant_blobs(variant, blobs))
         rows = sk.list()
         if tie_break_key:
-            rows = sorted(rows, key=lambda t: (-t[1], t[0]))[:k]
+            rows = sorted(rows, key=lambda t: (-t[1], t[0]))
+        rows = rows[:k]
         return pd.DataFrame(
             {
                 "group": [group] * len(rows),
@@ -981,6 +1018,7 @@ def topk_by_grouping_sets(
     max_live_groups: int = 4096,
     weight_col: str | None = None,
     variant: str = "topk",
+    candidates: int | None = None,
 ) -> DataFrame:
     """Sketch top-K over GROUPING SETS: one HeavyKeeper per group per
     grouping set, output (grouping, group, item, count).
@@ -1002,7 +1040,7 @@ def topk_by_grouping_sets(
         k=k, width=width, depth=depth, decay=decay, seed=seed,
         tie_break_key=tie_break_key, fan_in=fan_in,
         max_live_groups=max_live_groups, weight_col=weight_col,
-        variant=variant,
+        variant=variant, candidates=candidates,
     )
     outs = []
     for cols in grouping_sets:
@@ -1023,6 +1061,7 @@ def topk_by_grouping_sets(
                 df, key_col, k, width=width, depth=depth, decay=decay,
                 seed=seed, weight_col=weight_col, merge_groups=fan_in,
                 tie_break_key=tie_break_key, variant=variant,
+                candidates=candidates,
             )
             part = base.select(
                 F.lit("()").alias("group"), F.col("item"), F.col("count")

@@ -257,3 +257,37 @@ def test_build_vocab_exact(spark):
     # full vocab -> full coverage
     _, cov_all = build_vocab(df, "text", 10, width=1024)
     assert cov_all == 1.0
+
+
+def test_flat_domain_candidate_pool_survives_partition_noise(spark):
+    """100x-rehearsal regression (sf10 token gate): on a near-uniform
+    domain the per-partition top-k is sampling noise, so the union of
+    k-sized partial PQs misses true top-k members (~1-(1-k/D)^P). The
+    _CANDIDATE_FLOOR overprovision must keep the distributed result
+    equal to the exact oracle in the exact regime."""
+    rng = np.random.default_rng(7)
+    n_keys, base = 800, 300
+    counts = np.full(n_keys, base, dtype=np.int64)
+    counts[:10] += np.arange(12, 2, -1)  # true top-10, margins of 1-2
+    keys = np.repeat(np.arange(n_keys), counts)
+    rng.shuffle(keys)  # spread occurrences so partitions see noise
+    df = (
+        spark.createDataFrame(
+            [(f"k{int(x):04d}",) for x in keys], "key string"
+        ).repartition(32)
+    )
+    expect = [(f"k{i:04d}", int(counts[i])) for i in range(10)]
+    got = [
+        (r["item"], r["count"])
+        for r in topk(
+            df, "key", k=10, width=65536, depth=4, tie_break_key=True
+        ).collect()
+    ]
+    assert got == expect
+    # explicit candidates= is honored and still cuts the result to k
+    got_wide = topk(
+        df, "key", k=10, width=65536, depth=4, tie_break_key=True,
+        candidates=1024,
+    ).collect()
+    assert len(got_wide) == 10
+    assert [(r["item"], r["count"]) for r in got_wide] == expect
