@@ -291,3 +291,27 @@ def test_flat_domain_candidate_pool_survives_partition_noise(spark):
     ).collect()
     assert len(got_wide) == 10
     assert [(r["item"], r["count"]) for r in got_wide] == expect
+
+
+def test_flat_domain_candidate_pool_by_group(spark):
+    """The _CANDIDATE_FLOOR overprovision must also protect the
+    grouped blob tree: per-(partition, group) partials sample the
+    same union-of-PQs noise as the global operator."""
+    from heavykeeper_rs_spark.operators.topk import topk_by_group
+
+    rng = np.random.default_rng(11)
+    n_keys, base = 400, 120
+    counts = np.full(n_keys, base, dtype=np.int64)
+    counts[:5] += np.arange(7, 2, -1)  # true top-5 per group
+    rows = []
+    for g in ("a", "b"):
+        keys = np.repeat(np.arange(n_keys), counts)
+        rng.shuffle(keys)
+        rows += [(g, f"k{int(x):04d}") for x in keys]
+    df = spark.createDataFrame(rows, "g string, key string").repartition(32)
+    got = topk_by_group(df, "g", "key", k=5, width=65536, depth=4)
+    by_group = {}
+    for r in got.collect():
+        by_group.setdefault(r["group"], []).append((r["item"], r["count"]))
+    expect = [(f"k{i:04d}", int(counts[i])) for i in range(5)]
+    assert by_group == {"a": expect, "b": expect}
