@@ -291,6 +291,21 @@ def test_flat_domain_candidate_pool_survives_partition_noise(spark):
     ).collect()
     assert len(got_wide) == 10
     assert [(r["item"], r["count"]) for r in got_wide] == expect
+    # coverage must not decay across merge-tree LEVELS (fan_in=2 over
+    # 32 partitions forces a 5-level tree) nor differ per layout
+    for kwargs in (
+        {"merge_groups": 2},
+        {"variant": "bucketed"},
+        {"variant": "cuckoo"},
+    ):
+        got_v = [
+            (r["item"], r["count"])
+            for r in topk(
+                df, "key", k=10, width=65536, depth=4,
+                tie_break_key=True, **kwargs,
+            ).collect()
+        ]
+        assert got_v == expect, kwargs
 
 
 def test_flat_domain_candidate_pool_by_group(spark):
