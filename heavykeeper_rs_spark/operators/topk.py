@@ -715,14 +715,21 @@ def grouped_partial_builder(
     the sketch family (``feed(sketch, values, weights)`` when
     ``weighted`` — the batch then carries a third weight column; rows
     with a null value OR weight are skipped). Each mapper keeps at most
-    ``max_live_groups`` live sketches; when a batch pushes it past the
-    cap, the least-recently-touched half is serialized, emitted early,
-    and evicted — the per-group merge tree downstream folds multiple
-    blobs per (partition, group), so early emission is merely more
-    partials, never wrong. High-cardinality group keys (urls, users)
-    therefore cost O(max_live_groups × sketch size) per mapper instead
-    of O(all groups seen).
+    ``max_live_groups`` live sketches; when feeding pushes it past the
+    cap, the least-recently-touched sketches are serialized, emitted
+    early, and evicted down to half the cap — the per-group merge tree
+    downstream folds multiple blobs per (partition, group), so early
+    emission is merely more partials, never wrong. The cap is enforced
+    INSIDE the per-batch group loop, not just between batches: one
+    Arrow batch can carry more distinct groups than the cap (64k-row
+    batches over a URL-scale group key), and a between-batches-only
+    check would let the live dict spike to O(batch distinct groups)
+    sketches. High-cardinality group keys therefore cost
+    O(max_live_groups × sketch size) per mapper instead of O(all
+    groups seen) — with eviction-to-half, a group-ordered stream still
+    amortizes to one blob per (partition, group).
     """
+    cap = max(int(max_live_groups), 2)
 
     def build(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         ctx = TaskContext.get()
@@ -762,6 +769,9 @@ def grouped_partial_builder(
                     if gn not in sketches:
                         sketches[gn] = new_sketch(pid)
                         touch[gn] = t
+                    if len(sketches) > cap:
+                        olds = sorted(touch, key=touch.get)[: len(sketches) - cap // 2]
+                        yield flush(olds)
                 g, v = g[valid], v[valid]
                 if w is not None:
                     w = w[valid]
@@ -780,9 +790,13 @@ def grouped_partial_builder(
                 else:
                     feed(sk, v[sel], w[sel])
                 touch[ug[gi]] = t
-            if len(sketches) > max_live_groups:
-                olds = sorted(touch, key=touch.get)[: len(sketches) // 2]
-                yield flush(olds)
+                if len(sketches) > cap:
+                    # evict to half the cap so a stream of fresh groups
+                    # flushes in cap/2-sized chunks, not one group at a
+                    # time; LRU order — groups fed earlier in THIS batch
+                    # are eligible (their blobs merge downstream)
+                    olds = sorted(touch, key=touch.get)[: len(sketches) - cap // 2]
+                    yield flush(olds)
         if sketches:
             yield flush(list(sketches))
 

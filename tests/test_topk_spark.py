@@ -330,3 +330,62 @@ def test_flat_domain_candidate_pool_by_group(spark):
         by_group.setdefault(r["group"], []).append((r["item"], r["count"]))
     expect = [(f"k{i:04d}", int(counts[i])) for i in range(5)]
     assert by_group == {"a": expect, "b": expect}
+
+
+def test_grouped_builder_caps_live_sketches_within_batch():
+    """One Arrow batch can carry more distinct groups than
+    max_live_groups; the cap must hold INSIDE the batch loop (a
+    between-batches check lets live memory spike to O(batch distinct
+    groups)). Asserts flushes happen mid-batch, the live count never
+    exceeds the cap at any yield point, and the merged blobs still
+    give exact counts."""
+    import pyarrow as pa
+
+    from heavykeeper_rs_spark.kernel import HeavyKeeper, HKParams, merge_blobs
+    from heavykeeper_rs_spark.operators.topk import grouped_partial_builder
+
+    params = HKParams(k=8, width=1024, depth=4, decay=0.9, seed=1)
+    created = 0
+
+    def new_sketch(pid):
+        nonlocal created
+        created += 1
+        return HeavyKeeper(params)
+
+    cap = 8
+    build = grouped_partial_builder(
+        new_sketch, lambda sk, vals: sk.add_batch(vals), max_live_groups=cap
+    )
+    n_groups, reps = 100, 3
+    groups = [f"g{i:03d}" for i in range(n_groups) for _ in range(reps)]
+    vals = [f"v{i % 5}" for i in range(len(groups))]
+    batch = pa.RecordBatch.from_pydict(
+        {"g": pa.array(groups), "v": pa.array(vals)}
+    )
+    blobs: dict[str, list[bytes]] = {}
+    n_flushes = 0
+    flushed = 0
+    for out in build(iter([batch])):
+        n_flushes += 1
+        flushed += out.num_rows
+        # live sketches = created - flushed; never above the cap + the
+        # one group that triggered the flush
+        assert created - flushed <= cap
+        for g, blob in zip(
+            out.column("group").to_pylist(), out.column("sketch").to_pylist()
+        ):
+            blobs.setdefault(g, []).append(blob)
+    assert n_flushes > 1, "cap never triggered a mid-batch flush"
+    assert len(blobs) == n_groups and flushed == created
+    # exact-regime correctness survives the eviction churn
+    for g in ("g000", "g042", "g099"):
+        sk = HeavyKeeper.deserialize(merge_blobs(blobs[g]))
+        got = {it.decode(): c for it, c in sk.list()}
+        # each group saw reps rows cycling v0..v4
+        import collections
+        exact = collections.Counter(
+            f"v{i % 5}"
+            for i, gg in enumerate(groups)
+            if gg == g
+        )
+        assert got == dict(exact)
