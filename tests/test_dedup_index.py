@@ -1,0 +1,125 @@
+"""Incremental dedup against a persisted MinHash index
+(operators/dedup_index.py): build, probe, append, scale-plan shape."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from heavykeeper_rs_spark.operators.dedup_index import (
+    build_minhash_index,
+    dedup_against_index,
+    minhash_index_rows,
+    read_index_meta,
+    update_minhash_index,
+)
+
+VOCAB = [f"word{i:02d}" for i in range(40)]
+NOVEL = [f"zzz{i:02d}q" for i in range(40)]
+
+
+def _doc(rng, vocab, n=30):
+    return " ".join(rng.choice(vocab, size=n))
+
+
+@pytest.fixture(scope="module")
+def corpus_and_increment(spark, tmp_path_factory):
+    rng = np.random.default_rng(5)
+    corpus = [(i, _doc(rng, VOCAB)) for i in range(200)]
+    inc = []
+    # 10 exact duplicates of corpus docs (fresh ids)
+    for j in range(10):
+        inc.append((1000 + j, corpus[j * 7][1]))
+    # 10 near-duplicates: one word swapped
+    for j in range(10):
+        words = corpus[j * 11 + 1][1].split()
+        words[3] = "swapped"
+        inc.append((2000 + j, " ".join(words)))
+    # 20 novel docs over a disjoint vocabulary
+    for j in range(20):
+        inc.append((3000 + j, _doc(rng, NOVEL)))
+    cdf = spark.createDataFrame(corpus, "doc_id long, text string").repartition(4)
+    idf = spark.createDataFrame(inc, "doc_id long, text string").repartition(2)
+    index_dir = str(tmp_path_factory.mktemp("mhidx") / "index")
+    build_minhash_index(cdf, "doc_id", "text", index_dir, n_hashes=128, bands=16)
+    return cdf, idf, index_dir, corpus
+
+
+def test_meta_roundtrip(spark, corpus_and_increment):
+    _, _, index_dir, _ = corpus_and_increment
+    assert read_index_meta(spark, index_dir) == {
+        "n_hashes": 128, "shingle": 5, "bands": 16, "seed": 12345,
+    }
+
+
+def test_index_rows_shape(spark, corpus_and_increment):
+    cdf, _, _, _ = corpus_and_increment
+    rows = minhash_index_rows(cdf.limit(3), "doc_id", "text")
+    pdf = rows.toPandas()
+    assert len(pdf) == 3 * 16
+    # sig present exactly on the band-0 row, 128 lanes of 8 bytes
+    assert (pdf["band"] == 0).sum() == 3
+    for _, r in pdf.iterrows():
+        if r["band"] == 0:
+            assert len(r["sig"]) == 128 * 8
+        else:
+            assert r["sig"] is None
+
+
+def test_increment_dedup_finds_dups_and_skips_novel(spark, corpus_and_increment):
+    _, idf, index_dir, corpus = corpus_and_increment
+    pairs = dedup_against_index(idf, "doc_id", "text", index_dir).toPandas()
+    by_new = {int(r.new_id): (int(r.corpus_id), float(r.est_jaccard))
+              for r in pairs.itertuples()}
+    # every exact duplicate matches its source with est_jaccard 1.0
+    for j in range(10):
+        cid, est = by_new[1000 + j]
+        assert cid == j * 7 and est == 1.0
+    # every near-duplicate matches its source above threshold
+    for j in range(10):
+        assert 2000 + j in by_new
+        cid, est = by_new[2000 + j]
+        assert cid == j * 11 + 1 and est >= 0.7
+    # novel docs produce no pairs
+    assert all(nid < 3000 for nid in by_new)
+
+
+def test_update_index_then_probe(spark, corpus_and_increment, tmp_path):
+    cdf, _, index_dir0, corpus = corpus_and_increment
+    # fresh copy of the index so this test cannot pollute the fixture
+    index_dir = str(tmp_path / "index")
+    build_minhash_index(cdf, "doc_id", "text", index_dir)
+    extra = spark.createDataFrame(
+        [(500, corpus[0][1] + " tail tail")], "doc_id long, text string"
+    )
+    update_minhash_index(extra, "doc_id", "text", index_dir)
+    probe = spark.createDataFrame(
+        [(9000, corpus[0][1] + " tail tail")], "doc_id long, text string"
+    )
+    pairs = dedup_against_index(probe, "doc_id", "text", index_dir).toPandas()
+    got = {(int(r.new_id), int(r.corpus_id)) for r in pairs.itertuples()}
+    assert (9000, 500) in got  # the appended doc is probe-visible
+    assert any(c == 0 for _, c in got)  # and so is the original
+
+
+def test_scale_plan_shape(spark, corpus_and_increment):
+    """The corpus side must never shuffle: both corpus joins are
+    broadcast joins (increment side broadcast), and the bucket probe
+    reads only (id, band, band_hash) — parquet column pruning keeps
+    signature bytes out of pass 1."""
+    _, idf, index_dir, _ = corpus_and_increment
+    out = dedup_against_index(idf, "doc_id", "text", index_dir)
+    # result correctness is asserted elsewhere; here check the upstream
+    # plan that produced it was broadcast-shaped. localCheckpoint hides
+    # the executed plan, so re-derive the candidate join lazily:
+    from pyspark.sql import functions as FF
+    index = spark.read.parquet(f"{index_dir}/data")
+    inc_b = minhash_index_rows(idf, "doc_id", "text").select(
+        FF.col("id").alias("new_id"), "band", "band_hash"
+    )
+    cand = index.select(FF.col("id").alias("corpus_id"), "band", "band_hash").join(
+        FF.broadcast(inc_b), ["band", "band_hash"]
+    )
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "ReadSchema: struct<id:bigint,band:bigint,band_hash:bigint>" in plan
+    assert out.count() >= 20
