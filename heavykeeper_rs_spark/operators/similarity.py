@@ -367,6 +367,23 @@ def ivf_build_index(
     return cents
 
 
+def ivf_append_index(
+    df: DataFrame, id_col: str, vec_col: str, index_path: str
+) -> None:
+    """Append new vectors to a persisted IVF index — the embedding
+    analog of the crawl-increment workflow (dedup_index.py): assign
+    each new vector with the index's OWN saved centroids (the coarse
+    quantizer never drifts between increments) and append into the
+    centroid-partitioned layout. Cost is increment-proportional;
+    existing partitions are untouched, searches keep pruning. If the
+    corpus distribution shifts enough that new mass lands on few
+    centroids, rebuild — the quantizer is a one-pass retrain
+    (``ivf_build_index``)."""
+    cents = _load_centroids(df.sparkSession, index_path)
+    assigned = ivf_assign(df, id_col, vec_col, cents, carry_vec=True)
+    assigned.write.partitionBy("centroid").mode("append").parquet(index_path)
+
+
 def _centroids_path(index_path: str) -> str:
     return index_path.rstrip("/") + "/_ivf_centroids"
 

@@ -719,6 +719,42 @@ class TestIvfIndex:
         # the query vector's own list is probed first -> top hit found
         assert pruned.collect()[0]["id"] == 0
 
+    def test_append_then_search(self, spark, tmp_path):
+        """ivf_append_index assigns increments with the SAVED
+        centroids: an appended near-copy of the query becomes the
+        top full-probe hit, and old results are undisturbed."""
+        from pyspark.sql import functions as F
+
+        from heavykeeper_rs_spark.operators.similarity import (
+            ivf_append_index,
+            ivf_build_index,
+            ivf_search_index,
+        )
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+        idxp = str(tmp_path / "ivf")
+        ivf_build_index(emb, "vec_id", "embedding", idxp, n_centroids=8, seed=1)
+        before = [
+            r["id"] for r in ivf_search_index(spark, idxp, q, k=5, n_probe=8).collect()
+        ]
+        extra = spark.createDataFrame(
+            [(99_000, q)], "vec_id long, embedding array<double>"
+        )
+        ivf_append_index(extra, "vec_id", "embedding", idxp)
+        after = ivf_search_index(spark, idxp, q, k=5, n_probe=8).collect()
+        ids = [r["id"] for r in after]
+        assert 99_000 in ids[:2] and ids[0] in (0, 99_000)  # cosine-1.0 tie
+        # appended vector landed in the query's own nearest list:
+        # pruned n_probe=1 search still finds it
+        pruned_ids = [
+            r["id"] for r in ivf_search_index(spark, idxp, q, k=5, n_probe=1).collect()
+        ]
+        assert 99_000 in pruned_ids
+        # old results undisturbed: the appended duplicate only
+        # displaces the tail of the top-5
+        assert [i for i in ids if i != 99_000] == before[:4]
+
 
 class TestBloomPrefilter:
     def test_superset_and_bounded_fp(self, spark):
