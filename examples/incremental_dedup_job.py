@@ -51,11 +51,22 @@ def main() -> None:
     inc_path, index_dir, out_path = sys.argv[2], sys.argv[3], sys.argv[4]
     tau = float(sys.argv[5]) if len(sys.argv) > 5 else 0.7
     inc = spark.read.parquet(inc_path).select("doc_id", "text")
+    # intra-increment dedup FIRST: a day's crawl refetches the same
+    # page many times; only the min-id representative of each
+    # near-dup group may survive into (and be indexed by) the corpus
+    from heavykeeper_rs_spark.operators.dedup import minhash_dedup_groups
+
+    groups = minhash_dedup_groups(inc, "doc_id", "text")
+    reps = (
+        inc.join(groups.withColumnRenamed("id", "doc_id"), "doc_id")
+        .where(F.col("doc_id") == F.col("rep_id"))
+        .select("doc_id", "text")
+    )
     pairs = dedup_against_index(
-        inc, "doc_id", "text", index_dir, min_est_jaccard=tau
+        reps, "doc_id", "text", index_dir, min_est_jaccard=tau
     )
     dupes = pairs.select(F.col("new_id").alias("doc_id")).distinct()
-    keepers = inc.join(dupes, "doc_id", "left_anti")
+    keepers = reps.join(dupes, "doc_id", "left_anti")
     keepers.write.mode("overwrite").parquet(out_path)
     kept = spark.read.parquet(out_path)
     update_minhash_index(kept, "doc_id", "text", index_dir)
@@ -64,8 +75,9 @@ def main() -> None:
             {
                 "mode": "probe",
                 "increment": inc.count(),
+                "intra_increment_reps": reps.count(),
                 "near_dup_pairs": pairs.count(),
-                "dropped": dupes.count(),
+                "dropped_vs_corpus": dupes.count(),
                 "kept_and_indexed": kept.count(),
             }
         )

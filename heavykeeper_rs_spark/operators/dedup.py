@@ -242,6 +242,57 @@ def _window_hashes(
     return h, n_sh
 
 
+def _sig_and_bands(
+    text_col_arr: pa.Array,
+    n_hashes: int,
+    shingle: int,
+    bands: int,
+    seed: int,
+    a: np.ndarray,
+    b: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray]:
+    """(sig (n, n_hashes) uint64, band_hash (n, bands) int64) for one
+    Arrow batch of documents — the SINGLE definition of the MinHash
+    signature + band-fold math. Both the batch dedup path
+    (``minhash_signatures``) and the persisted-index path
+    (``dedup_index.minhash_index_rows``) call this; index/probe
+    compatibility requires the two to stay bit-identical, so the
+    arithmetic must never be forked."""
+    n = len(text_col_arr)
+    rows_per_band = n_hashes // bands
+    offsets, data = _string_buffers(text_col_arr)
+    h_all, n_sh = _window_hashes(offsets, data, shingle, seed, mod=_MERSENNE)
+    # dedup (doc, shingle): doc index in the high bits keeps
+    # first-appearance order grouped (and non-decreasing) by doc
+    doc_idx = np.repeat(np.arange(n, dtype=np.uint64), n_sh)
+    pair = (doc_idx << _U64(31)) | h_all.astype(np.uint64)
+    _, upair = pd.factorize(pair, sort=False)
+    upair = np.asarray(upair, dtype=np.uint64)
+    doc_of = (upair >> _U64(31)).astype(np.int64)
+    h = upair & _U64(_MERSENNE)
+    starts = np.searchsorted(doc_of, np.arange(n, dtype=np.int64))
+    # sig[d, k] = min over doc d's distinct shingles of the affine
+    # uint64 permutation a_k*h + b_k (see _minhash_params) — one
+    # wrapping multiply + add per element (3.5x over the Mersenne
+    # modular loop; 2D blocked variants lose to memory traffic,
+    # measured)
+    sig = np.empty((n, n_hashes), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for kk in range(n_hashes):
+            x = h * a[kk]
+            x += b[kk]
+            sig[:, kk] = np.minimum.reduceat(x, starts)
+    # band hash: splitmix64 chain over the band's columns
+    out_hash = np.empty((n, bands), dtype=np.int64)
+    with np.errstate(over="ignore"):
+        for r in range(bands):
+            f = np.full(n, _U64(0x9E3779B97F4A7C15))
+            for c in range(r * rows_per_band, (r + 1) * rows_per_band):
+                f = _splitmix64(f ^ sig[:, c])
+            out_hash[:, r] = f.astype(np.int64)
+    return sig, out_hash
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -262,7 +313,6 @@ def minhash_signatures(
     with a vectorized splitmix64 chain.
     """
     assert n_hashes % bands == 0
-    rows_per_band = n_hashes // bands
     a, b = _minhash_params(n_hashes, seed)
     out_schema = StructType(
         [
@@ -278,36 +328,9 @@ def minhash_signatures(
             n = len(ids)
             if n == 0:
                 continue
-            offsets, data = _string_buffers(batch.column(1))
-            h_all, n_sh = _window_hashes(offsets, data, shingle, seed, mod=_MERSENNE)
-            # dedup (doc, shingle): doc index in the high bits keeps
-            # first-appearance order grouped (and non-decreasing) by doc
-            doc_idx = np.repeat(np.arange(n, dtype=np.uint64), n_sh)
-            pair = (doc_idx << _U64(31)) | h_all.astype(np.uint64)
-            _, upair = pd.factorize(pair, sort=False)
-            upair = np.asarray(upair, dtype=np.uint64)
-            doc_of = (upair >> _U64(31)).astype(np.int64)
-            h = upair & _U64(_MERSENNE)
-            starts = np.searchsorted(doc_of, np.arange(n, dtype=np.int64))
-            # sig[d, k] = min over doc d's distinct shingles of the
-            # affine uint64 permutation a_k*h + b_k (see
-            # _minhash_params) — one wrapping multiply + add per
-            # element (3.5x over the Mersenne modular loop; 2D blocked
-            # variants lose to memory traffic, measured)
-            sig = np.empty((n, n_hashes), dtype=np.uint64)
-            with np.errstate(over="ignore"):
-                for kk in range(n_hashes):
-                    x = h * a[kk]
-                    x += b[kk]
-                    sig[:, kk] = np.minimum.reduceat(x, starts)
-            # band hash: splitmix64 chain over the band's columns
-            out_hash = np.empty((n, bands), dtype=np.int64)
-            with np.errstate(over="ignore"):
-                for r in range(bands):
-                    f = np.full(n, _U64(0x9E3779B97F4A7C15))
-                    for c in range(r * rows_per_band, (r + 1) * rows_per_band):
-                        f = _splitmix64(f ^ sig[:, c])
-                    out_hash[:, r] = f.astype(np.int64)
+            _, out_hash = _sig_and_bands(
+                batch.column(1), n_hashes, shingle, bands, seed, a, b
+            )
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array(np.repeat(np.asarray(ids, dtype=np.int64), bands)),

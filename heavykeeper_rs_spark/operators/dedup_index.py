@@ -52,7 +52,6 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -64,15 +63,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from .dedup import (
-    _MERSENNE,
-    _U64,
-    _ensure_parallelism,
-    _minhash_params,
-    _splitmix64,
-    _string_buffers,
-    _window_hashes,
-)
+from .dedup import _ensure_parallelism, _minhash_params, _sig_and_bands
 
 _INDEX_SCHEMA = StructType(
     [
@@ -102,11 +93,11 @@ def minhash_index_rows(
     seed: int = 12345,
 ) -> DataFrame:
     """(id, band, band_hash, sig) rows — the index representation of a
-    document set. Same shingle/permutation/band math as
-    ``minhash_signatures`` (dedup.py) in one Arrow kernel pass, plus
-    the full signature serialized once per doc (band-0 row only)."""
+    document set. The signature/band math is ``dedup._sig_and_bands``,
+    the SAME code object ``minhash_signatures`` runs — index/probe
+    compatibility requires bit-identical hashing, so it is shared, not
+    copied (a parity test pins the two outputs together)."""
     assert n_hashes % bands == 0
-    rows_per_band = n_hashes // bands
     a, b = _minhash_params(n_hashes, seed)
 
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -115,28 +106,9 @@ def minhash_index_rows(
             n = len(ids)
             if n == 0:
                 continue
-            offsets, data = _string_buffers(batch.column(1))
-            h_all, n_sh = _window_hashes(offsets, data, shingle, seed, mod=_MERSENNE)
-            doc_idx = np.repeat(np.arange(n, dtype=np.uint64), n_sh)
-            pair = (doc_idx << _U64(31)) | h_all.astype(np.uint64)
-            _, upair = pd.factorize(pair, sort=False)
-            upair = np.asarray(upair, dtype=np.uint64)
-            doc_of = (upair >> _U64(31)).astype(np.int64)
-            h = upair & _U64(_MERSENNE)
-            starts = np.searchsorted(doc_of, np.arange(n, dtype=np.int64))
-            sig = np.empty((n, n_hashes), dtype=np.uint64)
-            with np.errstate(over="ignore"):
-                for kk in range(n_hashes):
-                    x = h * a[kk]
-                    x += b[kk]
-                    sig[:, kk] = np.minimum.reduceat(x, starts)
-            out_hash = np.empty((n, bands), dtype=np.int64)
-            with np.errstate(over="ignore"):
-                for r in range(bands):
-                    f = np.full(n, _U64(0x9E3779B97F4A7C15))
-                    for c in range(r * rows_per_band, (r + 1) * rows_per_band):
-                        f = _splitmix64(f ^ sig[:, c])
-                    out_hash[:, r] = f.astype(np.int64)
+            sig, out_hash = _sig_and_bands(
+                batch.column(1), n_hashes, shingle, bands, seed, a, b
+            )
             sig_bytes = sig.tobytes()
             row_bytes = n_hashes * 8
             sigs_col: list[bytes | None] = []
@@ -198,7 +170,17 @@ def build_minhash_index(
 
 
 def read_index_meta(spark: SparkSession, index_dir: str) -> dict:
-    row = spark.read.parquet(_meta_path(index_dir)).collect()
+    from pyspark.errors import AnalysisException
+
+    try:
+        row = spark.read.parquet(_meta_path(index_dir)).collect()
+    except AnalysisException as e:
+        raise FileNotFoundError(
+            f"no index meta at {_meta_path(index_dir)} — either the index "
+            "was never built with build_minhash_index, or a build died "
+            "between the data and meta writes (incomplete index: delete "
+            f"{index_dir} and rebuild)"
+        ) from e
     if len(row) != 1:
         raise ValueError(f"corrupt index meta at {index_dir}: {len(row)} rows")
     m = row[0].asDict()
@@ -220,6 +202,27 @@ def update_minhash_index(
     )
 
 
+def _sig_matrix(col: pa.Array, n: int, n_hashes: int) -> np.ndarray:
+    """(n, n_hashes) uint64 view of a fixed-length binary signature
+    column — zero Python-object round-trips. Arrow binary values are
+    concatenated in the data buffer, so equal-length non-null rows are
+    one contiguous region; ragged input (corrupt index) falls back to
+    a per-row copy."""
+    row_bytes = n_hashes * 8
+    off_dt = np.int64 if pa.types.is_large_binary(col.type) else np.int32
+    off = np.frombuffer(col.buffers()[1], dtype=off_dt)[
+        col.offset : col.offset + n + 1
+    ].astype(np.int64)
+    data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+    if col.null_count == 0 and (np.diff(off) == row_bytes).all():
+        flat = data[off[0] : off[-1]]
+        return np.ascontiguousarray(flat).view(np.uint64).reshape(n, n_hashes)
+    raise ValueError(
+        "signature column is ragged or has nulls — index data corrupt "
+        f"(expected fixed {row_bytes}-byte signatures)"
+    )
+
+
 def _est_jaccard_pairs(joined: DataFrame, n_hashes: int) -> DataFrame:
     """(new_id, corpus_id, est_jaccard) from rows carrying both raw
     signature blobs — one vectorized lane-agreement pass."""
@@ -229,10 +232,8 @@ def _est_jaccard_pairs(joined: DataFrame, n_hashes: int) -> DataFrame:
             n = batch.num_rows
             if n == 0:
                 continue
-            sa = b"".join(batch.column(2).to_pylist())
-            sb = b"".join(batch.column(3).to_pylist())
-            a_ = np.frombuffer(sa, dtype=np.uint64).reshape(n, n_hashes)
-            b_ = np.frombuffer(sb, dtype=np.uint64).reshape(n, n_hashes)
+            a_ = _sig_matrix(batch.column(2), n, n_hashes)
+            b_ = _sig_matrix(batch.column(3), n, n_hashes)
             est = (a_ == b_).mean(axis=1)
             yield pa.RecordBatch.from_arrays(
                 [

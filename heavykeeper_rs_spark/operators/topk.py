@@ -66,8 +66,9 @@ VARIANTS = {
 #: the D keys, so a true top-k member survives P partitions with
 #: probability ~ 1 - (1 - k/D)^P — at D=800, k=20, P=32 that loses
 #: ~1 in 4 of the true top-20 (observed at the 100x rehearsal).
-#: Tracking ``max(2k, 256)`` candidates per partial drives the miss
-#: probability below 1e-5 there while costing only ~tens of KiB per
+#: Tracking ``max(base, 256)`` candidates per partial (base = 2k with
+#: tie_break_key, else k) drives the miss probability below 1e-5
+#: there while costing only ~tens of KiB per
 #: blob next to the MiB-scale cell arrays. ``candidates=`` overrides
 #: the floor in either direction (e.g. huge grouped jobs where blob
 #: count x PQ size dominates shuffle bytes). The kernel-level sketch

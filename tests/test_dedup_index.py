@@ -111,15 +111,34 @@ def test_scale_plan_shape(spark, corpus_and_increment):
     # result correctness is asserted elsewhere; here check the upstream
     # plan that produced it was broadcast-shaped. localCheckpoint hides
     # the executed plan, so re-derive the candidate join lazily:
-    from pyspark.sql import functions as FF
     index = spark.read.parquet(f"{index_dir}/data")
     inc_b = minhash_index_rows(idf, "doc_id", "text").select(
-        FF.col("id").alias("new_id"), "band", "band_hash"
+        F.col("id").alias("new_id"), "band", "band_hash"
     )
-    cand = index.select(FF.col("id").alias("corpus_id"), "band", "band_hash").join(
-        FF.broadcast(inc_b), ["band", "band_hash"]
+    cand = index.select(F.col("id").alias("corpus_id"), "band", "band_hash").join(
+        F.broadcast(inc_b), ["band", "band_hash"]
     )
     plan = cand._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "ReadSchema: struct<id:bigint,band:bigint,band_hash:bigint>" in plan
     assert out.count() >= 20
+
+
+def test_band_hash_parity_with_batch_dedup_path(spark, corpus_and_increment):
+    """Index rows and minhash_signatures must emit IDENTICAL
+    (id, band, band_hash) triples — both run dedup._sig_and_bands, and
+    a persisted index probed by a future build must stay
+    hash-compatible with the batch path."""
+    from heavykeeper_rs_spark.operators.dedup import minhash_signatures
+
+    cdf, _, _, _ = corpus_and_increment
+    sub = cdf.limit(50)
+    a = {
+        (r["id"], r["band"], r["band_hash"])
+        for r in minhash_index_rows(sub, "doc_id", "text").collect()
+    }
+    b = {
+        (r["id"], r["band"], r["band_hash"])
+        for r in minhash_signatures(sub, "doc_id", "text").collect()
+    }
+    assert a == b and len(a) == 50 * 16

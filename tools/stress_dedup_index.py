@@ -47,8 +47,11 @@ def main() -> None:
     build_wall = round(time.time() - t0, 1)
 
     # increment: a third exact copies of corpus docs (ids shifted), a
-    # third near-dups (last 2 words replaced), a third novel docs
+    # third near-dups (last 2 words replaced), a third novel docs.
+    # Offsets scale with n_corpus so the three id ranges (and the
+    # corpus range) can never collide at any requested scale.
     third = n_inc // 3
+    off = 10 ** (len(str(n_corpus)) + 1)  # > n_corpus, power of 10
     srcs = (
         spark.range(third, numPartitions=8)
         .select(F.pmod(F.abs(F.xxhash64("id")), F.lit(n_corpus)).alias("id"))
@@ -56,17 +59,17 @@ def main() -> None:
     )
     src_docs = docs_df(srcs)
     exact = src_docs.select(
-        (F.col("id") + 10_000_000).alias("id"), "text", F.col("id").alias("want")
+        (F.col("id") + 1 * off).alias("id"), "text", F.col("id").alias("want")
     )
     near = src_docs.select(
-        (F.col("id") + 20_000_000).alias("id"),
+        (F.col("id") + 2 * off).alias("id"),
         F.concat(
             F.substring_index("text", " ", 28), F.lit(" edited tokens")
         ).alias("text"),
         F.col("id").alias("want"),
     )
     novel = docs_df(
-        spark.range(third, numPartitions=8).select((F.col("id") + 30_000_000).alias("id"))
+        spark.range(third, numPartitions=8).select((F.col("id") + 3 * off).alias("id"))
     ).select("id", "text", F.lit(None).cast("long").alias("want"))
     inc = exact.unionByName(near).unionByName(novel)
     inc.cache()
@@ -86,8 +89,8 @@ def main() -> None:
     probe_wall = round(time.time() - t0, 1)
 
     matched = {int(r["new_id"]) for r in got}
-    exact_ids = {i for i, w in truth.items() if w is not None and i < 20_000_000}
-    near_ids = {i for i, w in truth.items() if w is not None and 20_000_000 <= i < 30_000_000}
+    exact_ids = {i for i, w in truth.items() if w is not None and i < 2 * off}
+    near_ids = {i for i, w in truth.items() if w is not None and 2 * off <= i < 3 * off}
     novel_ids = {i for i, w in truth.items() if w is None}
     recall_exact = len(matched & exact_ids) / max(len(exact_ids), 1)
     recall_near = len(matched & near_ids) / max(len(near_ids), 1)
