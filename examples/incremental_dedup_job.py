@@ -19,6 +19,11 @@ Usage:
 
 Input tables need (doc_id long, text string). Prints one JSON line of
 funnel stats per run.
+
+Idempotency note: probing excludes corpus_id == new_id matches, so
+re-running the SAME increment (same doc_ids) will not self-match
+against its previously indexed copies — it will re-append them.
+Run each increment once, or key increments by unique ingest ids.
 """
 
 from __future__ import annotations
