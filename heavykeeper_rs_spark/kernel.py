@@ -720,43 +720,54 @@ class HeavyKeeper:
         rem = np.flatnonzero(~m)
         if rem.size == 0:
             return
-        # Group remaining challengers by target cell, heaviest first.
-        # Packed single-key sort: (cell << B) | (2^B-1 - w) orders by
-        # (cell asc, w desc) with one stable argsort instead of
-        # lexsort's two passes. B = 16 bits covers the weight exactly
-        # in typical batches; when any weight needs more, widen to a
-        # 32-bit digit rather than clamp — a clamped tie would let the
-        # LIGHTER of two >=2^B challengers install first and the
-        # heavier one's whole mass die in a hopeless duel against it.
-        # Truly huge weights or cell spaces fall back to the exact
-        # two-key sort.
-        wr = w[rem]
-        wmax = int(wr.max(initial=0))
-        wbits = 16 if wmax < (1 << 16) - 1 else 32
-        if wmax < (1 << wbits) - 1 and idx.size and int(idx.max()) < (1 << (63 - wbits)):
-            packed = (idx[rem].astype(np.uint64) << _U64(wbits)) | (
-                _U64((1 << wbits) - 1) - wr.astype(np.uint64)
-            )
-            nbits = wbits + int(idx.max()).bit_length()
-            order = rem[_radix_argsort(packed, nbits)]
-        else:
-            order = rem[np.lexsort((-wr, idx[rem]))]
-        cells = idx[order]
-        is_winner = np.empty(cells.shape[0], dtype=bool)
-        is_winner[0] = True
-        np.not_equal(cells[1:], cells[:-1], out=is_winner[1:])
-        winners = order[is_winner]
-        wcells = cells[is_winner]
-        # Fast path 2: winners over empty cells install directly
-        # (src/heavykeeper.rs:296-301). Winner cells are unique.
-        wempty = cnt_row[wcells] == 0
-        if wempty.any():
-            tgt = wcells[wempty]
-            src = winners[wempty]
-            fps_row[tgt] = fp[src]
-            cnt_row[tgt] = w[src].astype(np.uint64)
+        # Cross-challenger ORDERING is only needed where a cell is
+        # EMPTY (to decide who installs); at steady state the cell
+        # array is saturated and that subset is ~nil, so sorting ALL
+        # of rem (the old approach) paid a radix argsort over the
+        # whole batch for nothing. Challengers at occupied cells go
+        # straight to the duel machinery in arrival order — which is
+        # the reference's stream order (src/heavykeeper.rs:281-354
+        # processes adds strictly in sequence; weight-desc ordering
+        # was our own batching artifact).
+        rem_empty = ccnt[rem] == 0  # pre-update gather: match-add only
+        #                             touched occupied cells, so this
+        #                             still identifies empties exactly
+        occupied = rem[~rem_empty]
+        losers_at_empty = np.empty(0, dtype=occupied.dtype)
+        er = rem[rem_empty]
+        if er.size:
+            # Among challengers at the same empty cell the HEAVIEST
+            # installs (a lighter installer would make the heavier
+            # one's whole mass duel a hopeless occupant). Packed
+            # single-key sort: (cell << B) | (2^B-1 - w) orders by
+            # (cell asc, w desc); B = 16 bits covers typical weights,
+            # widen to 32 rather than clamp (a clamped tie would
+            # install the LIGHTER one); huge weights/cell spaces fall
+            # back to the exact two-key sort.
+            wr = w[er]
+            wmax = int(wr.max(initial=0))
+            wbits = 16 if wmax < (1 << 16) - 1 else 32
+            if wmax < (1 << wbits) - 1 and idx.size and int(idx.max()) < (1 << (63 - wbits)):
+                packed = (idx[er].astype(np.uint64) << _U64(wbits)) | (
+                    _U64((1 << wbits) - 1) - wr.astype(np.uint64)
+                )
+                nbits = wbits + int(idx.max()).bit_length()
+                order = er[_radix_argsort(packed, nbits)]
+            else:
+                order = er[np.lexsort((-wr, idx[er]))]
+            cells = idx[order]
+            is_winner = np.empty(cells.shape[0], dtype=bool)
+            is_winner[0] = True
+            np.not_equal(cells[1:], cells[:-1], out=is_winner[1:])
+            winners = order[is_winner]
+            wcells = cells[is_winner]
+            # Fast path 2: installs into empty cells
+            # (src/heavykeeper.rs:296-301). Winner cells are unique.
+            fps_row[wcells] = fp[winners]
+            cnt_row[wcells] = w[winners].astype(np.uint64)
+            losers_at_empty = order[~is_winner]
         # Everyone else duels the (possibly just-installed) occupant.
-        duelers = np.concatenate([winners[~wempty], order[~is_winner]])
+        duelers = np.concatenate([occupied, losers_at_empty])
         if duelers.size == 0:
             return
         # Re-check fingerprint match (a loser may share the new
