@@ -368,8 +368,13 @@ class BucketedTopK(_VariantBase):
         if has.any():
             np.add.at(flat_c, idx[has] * depth + slot[has], w[has].astype(np.uint64))
         # residue: empty-claims and min-cell duels, processed in
-        # vectorized waves (first-per-bucket each wave, heaviest first;
-        # same structure as kernel._add_row)
+        # vectorized waves (first-per-bucket each wave, heaviest
+        # first). Unlike kernel._add_row — which now sorts ONLY
+        # empty-cell challengers — this layout keeps the full sort:
+        # the wave loop dedups buckets via sorted-run adjacency
+        # (cells[1:] != cells[:-1]), which requires bucket-grouped
+        # order; an unsorted variant would need np.unique per wave
+        # and give the sort cost right back.
         rem = np.flatnonzero(~has)
         wr = w[rem]
         if rem.size and int(wr.max(initial=0)) < (1 << 20) and int(idx.max()) < (1 << 42):
