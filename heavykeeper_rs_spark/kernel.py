@@ -708,8 +708,10 @@ class HeavyKeeper:
         cfp = fps_row[idx]
         ccnt = cnt_row[idx]
         # Fast path 1: fingerprint match on a live cell -> count += w
-        # (src/heavykeeper.rs:303-307). np.add.at handles rare distinct
-        # keys sharing a fingerprint+cell.
+        # (src/heavykeeper.rs:303-307). Direct scatter-add: batch fps
+        # are unique post-factorize; two distinct keys sharing a 64-bit
+        # fp AND cell would last-write-win here — the documented
+        # ~1e-10/batch trade-off accepted in add_batch.
         m = (ccnt > 0) & (cfp == fp)
         if m.any():
             # direct scatter-add is safe here: fps within a batch are
@@ -747,11 +749,12 @@ class HeavyKeeper:
             wr = w[er]
             wmax = int(wr.max(initial=0))
             wbits = 16 if wmax < (1 << 16) - 1 else 32
-            if wmax < (1 << wbits) - 1 and idx.size and int(idx.max()) < (1 << (63 - wbits)):
+            emax = int(idx[er].max())  # only idx[er] values are packed
+            if wmax < (1 << wbits) - 1 and emax < (1 << (63 - wbits)):
                 packed = (idx[er].astype(np.uint64) << _U64(wbits)) | (
                     _U64((1 << wbits) - 1) - wr.astype(np.uint64)
                 )
-                nbits = wbits + int(idx.max()).bit_length()
+                nbits = wbits + emax.bit_length()
                 order = er[_radix_argsort(packed, nbits)]
             else:
                 order = er[np.lexsort((-wr, idx[er]))]

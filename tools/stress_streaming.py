@@ -77,7 +77,8 @@ def main() -> None:
     per = n_events // n_files
     t0 = time.time()
     for i in range(n_files):
-        sl = ev.where((F.col("id") >= i * per) & (F.col("id") < (i + 1) * per))
+        hi_id = n_events if i == n_files - 1 else (i + 1) * per
+        sl = ev.where((F.col("id") >= i * per) & (F.col("id") < hi_id))
         sl.coalesce(4).write.parquet(f"{root}/slice{i}", mode="overwrite")
     gen_wall = round(time.time() - t0, 1)
 
@@ -109,7 +110,12 @@ def main() -> None:
             .start()
         )
         t = time.time()
-        q.awaitTermination(600)
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError(
+                "streaming phase exceeded 600s — aborting so the next "
+                "phase cannot start against a still-active checkpoint"
+            )
         return time.time() - t
 
     phase_a = run_phase(list(range(n_files - 3)))
