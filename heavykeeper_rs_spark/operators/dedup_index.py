@@ -206,8 +206,8 @@ def _sig_matrix(col: pa.Array, n: int, n_hashes: int) -> np.ndarray:
     """(n, n_hashes) uint64 view of a fixed-length binary signature
     column — zero Python-object round-trips. Arrow binary values are
     concatenated in the data buffer, so equal-length non-null rows are
-    one contiguous region; ragged input (corrupt index) falls back to
-    a per-row copy."""
+    one contiguous region; ragged or null rows mean the index is
+    corrupt and the call FAILS FAST with ValueError."""
     row_bytes = n_hashes * 8
     off_dt = np.int64 if pa.types.is_large_binary(col.type) else np.int32
     off = np.frombuffer(col.buffers()[1], dtype=off_dt)[

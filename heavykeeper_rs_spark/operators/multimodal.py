@@ -125,8 +125,11 @@ def _parse_avi(mv: memoryview) -> dict:
             elif fourcc == b"strh" and de - ds >= 4:
                 # remember which stream owns the next strf: an AVI may
                 # legally list its audio strl first, and its strf is
-                # WAVEFORMATEX — not frame geometry
+                # WAVEFORMATEX — not frame geometry. Streams number in
+                # strl order, so the strh count names the stream whose
+                # ##db/##dc chunks carry this strf's geometry.
                 info["_stream_type"] = bytes(mv[ds : ds + 4])
+                info["_stream_idx"] = info.get("_stream_idx", -1) + 1
             elif (
                 fourcc == b"strf"
                 and info["w"] is None
@@ -138,12 +141,24 @@ def _parse_avi(mv: memoryview) -> dict:
                 (comp,) = struct.unpack_from("<I", mv, ds + 16)
                 info.update(w=bw, h=abs(bh), bits=bits, comp=comp,
                             bottom_up=bh > 0)
+                info["_vid_prefix"] = b"%02d" % info.get("_stream_idx", 0)
             elif fourcc[2:4] in (b"db", b"dc") and fourcc[:2].isdigit():
-                info["frames"].append((ds, de))
+                # keep only the video stream's frame chunks — a second
+                # stream's ##db frames would otherwise interleave and
+                # decode with the wrong strf geometry
+                info["frames"].append((bytes(fourcc[:2]), ds, de))
 
     walk(12, len(mv))
     if info["w"] is None:
         raise ValueError("AVI has no video stream format (strf)")
+    vid = info.get("_vid_prefix", b"00")
+    prefixes = {pfx for pfx, _, _ in info["frames"]}
+    if vid not in prefixes and len(prefixes) == 1:
+        # mismuxed single-stream file (e.g. audio strl listed first but
+        # frames still tagged 00db) — tolerate it; only MULTI-stream
+        # files need the strict owner match
+        vid = next(iter(prefixes))
+    info["frames"] = [(ds, de) for pfx, ds, de in info["frames"] if pfx == vid]
     return info
 
 

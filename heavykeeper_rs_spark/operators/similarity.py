@@ -169,7 +169,7 @@ def brute_force_pairs(
     vectors hash into ~``block``-row blocks (one ``applyInPandas`` row
     per block carrying ids + a packed float64 matrix), every unordered
     block pair joins (nb^2/2 rows of blobs — tiny), and each pair task
-    runs one NumPy matmul to prefilter at ``tau - 1e-9``. Survivors'
+    runs one NumPy matmul to prefilter at ``tau - 5.1e-7``. Survivors'
     cosines are then RECOMPUTED with a strict left-to-right fold
     (``np.cumsum`` — sequential accumulation order), so the rounded
     values are bit-identical to a scalar loop (DuckDB's
@@ -223,7 +223,11 @@ def brute_force_pairs(
                 na = np.linalg.norm(ma, axis=1)
                 nbn = np.linalg.norm(mb, axis=1)
                 g = (ma @ mb.T) / np.maximum(na[:, None] * nbn[None, :], 1e-300)
-                cand = g >= tau - 1e-9
+                # prefilter must admit the whole round-to-6 window:
+                # survivors are kept by round(cos, 6) >= tau, which
+                # accepts raw cosines down to tau - 5e-7, plus GEMM
+                # blocked-summation ulps on top
+                cand = g >= tau - 5.1e-7
                 if r.bid_a == r.bid_b:
                     # self-pair task: A == B, every unordered pair
                     # appears twice — keep one orientation
@@ -586,7 +590,9 @@ def embedding_near_dup_pairs(
         M = np.asarray(list(pdf["v"]), dtype=np.float64)
         norms = np.linalg.norm(M, axis=1)
         g = (M @ M.T) / np.maximum(norms[:, None] * norms[None, :], 1e-300)
-        cand = (g >= tau - 1e-9) & (ids[:, None] < ids[None, :])
+        # tau - 5.1e-7 admits the full round-to-6 window (round(cos,6)
+        # >= tau keeps raw cosines down to tau - 5e-7) plus GEMM ulps
+        cand = (g >= tau - 5.1e-7) & (ids[:, None] < ids[None, :])
         ri, ci = np.nonzero(cand)
         if ri.size == 0:
             return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(

@@ -59,6 +59,11 @@ WARC_SCHEMA = StructType(
 _WRAP_PRE = b"<html><body>"
 _WRAP_POST = b"</body></html>"
 
+# work lists up to this many rows embed as literal arrays (cheap, no
+# extra job); beyond it the per-row element_at scan is quadratic and a
+# real DataFrame + repartitionByRange takes over
+_LITERAL_WORKLIST_MAX = 2048
+
 
 def _gunzip_members(blob: bytes) -> bytes:
     """Decompress a concatenation of gzip members (Common Crawl's
@@ -122,12 +127,26 @@ def _rows_per_task_df(
     numPartitions slices deterministically, and ``element_at`` maps
     ids back to values JVM-side. Shared by every source that fans a
     driver-built work list (files, byte ranges, record slices) out to
-    tasks."""
+    tasks.
+
+    Two routes by size: small lists ride ``spark.range`` +
+    ``element_at`` over literal arrays (zero extra jobs, perfectly
+    even slices); past ``_LITERAL_WORKLIST_MAX`` rows that plan is
+    O(N) expression per row — O(N^2) total — so large lists build a
+    real DataFrame and ``repartitionByRange`` on the sequential id,
+    which range-slices near-evenly (ids are uniform) without the
+    round-robin collision hazard."""
     from pyspark.sql import functions as F
 
     n = len(next(iter(cols.values())))
+    p = max(1, min(par, n))
+    if n > _LITERAL_WORKLIST_MAX:
+        names = list(cols)
+        rows = list(zip(range(n), *[cols[name] for name in names]))
+        df = spark.createDataFrame(rows, ["_wl_id"] + names)
+        return df.repartitionByRange(p, "_wl_id").drop("_wl_id")
     idx = (F.col("id") + 1).cast("int")
-    return spark.range(0, n, 1, min(par, n)).select(
+    return spark.range(0, n, 1, p).select(
         *[
             F.element_at(F.array(*[F.lit(v) for v in vals]), idx).alias(name)
             for name, vals in cols.items()

@@ -1142,3 +1142,71 @@ class TestBruteForceBlockGemm:
         assert {(0, 1), (0, 2), (1, 2)} <= pairs
         for r in got:
             assert r["id_a"] < r["id_b"] and r["cosine"] >= 0.99
+
+
+class TestRoundingWindowPrefilter:
+    """Round-7 ADVICE: the GEMM prefilter must admit the whole
+    round-to-6 window. Survivors are kept by round(cos, 6) >= tau,
+    which accepts raw cosines down to tau - 5e-7; a prefilter at
+    tau - 1e-9 dropped pairs the DuckDB oracle keeps. Fixture pair
+    sits at raw cosine 0.3999996 (< tau - 1e-9, rounds to 0.400000)."""
+
+    def _boundary_df(self, spark):
+        x = 0.3999996
+        y = float(np.sqrt(1.0 - x * x))
+        rows = [
+            Row(vec_id=1, emb=[1.0, 0.0]),
+            Row(vec_id=2, emb=[x, y]),
+        ]
+        return spark.createDataFrame(rows)
+
+    def test_brute_force_pairs_keeps_rounding_window(self, spark):
+        from heavykeeper_rs_spark.operators.similarity import brute_force_pairs
+
+        got = brute_force_pairs(
+            self._boundary_df(spark), "vec_id", "emb", tau=0.40
+        ).collect()
+        assert [(r["id_a"], r["id_b"], r["cosine"]) for r in got] == [(1, 2, 0.4)]
+
+    def test_near_dup_pairs_keeps_rounding_window(self, spark):
+        from heavykeeper_rs_spark.operators.similarity import (
+            embedding_near_dup_pairs,
+        )
+
+        got = embedding_near_dup_pairs(
+            self._boundary_df(spark), "vec_id", "emb", dim=2,
+            tau=0.40, n_bits=16, bands=16,
+        ).collect()
+        assert [(r["id_a"], r["id_b"], r["cosine"]) for r in got] == [(1, 2, 0.4)]
+
+
+class TestAviSecondStream:
+    """Round-7 ADVICE: frame chunks of a NON-video stream (two-digit
+    prefix not owned by the vids strl) must be dropped, not decoded
+    with the video stream's strf geometry."""
+
+    def test_second_stream_frames_ignored(self):
+        import struct
+
+        from heavykeeper_rs_spark.operators.multimodal import decode_avi, encode_avi
+
+        rng = np.random.default_rng(11)
+        frames = rng.integers(0, 256, (3, 6, 4, 3), dtype=np.int64).astype(np.uint8)
+        orig = encode_avi(frames, fps=10)
+        # splice a second stream's frame chunk (01db, wrong size) into
+        # movi: old code appended it and decoded garbage / crashed
+        movi_at = orig.find(b"movi")
+        assert movi_at > 0
+        list_hdr = movi_at - 8
+        (movi_len,) = struct.unpack_from("<I", orig, list_hdr + 4)
+        alien = b"01db" + struct.pack("<I", 10) + b"\xab" * 10
+        body = (
+            orig[:list_hdr]
+            + b"LIST" + struct.pack("<I", movi_len + len(alien))
+            + orig[list_hdr + 8 : list_hdr + 8 + movi_len]
+            + alien
+        )
+        inner = body[12:]
+        blob = b"RIFF" + struct.pack("<I", 4 + len(inner)) + b"AVI " + inner
+        got = decode_avi(blob)
+        assert got.shape == frames.shape and (got == frames).all()

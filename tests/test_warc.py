@@ -754,3 +754,34 @@ class TestIndexedReader:
             .groupBy().sum("l").collect()[0][0],
         )
         assert idx_counts == st_counts == (n, n * (128 * 1024 + 26))
+
+
+class TestWorklistPlacement:
+    """Round-7 ADVICE: the literal-array work-list plan is O(N) per
+    row; large lists must take the createDataFrame+repartitionByRange
+    route. Both routes must produce identical row sets."""
+
+    def test_large_worklist_route_matches_literal(self, spark):
+        from heavykeeper_rs_spark.sources.warc import (
+            _LITERAL_WORKLIST_MAX,
+            _rows_per_task_df,
+        )
+
+        n = _LITERAL_WORKLIST_MAX + 5
+        cols = {
+            "path": [f"/data/f{i}.gz" for i in range(n)],
+            "off": list(range(n)),
+        }
+        big = _rows_per_task_df(spark, cols, par=8)
+        assert "_wl_id" not in big.columns
+        got = sorted((r["path"], r["off"]) for r in big.collect())
+        assert got == sorted(zip(cols["path"], cols["off"]))
+        # spread over the requested parallelism, not collapsed
+        assert big.rdd.getNumPartitions() == 8
+        small = _rows_per_task_df(
+            spark, {k: v[:6] for k, v in cols.items()}, par=8
+        )
+        assert sorted((r["path"], r["off"]) for r in small.collect()) == sorted(
+            zip(cols["path"][:6], cols["off"][:6])
+        )
+        assert small.rdd.getNumPartitions() == 6
