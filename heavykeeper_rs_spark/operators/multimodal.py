@@ -6,14 +6,15 @@ UDF signatures — is real and tested. AUDIO decode is real
 (``wav_decoder``: stdlib ``wave`` PCM parsing) and so is IMAGE decode
 for the codec-free formats (``image_decoder``: pure-NumPy PPM/PGM and
 uncompressed BMP, plus PNG through stdlib ``zlib`` — all five scanline
-filters, 8-bit gray/RGB/palette/alpha). Compressed photographic
-formats (JPEG/WebP) route through the import-gated
-``pil_image_decoder``. VIDEO decode is real for uncompressed
-(BI_RGB / rawvideo) AVI — ``decode_avi`` / ``iter_avi_frames`` /
-``video_decoder`` / ``sample_frames``, a RIFF walk plus the BMP row
-logic — import-gated for MJPEG-in-AVI (each frame is a JPEG via
-Pillow); codec formats (H.264 etc.) take a swapped-in decoder — see
-``stub_decoder``.
+filters, 8-bit gray/RGB/palette/alpha) AND — since round 7 — baseline
+JPEG (``operators/jpeg.decode_jpeg``: Huffman entropy decode +
+vectorized IDCT, no external libs). Progressive JPEG and WebP route
+through the import-gated ``pil_image_decoder``. VIDEO decode is real
+for uncompressed (BI_RGB / rawvideo) AVI and for MJPEG-in-AVI (each
+frame is a baseline JPEG, incl. the DHT-less MJPG convention) —
+``decode_avi`` / ``iter_avi_frames`` / ``video_decoder`` /
+``sample_frames``, a RIFF walk plus the BMP row logic; codec formats
+(H.264 etc.) take a swapped-in decoder — see ``stub_decoder``.
 Decoders that raise mark rows as failed instead of killing the job —
 at 10^12 rows a 0.01% corrupt-media rate is a certainty, so per-row
 error capture is part of the operator contract.
@@ -66,14 +67,13 @@ FEATURE_SCHEMA = StructType(
 
 def stub_decoder(blob: bytes) -> np.ndarray:
     """Placeholder decoder for codec-compressed video (H.264 etc.) —
-    swap in a real callable (av/cv2) in production. Since round 6
-    VIDEO decode is REAL for uncompressed (BI_RGB) AVI — see
-    ``decode_avi`` / ``iter_avi_frames`` / ``video_decoder`` — and
-    import-gated for MJPEG-in-AVI (each frame is a JPEG, decoded via
-    Pillow when the executors ship it). AUDIO decode is real — see
-    ``wav_decoder``; IMAGE decode is real for PNG/PPM/PGM/BMP — see
-    ``image_decoder`` — and import-gated for JPEG/WebP — see
-    ``pil_image_decoder``."""
+    swap in a real callable (av/cv2) in production. VIDEO decode is
+    REAL for uncompressed (BI_RGB) AVI and for MJPEG-in-AVI — see
+    ``decode_avi`` / ``iter_avi_frames`` / ``video_decoder``. AUDIO
+    decode is real — see ``wav_decoder``; IMAGE decode is real for
+    PNG/PPM/PGM/BMP/baseline-JPEG — see ``image_decoder`` and
+    ``operators/jpeg.decode_jpeg`` — and import-gated only for
+    progressive JPEG / WebP — see ``pil_image_decoder``."""
     raise NotImplementedError(
         "codec video decode requires libraries not present in this "
         "environment; uncompressed AVI decodes via decode_avi"
@@ -84,9 +84,9 @@ def stub_decoder(blob: bytes) -> np.ndarray:
 # Real, dependency-free video decode for RIFF/AVI with uncompressed
 # BI_RGB frames (what `ffmpeg -c:v rawvideo` writes) — a RIFF chunk
 # walk plus the exact DIB row logic decode_bmp already uses. MJPEG
-# frames (biCompression 'MJPG') are each a complete JPEG and route
-# through pil_image_decoder, so they work wherever Pillow ships and
-# raise the documented NotImplementedError here.
+# frames (biCompression 'MJPG') are each a complete baseline JPEG and
+# decode through operators/jpeg.decode_jpeg — real, stdlib-only,
+# including the MJPG convention of omitting DHT segments.
 
 
 def _riff_chunks(mv: memoryview, start: int, end: int):
@@ -167,8 +167,8 @@ def iter_avi_frames(blob) -> "Iterator[np.ndarray]":
     (H, W) for 8-bit grayscale DIBs), lazily — one decoded frame in
     memory at a time, so long clips stream through ``sample_frames``
     without materializing whole. BI_RGB frames decode here (pure
-    NumPy); 'MJPG' frames dispatch each JPEG to ``pil_image_decoder``
-    (import-gated)."""
+    NumPy); 'MJPG' frames dispatch each JPEG to ``decode_jpeg`` (real,
+    stdlib — handles the DHT-less MJPG convention)."""
     mv = blob if isinstance(blob, memoryview) else memoryview(blob)
     info = _parse_avi(mv)
     w, h, bits, comp = info["w"], info["h"], info["bits"], info["comp"]
@@ -186,12 +186,14 @@ def iter_avi_frames(blob) -> "Iterator[np.ndarray]":
                 rows = rows[::-1]
             yield rows[:, :, 2::-1] if bpp >= 3 else rows[:, :, 0]
     elif comp in (0x47504A4D, 0x67706A6D):  # 'MJPG' / 'mjpg'
+        from heavykeeper_rs_spark.operators.jpeg import decode_jpeg
+
         for ds, de in info["frames"]:
-            yield pil_image_decoder(bytes(mv[ds:de]))
+            yield decode_jpeg(bytes(mv[ds:de]))
     else:
         raise NotImplementedError(
             f"AVI compression 0x{comp:08x} needs codec libraries; only "
-            "BI_RGB (rawvideo) and MJPG (via Pillow) are built in"
+            "BI_RGB (rawvideo) and MJPG (baseline JPEG) are built in"
         )
 
 
@@ -254,16 +256,22 @@ def video_decoder(blob: bytes) -> np.ndarray:
     )
 
 
-def encode_avi(frames: np.ndarray, fps: int = 10) -> bytes:
-    """Fixture producer: (N, H, W, 3) RGB uint8 -> uncompressed
-    BI_RGB AVI bytes (bottom-up BGR rows padded to 4 bytes — the
-    rawvideo layout), so the video pipeline runs on REAL container
-    bytes with no codec libs."""
+def encode_avi(
+    frames: np.ndarray, fps: int = 10, codec: str = "raw", quality: int = 90
+) -> bytes:
+    """Fixture producer: (N, H, W, 3) RGB uint8 -> AVI bytes. Default
+    ``codec="raw"`` writes uncompressed BI_RGB (bottom-up BGR rows
+    padded to 4 bytes — the rawvideo layout); ``codec="mjpg"`` writes
+    each frame as a baseline JPEG (``encode_jpeg``, 00dc chunks), so
+    the MJPEG decode path also runs on REAL container bytes with no
+    codec libs."""
     import struct
 
     frames = np.asarray(frames, dtype=np.uint8)
     if frames.ndim != 4 or frames.shape[3] != 3:
         raise ValueError("expected (N, H, W, 3) RGB uint8")
+    if codec not in ("raw", "mjpg"):
+        raise ValueError(f"unsupported fixture codec {codec!r}")
     n, h, w, _ = frames.shape
     stride = (w * 3 + 3) & ~3
 
@@ -273,24 +281,32 @@ def encode_avi(frames: np.ndarray, fps: int = 10) -> bytes:
         )
 
     frame_blobs = []
-    for f in frames:
-        bgr = f[::-1, :, ::-1]  # top-down RGB -> bottom-up BGR
-        rows = np.zeros((h, stride), dtype=np.uint8)
-        rows[:, : w * 3] = bgr.reshape(h, w * 3)
-        frame_blobs.append(chunk(b"00db", rows.tobytes()))
+    if codec == "mjpg":
+        from heavykeeper_rs_spark.operators.jpeg import encode_jpeg
+
+        for f in frames:
+            frame_blobs.append(chunk(b"00dc", encode_jpeg(f, quality=quality)))
+    else:
+        for f in frames:
+            bgr = f[::-1, :, ::-1]  # top-down RGB -> bottom-up BGR
+            rows = np.zeros((h, stride), dtype=np.uint8)
+            rows[:, : w * 3] = bgr.reshape(h, w * 3)
+            frame_blobs.append(chunk(b"00db", rows.tobytes()))
     movi = b"movi" + b"".join(frame_blobs)
     avih = struct.pack(
         "<14I", int(1_000_000 / fps), stride * h * fps, 0, 0x10, n, 0, 1,
         stride * h, w, h, 0, 0, 0, 0,
     )
+    handler = b"MJPG" if codec == "mjpg" else b"DIB "
+    bi_comp = 0x47504A4D if codec == "mjpg" else 0
     strh = (
-        b"vids" + b"DIB " + struct.pack(
+        b"vids" + handler + struct.pack(
             "<IHHIIIIIIII4H", 0, 0, 0, 0, 1, fps, 0, n, stride * h,
             0xFFFFFFFF, 0, 0, 0, w, h,
         )
     )
     strf = struct.pack(
-        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h, 0, 0, 0, 0
+        "<IiiHHIIiiII", 40, w, h, 1, 24, bi_comp, stride * h, 0, 0, 0, 0
     )
     strl = b"strl" + chunk(b"strh", strh) + chunk(b"strf", strf)
     hdrl = b"hdrl" + chunk(b"avih", avih) + chunk(b"LIST", strl)
@@ -600,6 +616,15 @@ def image_decoder(blob: bytes) -> np.ndarray:
         return decode_ppm(blob)
     if blob[:2] == b"BM":
         return decode_bmp(blob)
+    if blob[:2] == b"\xff\xd8":
+        from heavykeeper_rs_spark.operators.jpeg import decode_jpeg
+
+        try:
+            return decode_jpeg(blob)
+        except ValueError as e:
+            if "SOF marker" not in str(e):
+                raise  # genuinely corrupt — per-row capture, not Pillow
+            return pil_image_decoder(blob)  # progressive etc.
     return pil_image_decoder(blob)
 
 

@@ -641,9 +641,13 @@ class TestImageDecode:
             image_decoder(b"")
         with pytest.raises(ValueError):
             image_decoder(encode_png(img)[:30])  # truncated IDAT
-        # unknown magic falls through to the gated PIL path
-        with pytest.raises(NotImplementedError):
+        # corrupt JPEG is a per-row-capturable ValueError (since r7 the
+        # baseline decoder is real), not a Pillow gate
+        with pytest.raises(ValueError):
             image_decoder(b"\xff\xd8\xff\xe0 not-really-jpeg")
+        # unknown magic (WebP here) falls through to the gated PIL path
+        with pytest.raises(NotImplementedError):
+            image_decoder(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
 
     def test_spark_decode_resize_features_end_to_end(self, spark):
         """The full image path on REAL bytes through Spark: encode ->
