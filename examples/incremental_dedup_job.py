@@ -20,15 +20,18 @@ Usage:
 Input tables need (doc_id long, text string). Prints one JSON line of
 funnel stats per run.
 
-Idempotency note: probing excludes corpus_id == new_id matches, so
-re-running the SAME increment (same doc_ids) will not self-match
-against its previously indexed copies — it will re-append them.
-Run each increment once, or key increments by unique ingest ids.
+Idempotency: the index append is keyed by an increment id derived
+from the increment path, so re-running the same increment (cron
+retry, failed driver) indexes it exactly once — the replay reports
+``increment_applied: false`` and writes nothing. Probing excludes
+corpus_id == new_id matches, so the replay also cannot self-match
+against its previously indexed copies.
 """
 
 from __future__ import annotations
 
 import json
+import re
 import sys
 
 from pyspark.sql import SparkSession
@@ -74,7 +77,12 @@ def main() -> None:
     keepers = reps.join(dupes, "doc_id", "left_anti")
     keepers.write.mode("overwrite").parquet(out_path)
     kept = spark.read.parquet(out_path)
-    update_minhash_index(kept, "doc_id", "text", index_dir)
+    # name the increment after its input path: re-running the same
+    # increment (cron retry, failed driver) indexes it exactly once
+    inc_id = re.sub(r"[^A-Za-z0-9._-]", "_", inc_path.rstrip("/"))[-200:]
+    applied = update_minhash_index(
+        kept, "doc_id", "text", index_dir, increment_id=inc_id
+    )
     print(
         json.dumps(
             {
@@ -84,6 +92,7 @@ def main() -> None:
                 "near_dup_pairs": pairs.count(),
                 "dropped_vs_corpus": dupes.count(),
                 "kept_and_indexed": kept.count(),
+                "increment_applied": applied,
             }
         )
     )

@@ -14,14 +14,18 @@ Index layout (one parquet dataset + a `_meta` sidecar, the
 `_ivf_centroids` pattern — underscore paths are invisible to Spark
 scans of the parent):
 
-    <dir>/data/   (id, band, band_hash, sig)  one row per (doc, band);
-                  `sig` (the full n_hashes x uint64 signature, 1 KiB
-                  at 128 hashes) is stored ONLY on the band-0 row, so
-                  bucket probes that select (id, band, band_hash)
-                  never read signature bytes (parquet column pruning)
-    <dir>/_meta/  one row: n_hashes, shingle, bands, seed — the
-                  increment MUST hash with identical parameters, so
-                  they live with the data, not in caller code
+    <dir>/data/inc=<increment_id>/   (id, band, band_hash, sig) one
+                  row per (doc, band); the base build is increment
+                  `__base__`, each update is its own `inc=` partition
+                  directory (idempotent commit unit — applied iff its
+                  `_SUCCESS` marker exists, see fsutil). `sig` (the
+                  full n_hashes x uint64 signature, 1 KiB at 128
+                  hashes) is stored ONLY on the band-0 row, so bucket
+                  probes that select (id, band, band_hash) never read
+                  signature bytes (parquet column pruning)
+    <dir>/_meta/  one row: n_hashes, shingle, bands, seed, version —
+                  the increment MUST hash with identical parameters,
+                  so they live with the data, not in caller code
 
 Scale shape of ``dedup_against_index`` (the 100 TB contract):
 
@@ -155,15 +159,19 @@ def build_minhash_index(
     Rows are sorted within partitions by (band, band_hash) so parquet
     row-group statistics thin bucket probes for free; the signature
     column rides along and is only read by the verification stage."""
+    from heavykeeper_rs_spark.fsutil import fs_exists, increment_dir
+
     spark = df.sparkSession
+    if fs_exists(spark, _data_path(index_dir)):
+        raise ValueError(f"index already exists at {index_dir}")
     rows = minhash_index_rows(df, id_col, text_col, n_hashes, shingle, bands, seed)
     (
         rows.sortWithinPartitions("band", "band_hash")
         .write.mode("errorifexists")
-        .parquet(_data_path(index_dir))
+        .parquet(increment_dir(_data_path(index_dir), "__base__"))
     )
     meta = spark.createDataFrame(
-        [(int(n_hashes), int(shingle), int(bands), int(seed), 1)],
+        [(int(n_hashes), int(shingle), int(bands), int(seed), 2)],
         "n_hashes long, shingle long, bands long, seed long, version long",
     )
     meta.write.mode("overwrite").parquet(_meta_path(index_dir))
@@ -184,22 +192,60 @@ def read_index_meta(spark: SparkSession, index_dir: str) -> dict:
     if len(row) != 1:
         raise ValueError(f"corrupt index meta at {index_dir}: {len(row)} rows")
     m = row[0].asDict()
-    if m.pop("version") != 1:
-        raise ValueError("unknown index version")
+    version = m.pop("version")
+    if version == 1:
+        raise ValueError(
+            f"index at {index_dir} uses the pre-round-7 flat layout "
+            "(version 1) — rebuild with build_minhash_index to get "
+            "per-increment commit directories"
+        )
+    if version != 2:
+        raise ValueError(f"unknown index version {version}")
     return {k: int(v) for k, v in m.items()}
 
 
 def update_minhash_index(
-    df: DataFrame, id_col: str, text_col: str, index_dir: str
-) -> None:
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    index_dir: str,
+    increment_id: "str | None" = None,
+) -> bool:
     """Append a document increment to an existing index (same
     parameters, read from the index's own meta — callers cannot
-    diverge the hash family by accident)."""
-    meta = read_index_meta(df.sparkSession, index_dir)
+    diverge the hash family by accident).
+
+    Increments are IDEMPOTENT when named: each ``increment_id`` writes
+    its own ``data/inc=<id>/`` directory and counts as applied exactly
+    when Spark's ``_SUCCESS`` marker exists there (atomic with the
+    data — see ``fsutil``; the filesystem is the applied-increment
+    manifest, so it can never disagree with the rows the way a stored
+    list could). Re-applying an applied id returns False and writes
+    nothing; retrying a crashed write clears the partial directory
+    first. An unnamed increment gets a random UUID — always applied,
+    never replayable. Returns True iff data was written."""
+    import uuid
+
+    from heavykeeper_rs_spark.fsutil import prepare_increment_dir
+
+    spark = df.sparkSession
+    meta = read_index_meta(spark, index_dir)
+    if increment_id is None:
+        increment_id = uuid.uuid4().hex
+    target = prepare_increment_dir(spark, _data_path(index_dir), increment_id)
+    if target is None:
+        return False  # already applied — idempotent no-op
     rows = minhash_index_rows(df, id_col, text_col, **meta)
-    rows.sortWithinPartitions("band", "band_hash").write.mode("append").parquet(
-        _data_path(index_dir)
-    )
+    rows.sortWithinPartitions("band", "band_hash").write.parquet(target)
+    return True
+
+
+def applied_index_increments(spark: SparkSession, index_dir: str) -> "list[str]":
+    """Applied increment ids (including ``__base__``), derived from
+    the committed ``inc=*`` directories."""
+    from heavykeeper_rs_spark.fsutil import applied_increments
+
+    return applied_increments(spark, _data_path(index_dir))
 
 
 def _sig_matrix(col: pa.Array, n: int, n_hashes: int) -> np.ndarray:

@@ -359,10 +359,21 @@ def ivf_build_index(
     out of the main index scan's file listing) so the whole index,
     sidecar included, lands on whatever filesystem the path names —
     a local ``np.save`` would fail on ``s3://...`` at build time."""
+    from heavykeeper_rs_spark.fsutil import fs_delete, increment_dir
+
     sample = _reservoir_sample(df, vec_col, train_sample, seed)
     cents = _kmeans(sample, n_centroids, seed)
     assigned = ivf_assign(df, id_col, vec_col, cents, carry_vec=True)
-    assigned.write.partitionBy("centroid").mode("overwrite").parquet(index_path)
+    # layout since round 7: <index>/inc=<increment>/centroid=<c>/ —
+    # each increment is an idempotent commit unit (fsutil), and the
+    # centroid filter still partition-prunes through the outer key.
+    # A rebuild replaces the WHOLE index (all increments), so clear
+    # the root — overwriting only inc=__base__ would leave stale
+    # increments (or a pre-r7 flat layout) mixed underneath.
+    fs_delete(df.sparkSession, index_path)
+    assigned.write.partitionBy("centroid").parquet(
+        increment_dir(index_path, "__base__")
+    )
     spark = df.sparkSession
     cent_rows = [(int(i), [float(x) for x in row]) for i, row in enumerate(cents)]
     spark.createDataFrame(cent_rows, "centroid_id int, vec array<double>").coalesce(
@@ -372,20 +383,47 @@ def ivf_build_index(
 
 
 def ivf_append_index(
-    df: DataFrame, id_col: str, vec_col: str, index_path: str
-) -> None:
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    index_path: str,
+    increment_id: "str | None" = None,
+) -> bool:
     """Append new vectors to a persisted IVF index — the embedding
     analog of the crawl-increment workflow (dedup_index.py): assign
     each new vector with the index's OWN saved centroids (the coarse
-    quantizer never drifts between increments) and append into the
-    centroid-partitioned layout. Cost is increment-proportional;
-    existing partitions are untouched, searches keep pruning. If the
-    corpus distribution shifts enough that new mass lands on few
-    centroids, rebuild — the quantizer is a one-pass retrain
-    (``ivf_build_index``)."""
-    cents = _load_centroids(df.sparkSession, index_path)
+    quantizer never drifts between increments) and write its own
+    ``inc=<increment_id>/centroid=<c>/`` partition directories. Cost
+    is increment-proportional; existing directories are untouched,
+    searches keep pruning on ``centroid``.
+
+    Named increments are IDEMPOTENT: applied exactly when the
+    increment directory's ``_SUCCESS`` marker exists (the filesystem
+    is the manifest — see ``fsutil``); re-applying returns False and
+    writes nothing, retrying a crashed write clears the partial
+    directory first. Unnamed increments get a random UUID. Returns
+    True iff data was written. If the corpus distribution shifts
+    enough that new mass lands on few centroids, rebuild — the
+    quantizer is a one-pass retrain (``ivf_build_index``)."""
+    import uuid
+
+    from heavykeeper_rs_spark.fsutil import fs_list_dirs, prepare_increment_dir
+
+    spark = df.sparkSession
+    if any(d.startswith("centroid=") for d in fs_list_dirs(spark, index_path)):
+        raise ValueError(
+            f"IVF index at {index_path} uses the pre-round-7 flat layout — "
+            "rebuild with ivf_build_index to get idempotent increments"
+        )
+    cents = _load_centroids(spark, index_path)
+    if increment_id is None:
+        increment_id = uuid.uuid4().hex
+    target = prepare_increment_dir(spark, index_path, increment_id)
+    if target is None:
+        return False  # already applied — idempotent no-op
     assigned = ivf_assign(df, id_col, vec_col, cents, carry_vec=True)
-    assigned.write.partitionBy("centroid").mode("append").parquet(index_path)
+    assigned.write.partitionBy("centroid").parquet(target)
+    return True
 
 
 def _centroids_path(index_path: str) -> str:

@@ -142,3 +142,123 @@ def test_band_hash_parity_with_batch_dedup_path(spark, corpus_and_increment):
         for r in minhash_signatures(sub, "doc_id", "text").collect()
     }
     assert a == b and len(a) == 50 * 16
+
+
+class TestIdempotentIncrements:
+    """Round-7 verdict item 2: named increments are exactly-once —
+    the filesystem _SUCCESS marker is the applied manifest."""
+
+    def test_reapply_same_increment_is_noop(self, spark, corpus_and_increment, tmp_path):
+        cdf, _, _, corpus = corpus_and_increment
+        index_dir = str(tmp_path / "idx")
+        build_minhash_index(cdf.limit(20), "doc_id", "text", index_dir)
+        extra = spark.createDataFrame(
+            [(700, corpus[1][1])], "doc_id long, text string"
+        )
+        assert update_minhash_index(extra, "doc_id", "text", index_dir,
+                                    increment_id="crawl-2026-08-17") is True
+        n1 = spark.read.parquet(index_dir + "/data").count()
+        # replaying the exact same increment writes nothing
+        assert update_minhash_index(extra, "doc_id", "text", index_dir,
+                                    increment_id="crawl-2026-08-17") is False
+        assert spark.read.parquet(index_dir + "/data").count() == n1
+        # a DIFFERENT id applies
+        assert update_minhash_index(extra, "doc_id", "text", index_dir,
+                                    increment_id="crawl-2026-08-18") is True
+        assert spark.read.parquet(index_dir + "/data").count() > n1
+
+        from heavykeeper_rs_spark.operators.dedup_index import (
+            applied_index_increments,
+        )
+
+        assert applied_index_increments(spark, index_dir) == [
+            "__base__", "crawl-2026-08-17", "crawl-2026-08-18",
+        ]
+
+    def test_crashed_partial_increment_is_retried_clean(
+        self, spark, corpus_and_increment, tmp_path
+    ):
+        import os
+
+        cdf, _, _, corpus = corpus_and_increment
+        index_dir = str(tmp_path / "idx")
+        build_minhash_index(cdf.limit(20), "doc_id", "text", index_dir)
+        # simulate a crashed write: increment dir with files, no _SUCCESS
+        part = index_dir + "/data/inc=crashed"
+        os.makedirs(part)
+        with open(part + "/part-00000-junk.parquet", "wb") as f:
+            f.write(b"not parquet")
+        extra = spark.createDataFrame(
+            [(701, corpus[2][1])], "doc_id long, text string"
+        )
+        assert update_minhash_index(extra, "doc_id", "text", index_dir,
+                                    increment_id="crashed") is True
+        assert not os.path.exists(part + "/part-00000-junk.parquet")
+        # the retried increment is valid and probe-visible
+        probe = spark.createDataFrame(
+            [(9100, corpus[2][1])], "doc_id long, text string"
+        )
+        pairs = dedup_against_index(probe, "doc_id", "text", index_dir).toPandas()
+        assert (9100, 701) in {
+            (int(r.new_id), int(r.corpus_id)) for r in pairs.itertuples()
+        }
+
+    def test_v1_meta_rejected_with_rebuild_message(self, spark, tmp_path):
+        index_dir = str(tmp_path / "oldidx")
+        spark.createDataFrame(
+            [(128, 5, 16, 12345, 1)],
+            "n_hashes long, shingle long, bands long, seed long, version long",
+        ).write.parquet(index_dir + "/_meta")
+        with pytest.raises(ValueError, match="rebuild"):
+            read_index_meta(spark, index_dir)
+
+    def test_bad_increment_id_rejected(self, spark, corpus_and_increment, tmp_path):
+        cdf, _, _, corpus = corpus_and_increment
+        index_dir = str(tmp_path / "idx")
+        build_minhash_index(cdf.limit(5), "doc_id", "text", index_dir)
+        extra = spark.createDataFrame(
+            [(702, corpus[0][1])], "doc_id long, text string"
+        )
+        with pytest.raises(ValueError, match="increment_id"):
+            update_minhash_index(extra, "doc_id", "text", index_dir,
+                                 increment_id="../escape")
+
+    def test_ivf_append_idempotent(self, spark, tmp_path):
+        from heavykeeper_rs_spark.operators.similarity import (
+            ivf_append_index,
+            ivf_build_index,
+            ivf_search_index,
+        )
+
+        rng = np.random.default_rng(3)
+        vecs = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(64)]
+        emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+        idxp = str(tmp_path / "ivf")
+        ivf_build_index(emb, "vec_id", "embedding", idxp, n_centroids=4, seed=1)
+        n0 = spark.read.parquet(idxp).count()
+        extra = spark.createDataFrame(
+            [(1000, vecs[0][1])], "vec_id long, embedding array<double>"
+        )
+        assert ivf_append_index(extra, "vec_id", "embedding", idxp,
+                                increment_id="day1") is True
+        n1 = spark.read.parquet(idxp).count()
+        assert n1 == n0 + 1
+        assert ivf_append_index(extra, "vec_id", "embedding", idxp,
+                                increment_id="day1") is False
+        assert spark.read.parquet(idxp).count() == n1
+        # the appended vector is searchable (it IS vec 0, so top-1)
+        top = ivf_search_index(spark, idxp, vecs[0][1], k=2, n_probe=2).toPandas()
+        assert set(top["id"]) == {0, 1000}
+
+    def test_ivf_legacy_flat_layout_rejected(self, spark, tmp_path):
+        import os
+
+        from heavykeeper_rs_spark.operators.similarity import ivf_append_index
+
+        idxp = str(tmp_path / "ivf_old")
+        os.makedirs(idxp + "/centroid=0")
+        emb = spark.createDataFrame(
+            [(1, [0.1, 0.2])], "vec_id long, embedding array<double>"
+        )
+        with pytest.raises(ValueError, match="flat layout"):
+            ivf_append_index(emb, "vec_id", "embedding", idxp)
