@@ -1244,21 +1244,155 @@ def _streaming_sliding_check(spark: SparkSession, sf_dir: str) -> tuple[int, boo
 
 
 def _streaming_ok(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The three Structured-Streaming gates folded into ONE row
-    (tumbling HK top-K, tumbling HLL, sliding CountMin) — same fold
-    pattern as ``pipeline_ops_ok``: DuckDB independently computes each
-    window count (including the sliding-window start set), any failed
-    check flips its flag and the hash compare."""
+    """The Structured-Streaming gates folded into ONE row (tumbling HK
+    top-K, tumbling HLL, sliding CountMin, and — round 7 — watermark
+    late-data DROPS) — same fold pattern as ``pipeline_ops_ok``:
+    DuckDB independently computes each window count (including the
+    sliding-window start set) and the late-run kept/dropped row
+    counts; any failed check flips its flag and the hash compare."""
     tn, tok = _streaming_topk_check(spark, sf_dir)
     hn, hok = _streaming_hll_check(spark, sf_dir)
     sn, sok = _streaming_sliding_check(spark, sf_dir)
+    lt, lk, ld, lok = _streaming_late_drop_check(spark, sf_dir)
     return _local_df(
         spark,
-        [(int(tn), bool(tok), int(hn), bool(hok), int(sn), bool(sok))],
+        [(int(tn), bool(tok), int(hn), bool(hok), int(sn), bool(sok),
+          int(lt), int(lk), int(ld), bool(lok))],
         "topk_n_windows bigint, topk_windows_ok boolean, "
         "hll_n_windows bigint, hll_windows_ok boolean, "
-        "sliding_n_windows bigint, sliding_ok boolean",
+        "sliding_n_windows bigint, sliding_ok boolean, "
+        "late_total bigint, late_kept bigint, late_dropped bigint, "
+        "late_ok boolean",
     )
+
+
+def _streaming_late_drop_check(
+    spark: SparkSession, sf_dir: str
+) -> "tuple[int, int, int, bool]":
+    """Watermark late-data DROP truth (round-7 verdict #3): two
+    availableNow runs share one checkpoint. Run 1 sees the old half of
+    the (hour-floored) events plus the newest-hour rows, committing a
+    watermark of max(ts) - 24.5 h; run 2 adds the middle file, whose
+    rows older than that watermark Spark must DROP before the stateful
+    operator (counted by ``numRowsDroppedByWatermark``), while rows in
+    the last 24 h are within the allowed lateness and must be KEPT.
+    Hour flooring + the half-hour watermark keep every event strictly
+    off the drop boundary, so the kept/dropped splits are exact DuckDB
+    truths:
+
+        kept    = ts_h <= T2 - 48 h  OR  ts_h >= T2 - 24 h
+        dropped = the rest            (T2 = max hour)
+
+    Returns (total, kept, dropped, ok): the counts are compared
+    column-wise against the oracle; ``ok`` additionally pins the
+    observed drop metric AND every window's merged top-3 to the exact
+    batch top-3 over the KEPT set only — a stream that silently kept
+    late rows (or dropped on-time ones) fails both ways."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from heavykeeper_rs_spark.kernel import HKParams
+    from heavykeeper_rs_spark.streaming.stateful import (
+        merge_window_blobs,
+        stateful_windowed_topk_stream,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.date_trunc("hour", F.col("ts").cast("timestamp")).alias("ts"),
+        "event_type",
+    )
+    t2 = ev.agg(F.max("ts")).first()[0]
+    cond_a = (F.col("ts") <= F.lit(t2) - F.expr("INTERVAL 48 HOURS")) | (
+        F.col("ts") == F.lit(t2)
+    )
+    cond_kept_b = (F.col("ts") >= F.lit(t2) - F.expr("INTERVAL 24 HOURS")) & (
+        F.col("ts") < F.lit(t2)
+    )
+    rows: list = []
+    dropped_metric = 0
+    with tempfile.TemporaryDirectory() as tmp:
+        src = f"{tmp}/src"
+        os.makedirs(src)
+
+        def one_file(df, name: str) -> None:
+            out = f"{tmp}/_w_{name}"
+            df.coalesce(1).write.parquet(out)
+            (part,) = glob.glob(f"{out}/part-*.parquet")
+            shutil.move(part, f"{src}/{name}.parquet")
+
+        def run() -> int:
+            stream = spark.readStream.schema(ev.schema).parquet(src)
+            q = (
+                stateful_windowed_topk_stream(
+                    stream, "event_type", "ts",
+                    HKParams(k=6, width=2048, depth=4, decay=0.9, seed=12345),
+                    window="12 hours", watermark="1470 minutes", n_shards=4,
+                )
+                .writeStream.foreachBatch(lambda b, i: rows.extend(b.collect()))
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .option("checkpointLocation", f"{tmp}/ck")
+                .start()
+            )
+            q.awaitTermination(300)
+            return sum(
+                so.get("numRowsDroppedByWatermark", 0)
+                for p in q.recentProgress
+                for so in p.get("stateOperators", [])
+            )
+
+        one_file(ev.where(cond_a), "a")
+        run()
+        one_file(ev.where(~cond_a), "b")
+        dropped_metric = run()
+
+    # kept-row accounting: same life rules as merge_window_blobs —
+    # every final=1 row closes a disjoint state life; a shard that
+    # never finalized contributes its largest (cumulative) update
+    finals: dict = {}
+    best: dict = {}
+    for r in rows:
+        k = (int(r["window_start"]), int(r["shard"]))
+        if int(r["final"]) == 1:
+            finals.setdefault(k, []).append(int(r["rows_seen"]))
+        else:
+            s = int(r["rows_seen"])
+            if k not in best or s > best[k]:
+                best[k] = s
+    kept_rows = sum(sum(v) for v in finals.values()) + sum(
+        v for k, v in best.items() if k not in finals
+    )
+    total = ev.count()
+    kept_exp = ev.where(cond_a | cond_kept_b).count()
+    ok = kept_rows == kept_exp and dropped_metric == total - kept_exp
+    if ok:  # windowed top-3 over the KEPT set only
+        truth = (
+            ev.where(cond_a | cond_kept_b)
+            .groupBy(
+                (F.col("ts").cast("long") - F.col("ts").cast("long") % 43200
+                 ).alias("w"),
+                "event_type",
+            )
+            .count()
+            .collect()
+        )
+        by_w: dict = {}
+        for r in truth:
+            by_w.setdefault(int(r["w"]), []).append(
+                (r["event_type"].encode(), r["count"])
+            )
+        merged = merge_window_blobs(rows)
+        ok = set(merged) == set(by_w)
+        if ok:
+            for w, acc in merged.items():
+                got = sorted(acc.list(), key=lambda t: (-t[1], t[0]))[:3]
+                want = sorted(by_w[w], key=lambda t: (-t[1], t[0]))[:3]
+                if got != want:
+                    ok = False
+                    break
+    return int(total), int(kept_rows), int(dropped_metric), bool(ok)
 
 
 def _pipeline_ops_ok(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1804,7 +1938,21 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT CAST(COUNT(DISTINCT ws) AS BIGINT) FROM ("
             "SELECT epoch(ts) - epoch(ts) % 21600 AS ws FROM events "
             "UNION SELECT epoch(ts) - epoch(ts) % 21600 - 21600 FROM events)) "
-            "AS sliding_n_windows, TRUE AS sliding_ok "
+            "AS sliding_n_windows, TRUE AS sliding_ok, "
+            # late-data drop truths: T2 = max hour; run-1 watermark
+            # lands at T2 - 24.5h, so hour-floored rows split exactly
+            "CAST(COUNT(*) AS BIGINT) AS late_total, "
+            "(SELECT CAST(COUNT(*) AS BIGINT) FROM ("
+            "SELECT date_trunc('hour', ts) AS th, "
+            "(SELECT MAX(date_trunc('hour', ts)) FROM events) AS t2 "
+            "FROM events) WHERE th <= t2 - INTERVAL 48 HOUR "
+            "OR th >= t2 - INTERVAL 24 HOUR) AS late_kept, "
+            "(SELECT CAST(COUNT(*) AS BIGINT) FROM ("
+            "SELECT date_trunc('hour', ts) AS th, "
+            "(SELECT MAX(date_trunc('hour', ts)) FROM events) AS t2 "
+            "FROM events) WHERE th > t2 - INTERVAL 48 HOUR "
+            "AND th < t2 - INTERVAL 24 HOUR) AS late_dropped, "
+            "TRUE AS late_ok "
             "FROM events"
         ),
         "hk_topk_types_rollup": (
