@@ -211,15 +211,24 @@ def flows(
                 x = x ^ (x >> np.uint64(31))
             u = (x >> np.uint64(11)).astype(np.float64) / float(1 << 53)
             fid = flow_ids[np.searchsorted(cdf, u, side="left")]
-            keys = []
-            for f in fid:
-                b = int(f).to_bytes(8, "big")
-                # src_ip(4) | sport(2) | dst_ip from hash | dport | proto
-                proto = b"\x06" if (f & 1) else b"\x11"
-                keys.append(b[:4] + b[4:6] + b[4:8] + b[6:8] + proto)
-            yield pa.RecordBatch.from_arrays(
-                [pa.array(keys, type=pa.binary())], names=["flow_key"]
+            # vectorized 13-byte key assembly (mirrors trace._emit_keys):
+            # per row, with b = fid big-endian bytes —
+            # src_ip(4)=b[0:4] | sport(2)=b[4:6] | dst_ip(4)=b[4:8] |
+            # dport(2)=b[6:8] | proto(1)=TCP/UDP by fid parity
+            bb = fid.astype(">i8").view(np.uint8).reshape(-1, 8)
+            out = np.empty((len(fid), 13), dtype=np.uint8)
+            out[:, 0:6] = bb[:, 0:6]
+            out[:, 6:10] = bb[:, 4:8]
+            out[:, 10:12] = bb[:, 6:8]
+            out[:, 12] = np.where((fid & 1).astype(bool), 0x06, 0x11)
+            offsets = pa.array(
+                np.arange(0, (len(fid) + 1) * 13, 13, dtype=np.int32)
             )
+            keys = pa.BinaryArray.from_buffers(
+                pa.binary(), len(fid),
+                [None, offsets.buffers()[1], pa.py_buffer(out.tobytes())],
+            )
+            yield pa.RecordBatch.from_arrays([keys], names=["flow_key"])
 
     rng_df = spark.range(
         0, n_packets, 1, partitions or spark.sparkContext.defaultParallelism

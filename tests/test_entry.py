@@ -121,3 +121,34 @@ def test_grouped_builder_bounded_memory_eviction(spark):
     )
     want = {(r["bucket"], r["event_type"], r["count"]) for r in exact.collect()}
     assert rows == want
+
+
+def test_flow_key_assembly_matches_scalar_reference(spark):
+    """The r7 vectorized byte-view key assembly must be bit-identical
+    to the original per-row to_bytes construction (same splitmix ->
+    zipf fid derivation, recomputed scalar here)."""
+    import numpy as np
+
+    n, n_flows, alpha, seed = 512, 100, 2.0, 7
+    got = [bytes(r["flow_key"])
+           for r in flows(spark, n, n_flows=n_flows, alpha=alpha, seed=seed,
+                          partitions=1).collect()]
+    frng = np.random.default_rng(seed)
+    flow_ids = frng.integers(0, 2**63, n_flows, dtype=np.int64)
+    ranks = np.arange(1, n_flows + 1, dtype=np.float64)
+    cdf = np.cumsum(ranks**-alpha)
+    cdf /= cdf[-1]
+    ids = np.arange(n, dtype=np.uint64)
+    x = ids ^ np.uint64((seed * 0x9E3779B97F4A7C15 + 99) & 0xFFFFFFFFFFFFFFFF)
+    with np.errstate(over="ignore"):
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        x = x ^ (x >> np.uint64(31))
+    u = (x >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+    fid = flow_ids[np.searchsorted(cdf, u, side="left")]
+    want = []
+    for f in fid:
+        b = int(f).to_bytes(8, "big")
+        proto = b"\x06" if (f & 1) else b"\x11"
+        want.append(b[:4] + b[4:6] + b[4:8] + b[6:8] + proto)
+    assert got == want
