@@ -1607,23 +1607,27 @@ def _media_pipeline_ok(spark: SparkSession) -> bool:
     }
     rows = [(mid, enc(img)) for mid, (enc, img) in imgs.items()]
     rows.append((4, b"\x89PNG\r\n\x1a\ntruncated"))
-    # baseline JPEG (round 7: stdlib Huffman+IDCT decoder, no Pillow) —
-    # lossy, so the truth is the decoded pixels, not the source image
+    # JPEG (round 7: stdlib Huffman+IDCT decoder, no Pillow) — lossy,
+    # so the truth is the decoded pixels; the progressive encoding of
+    # the SAME image must decode bit-identically to the baseline one
     jpeg_blob = encode_jpeg(synth_image(12, 16, 3, seed=11), quality=92)
     rows.append((5, jpeg_blob))
+    rows.append((6, encode_jpeg(synth_image(12, 16, 3, seed=11), quality=92,
+                                progressive=True)))
     df = _local_df(spark, rows, "mid bigint, blob binary")
     got = {
         r["id"]: r
         for r in resize_features(df, "mid", "blob", 4, 4, decoder=image_decoder).collect()
     }
-    ok = len(got) == 5 and not got[4]["ok"]
+    ok = len(got) == 6 and not got[4]["ok"]
     for mid, (_enc, img) in imgs.items():
         want = resize_nearest(img, 4, 4).astype(np.float32).reshape(-1)
         ok = ok and bool(got[mid]["ok"]) and np.allclose(got[mid]["feature"], want)
     jpeg_want = resize_nearest(decode_jpeg(jpeg_blob), 4, 4)
-    ok = ok and bool(got[5]["ok"]) and np.allclose(
-        got[5]["feature"], jpeg_want.astype(np.float32).reshape(-1)
-    )
+    for mid in (5, 6):  # baseline and progressive: identical pixels
+        ok = ok and bool(got[mid]["ok"]) and np.allclose(
+            got[mid]["feature"], jpeg_want.astype(np.float32).reshape(-1)
+        )
     wavs = [(1, synth_wav(440.0)), (2, synth_wav(220.0, channels=2)), (3, b"RIFFbad")]
     wdf = _local_df(spark, wavs, "mid bigint, blob binary")
     wgot = {

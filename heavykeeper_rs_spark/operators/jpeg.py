@@ -1,22 +1,27 @@
-"""Baseline JPEG decode/encode with no external dependencies.
+"""JPEG decode/encode with no external dependencies — baseline
+(SOF0/SOF1) AND progressive (SOF2).
 
-``decode_jpeg`` is a real ITU-T.81 baseline (SOF0/SOF1) sequential
-decoder: marker walk, DQT/DHT/DRI/SOS parsing, Huffman entropy decode
-(16-bit lookahead LUT per table), dequantize, de-zigzag, vectorized
-8x8 IDCT over every block at once (separable DCT-III as two matrix
-products via einsum), nearest-neighbor chroma upsampling for any
-1-2 x 1-2 sampling grid, and BT.601 YCbCr->RGB. Restart markers and
-the MJPEG convention of omitting DHT (implies the Annex K tables,
-which AVI 'MJPG' streams rely on) are both handled. Progressive
-(SOF2) and arithmetic-coded files raise ValueError — at curation
-scale those rows are captured per-row by ``extract_features``, not
-fatal.
+``decode_jpeg`` is a real ITU-T.81 Huffman decoder: marker walk,
+DQT/DHT/DRI/SOS parsing, entropy decode (16-bit lookahead LUT per
+table), dequantize, de-zigzag, vectorized 8x8 IDCT over every block
+at once (separable DCT-III as two matrix products via einsum),
+nearest-neighbor chroma upsampling for any 1-2 x 1-2 sampling grid,
+and BT.601 YCbCr->RGB. Restart markers and the MJPEG convention of
+omitting DHT (implies the Annex K tables, which AVI 'MJPG' streams
+rely on) are handled. Progressive decode implements the full T.81
+G.2 scan algebra — spectral selection, successive approximation,
+DC/AC refinement scans, EOB runs. Arithmetic-coded / lossless /
+hierarchical files raise ValueError — at curation scale those rows
+are captured per-row by ``extract_features``, not fatal.
 
 ``encode_jpeg`` is the fixture producer (mirrors ``encode_png`` /
 ``encode_avi``): Annex K quantization tables scaled by the libjpeg
-quality formula, Annex K Huffman tables, optional 4:2:0 subsampling
-and restart intervals, so the decode path is exercised on REAL
-entropy-coded bytes without shipping Pillow.
+quality formula, Annex K Huffman tables, optional 4:2:0 subsampling,
+restart intervals, and ``progressive=True`` (a two-level
+successive-approximation scan script whose coefficients reconstruct
+exactly, so progressive and baseline encodings of the same image
+decode bit-identically — the pytest pin), so the decode path is
+exercised on REAL entropy-coded bytes without shipping Pillow.
 
 Spec pinning: the pytest suite decodes hand-assembled single-block
 streams (DC-only and single-AC-coefficient) against closed-form
@@ -241,26 +246,38 @@ def _entropy_segments(data: bytes, start: int) -> "tuple[list[bytes], int]":
 
 
 def decode_jpeg(blob: bytes) -> np.ndarray:
-    """Decode baseline JPEG bytes to (H, W, 3) RGB uint8 (or (H, W)
-    for grayscale). Raises ValueError on progressive / arithmetic /
-    truncated / corrupt input (per-row captured by the pipeline ops).
-    A scan with no preceding DHT uses the Annex K tables — the MJPEG
-    convention AVI 'MJPG' streams depend on."""
+    """Decode baseline OR progressive JPEG bytes to (H, W, 3) RGB
+    uint8 (or (H, W) for grayscale). Raises ValueError on arithmetic /
+    hierarchical / lossless / truncated / corrupt input (per-row
+    captured by the pipeline ops). A baseline scan with no preceding
+    DHT uses the Annex K tables — the MJPEG convention AVI 'MJPG'
+    streams depend on. Progressive (SOF2) decode supports the full
+    T.81 G.2 scan algebra: spectral selection, successive
+    approximation, DC/AC refinement scans and EOB runs."""
     if len(blob) < 4 or blob[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     data = bytes(blob)
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], np.ndarray] = {}
     frame = None  # (h, w, comps) with comps = [(cid, hs, vs, tq)]
+    progressive = False
+    coef = None  # progressive: per-component (bh, bw, 64) int32 stores
     restart = 0
+    saw_eoi = False
     pos = 2
     n = len(data)
-    while pos + 4 <= n:
+    while pos + 2 <= n:
         if data[pos] != 0xFF:
             raise ValueError(f"marker expected at {pos}")
         marker = data[pos + 1]
-        if marker == 0xD9:  # EOI before any scan
+        if marker == 0xD9:  # EOI
+            saw_eoi = True
             break
+        if 0xD0 <= marker <= 0xD7:  # stray RST between scans
+            pos += 2
+            continue
+        if pos + 4 > n:
+            raise ValueError("truncated JPEG (header cut mid-marker)")
         (seglen,) = struct.unpack_from(">H", data, pos + 2)
         seg_start, seg_end = pos + 4, pos + 2 + seglen
         if seg_end > n:
@@ -286,7 +303,7 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
                 values = list(data[p + 17 : p + 17 + nv])
                 huff[(tc, th)] = _build_decode_lut(bits, values)
                 p += 17 + nv
-        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext. sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 prog.
             prec, h, w, nc = struct.unpack_from(">BHHB", data, seg_start)
             if prec != 8:
                 raise ValueError(f"unsupported sample precision {prec}")
@@ -302,17 +319,41 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
             if nc not in (1, 3):
                 raise ValueError(f"unsupported component count {nc}")
             frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            progressive = marker == 0xC2
+            if progressive:
+                hmax = max(hs for _, hs, vs, _ in comps)
+                vmax = max(vs for _, hs, vs, _ in comps)
+                mcux = -(-w // (8 * hmax))
+                mcuy = -(-h // (8 * vmax))
+                coef = [
+                    np.zeros((mcuy * vs, mcux * hs, 64), dtype=np.int32)
+                    for _, hs, vs, _ in comps
+                ]
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise ValueError(
-                "only baseline/extended-sequential Huffman JPEG is "
-                f"supported (got SOF marker 0x{marker:02x})"
+                "only sequential/progressive Huffman JPEG is supported "
+                f"(got SOF marker 0x{marker:02x})"
             )
         elif marker == 0xDD:  # DRI
             (restart,) = struct.unpack_from(">H", data, seg_start)
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("SOS before SOF")
+            ns = data[seg_start]
+            scan = []
+            for s in range(ns):
+                cs, tt = struct.unpack_from(">BB", data, seg_start + 1 + 2 * s)
+                scan.append((cs, tt >> 4, tt & 15))
+            if progressive:
+                ss, se, ahl = struct.unpack_from(
+                    ">BBB", data, seg_start + 1 + 2 * ns
+                )
+                pos = _decode_progressive_scan(
+                    data, seg_end, frame, scan, huff, restart, coef,
+                    (ss, se, ahl >> 4, ahl & 15),
+                )
+                continue
             if not huff:  # MJPEG DHT-less convention
                 huff = {
                     (0, 0): _build_decode_lut(*_DC_LUM_SPEC),
@@ -320,14 +361,15 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
                     (0, 1): _build_decode_lut(*_DC_CHROM_SPEC),
                     (1, 1): _build_decode_lut(*_AC_CHROM_SPEC),
                 }
-            ns = data[seg_start]
-            scan = []
-            for s in range(ns):
-                cs, tt = struct.unpack_from(">BB", data, seg_start + 1 + 2 * s)
-                scan.append((cs, tt >> 4, tt & 15))
             return _decode_scan(data, seg_end, frame, scan, qt, huff, restart)
         # else: APPn / COM / others — skip
         pos = seg_end
+    if progressive and coef is not None:
+        if not saw_eoi:
+            raise ValueError(
+                "truncated progressive JPEG (stream ends before EOI)"
+            )
+        return _reconstruct(frame, coef, qt)
     raise ValueError("no scan data (truncated or image-less JPEG)")
 
 
@@ -399,7 +441,16 @@ def _decode_scan(data, pos, frame, scan, qt, huff, restart):
                         raise ValueError("AC run past block end (corrupt scan)")
                     row[k] = _extend(reader.get(s), s)
                     k += 1
-    # dequantize + de-zigzag + IDCT, whole component at once
+    return _reconstruct(frame, coef, qt)
+
+
+def _reconstruct(frame, coef, qt) -> np.ndarray:
+    """Dequantize + de-zigzag + IDCT every component store at once,
+    upsample chroma, and convert to the output color space — shared by
+    the baseline and progressive paths."""
+    h, w, comps = frame
+    hmax = max(hs for _, hs, vs, _ in comps)
+    vmax = max(vs for _, hs, vs, _ in comps)
     planes = []
     for (cid, hs, vs, tq), cz in zip(comps, coef):
         if tq not in qt:
@@ -428,6 +479,202 @@ def _decode_scan(data, pos, frame, scan, qt, huff, restart):
     return np.clip(np.rint(np.stack([r, g, b], axis=2)), 0, 255).astype(
         np.uint8
     )
+
+
+# ------------------------------------------------- progressive decoding
+# T.81 G.2: a progressive frame delivers the quantized coefficients
+# over multiple scans — spectral bands (Ss..Se) at successively finer
+# approximation levels (Ah/Al). The stores accumulate across scans;
+# _reconstruct runs once at EOI. Structure follows the reference
+# algorithm (and libjpeg's jdphuff.c organization of it).
+
+
+class _ScanState:
+    __slots__ = ("eobrun",)
+
+    def __init__(self):
+        self.eobrun = 0
+
+
+def _comp_blocks(dim: int, sf: int, smax: int) -> int:
+    """ceil(ceil(dim * sf / smax) / 8) — the ACTUAL block count of a
+    component along one axis (non-interleaved scans cover exactly
+    these blocks, NOT the MCU-padded grid)."""
+    samples = -(-(dim * sf) // smax)
+    return -(-samples // 8)
+
+
+def _dc_first_block(reader, dc_lut, row, al, pred, ci):
+    v = int(dc_lut[reader.peek16()])
+    if v == 0:
+        raise ValueError("invalid Huffman prefix (corrupt scan)")
+    reader.skip(v & 31)
+    s = v >> 5
+    pred[ci] += _extend(reader.get(s), s)
+    row[0] = pred[ci] << al
+
+
+def _ac_first_block(reader, ac_lut, row, ss, se, al, state):
+    if state.eobrun > 0:
+        state.eobrun -= 1
+        return
+    k = ss
+    while k <= se:
+        v = int(ac_lut[reader.peek16()])
+        if v == 0:
+            raise ValueError("invalid Huffman prefix (corrupt scan)")
+        reader.skip(v & 31)
+        rs = v >> 5
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            er = 1 << r
+            if r:
+                er += reader.get(r)
+            state.eobrun = er - 1  # this block consumes one
+            return
+        k += r
+        if k > se:
+            raise ValueError("AC run past band end (corrupt scan)")
+        row[k] = _extend(reader.get(s), s) << al
+        k += 1
+
+
+def _refine_nonzero(reader, row, k, p1):
+    """Correction bit for an already-nonzero coefficient."""
+    if reader.get(1) and (abs(int(row[k])) & p1) == 0:
+        row[k] += p1 if row[k] >= 0 else -p1
+
+
+def _ac_refine_block(reader, ac_lut, row, ss, se, al, state):
+    p1 = 1 << al
+    k = ss
+    if state.eobrun == 0:
+        while k <= se:
+            v = int(ac_lut[reader.peek16()])
+            if v == 0:
+                raise ValueError("invalid Huffman prefix (corrupt scan)")
+            reader.skip(v & 31)
+            rs = v >> 5
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r != 15:
+                    er = 1 << r
+                    if r:
+                        er += reader.get(r)
+                    state.eobrun = er
+                    break
+                newval = 0  # ZRL: skip 16 zero-history positions
+            else:
+                if s != 1:
+                    raise ValueError("refinement size must be 1 (corrupt scan)")
+                newval = p1 if reader.get(1) else -p1
+            # advance past r zero-history coefficients, reading
+            # correction bits at every nonzero one crossed
+            while k <= se:
+                if row[k] != 0:
+                    _refine_nonzero(reader, row, k, p1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval and k <= se:
+                row[k] = newval
+            k += 1
+    if state.eobrun > 0:
+        while k <= se:
+            if row[k] != 0:
+                _refine_nonzero(reader, row, k, p1)
+            k += 1
+        state.eobrun -= 1
+
+
+def _decode_progressive_scan(
+    data, pos, frame, scan, huff, restart, coef, spectral
+) -> int:
+    """Process one progressive SOS; returns the offset of the marker
+    terminating its entropy-coded run."""
+    h, w, comps = frame
+    ss, se, ah, al = spectral
+    by_id = {cid: i for i, (cid, _, _, _) in enumerate(comps)}
+    hmax = max(hs for _, hs, vs, _ in comps)
+    vmax = max(vs for _, hs, vs, _ in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    segs, end = _entropy_segments(data, pos)
+    seg_i = 0
+    reader = _BitReader(segs[0])
+    state = _ScanState()
+    pred = [0] * len(comps)
+
+    def next_segment():
+        nonlocal seg_i, reader
+        seg_i += 1
+        if seg_i >= len(segs):
+            raise ValueError("missing restart segment (truncated scan)")
+        reader = _BitReader(segs[seg_i])
+        state.eobrun = 0
+        pred[:] = [0] * len(comps)
+
+    if ss == 0:  # DC scan (interleaved over its components)
+        if se != 0:
+            raise ValueError("DC scan with Se != 0 (corrupt scan header)")
+        tables = []
+        for cs, td, _ta in scan:
+            ci = by_id[cs]
+            if ah == 0 and (0, td) not in huff:
+                raise ValueError(f"scan references undefined DC table {td}")
+            tables.append((ci, huff.get((0, td)), comps[ci][1], comps[ci][2]))
+        if len(scan) > 1:  # interleaved MCU traversal
+            for m in range(mcux * mcuy):
+                if restart and m and m % restart == 0:
+                    next_segment()
+                my, mx = divmod(m, mcux)
+                for ci, dc_lut, hs, vs in tables:
+                    for b in range(hs * vs):
+                        by, bx = divmod(b, hs)
+                        row = coef[ci][my * vs + by, mx * hs + bx]
+                        if ah == 0:
+                            _dc_first_block(reader, dc_lut, row, al, pred, ci)
+                        else:
+                            row[0] |= reader.get(1) << al
+        else:  # single-component: raster over the ACTUAL block grid
+            ci, dc_lut, hs, vs = tables[0]
+            bw_a = _comp_blocks(w, hs, hmax)
+            bh_a = _comp_blocks(h, vs, vmax)
+            for m in range(bw_a * bh_a):
+                if restart and m and m % restart == 0:
+                    next_segment()
+                by, bx = divmod(m, bw_a)
+                row = coef[ci][by, bx]
+                if ah == 0:
+                    _dc_first_block(reader, dc_lut, row, al, pred, ci)
+                else:
+                    row[0] |= reader.get(1) << al
+    else:  # AC scan: always single-component, non-interleaved
+        if len(scan) != 1:
+            raise ValueError("AC scans must be single-component")
+        cs, _td, ta = scan[0]
+        ci = by_id[cs]
+        if (1, ta) not in huff:
+            raise ValueError(f"scan references undefined AC table {ta}")
+        ac_lut = huff[(1, ta)]
+        _cid, hs, vs, _tq = comps[ci]
+        bw_a = _comp_blocks(w, hs, hmax)
+        bh_a = _comp_blocks(h, vs, vmax)
+        for m in range(bw_a * bh_a):
+            if restart and m and m % restart == 0:
+                next_segment()
+            by, bx = divmod(m, bw_a)
+            row = coef[ci][by, bx]
+            if ah == 0:
+                _ac_first_block(reader, ac_lut, row, ss, se, al, state)
+            else:
+                _ac_refine_block(reader, ac_lut, row, ss, se, al, state)
+    return end
 
 
 # --------------------------------------------------------------- encoder
@@ -526,6 +773,149 @@ def _fdct_quant(plane: np.ndarray, qtab: np.ndarray) -> np.ndarray:
     return q.reshape(bh, bw, 64)
 
 
+# Progressive AC scans emit EOBn (n > 0) symbols, which the Annex K
+# sequential tables do not contain; the fixture encoder uses a generic
+# 256-symbol table instead (255 codes of length 8 + one of length 9 —
+# the all-ones 9-bit code stays unassigned, per the padding rule).
+_GENERIC_AC_SPEC = (
+    [0, 0, 0, 0, 0, 0, 0, 255, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(255)) + [255],
+)
+
+
+class _EobState:
+    __slots__ = ("eobrun", "pending")
+
+    def __init__(self):
+        self.eobrun = 0
+        self.pending: list[int] = []
+
+
+def _emit_eobrun(wtr: "_BitWriter", ac_tab, st: "_EobState") -> None:
+    """EOBn symbol + extra bits + the correction bits owed to the
+    blocks inside the run (refinement scans buffer them)."""
+    if st.eobrun > 0:
+        r = st.eobrun.bit_length() - 1
+        code, length = ac_tab[r << 4]
+        wtr.put(code, length)
+        if r:
+            wtr.put(st.eobrun - (1 << r), r)
+        st.eobrun = 0
+        for b in st.pending:
+            wtr.put(b, 1)
+        st.pending = []
+
+
+def _enc_dc_scan(quantized, mcux, mcuy, al, dc_tabs, refine):
+    """Progressive DC scan over the interleaved MCU grid (coincides
+    with the block raster for single-component frames). First pass
+    (Ah=0) Huffman-codes the point-transformed diffs; refinement is
+    one raw bit per block."""
+    wtr = _BitWriter()
+    pred = [0] * len(quantized)
+    for m in range(mcux * mcuy):
+        my, mx = divmod(m, mcux)
+        for ci, (q, hs, vs, _dct, _act) in enumerate(quantized):
+            for b in range(hs * vs):
+                by, bx = divmod(b, hs)
+                dc = int(q[my * vs + by, mx * hs + bx][0])
+                if refine:
+                    wtr.put((dc >> al) & 1, 1)
+                    continue
+                val = dc >> al  # DC point transform: arithmetic shift
+                diff = val - pred[ci]
+                pred[ci] = val
+                s = _category(diff)
+                code, length = dc_tabs[ci][s]
+                wtr.put(code, length)
+                if s:
+                    wtr.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    return wtr.flush()
+
+
+def _enc_ac_first_scan(q, bw_a, bh_a, ss, se, al, ac_tab):
+    wtr = _BitWriter()
+    st = _EobState()
+    for m in range(bw_a * bh_a):
+        by, bx = divmod(m, bw_a)
+        zz = q[by, bx]
+        run = 0
+        for k in range(ss, se + 1):
+            v = int(zz[k])
+            t = abs(v) >> al  # AC point transform: magnitude shift
+            if t == 0:
+                run += 1
+                continue
+            _emit_eobrun(wtr, ac_tab, st)
+            while run > 15:
+                code, length = ac_tab[0xF0]
+                wtr.put(code, length)
+                run -= 16
+            s = t.bit_length()
+            code, length = ac_tab[(run << 4) | s]
+            wtr.put(code, length)
+            tv = t if v >= 0 else -t
+            wtr.put(tv if tv >= 0 else tv + (1 << s) - 1, s)
+            run = 0
+        if run > 0:
+            st.eobrun += 1
+            if st.eobrun == 0x7FFF:
+                _emit_eobrun(wtr, ac_tab, st)
+    _emit_eobrun(wtr, ac_tab, st)
+    return wtr.flush()
+
+
+def _enc_ac_refine_scan(q, bw_a, bh_a, ss, se, al, ac_tab):
+    """T.81 G.1.2.3 AC refinement (the jcphuff.c organization):
+    newly-significant coefficients are run-length coded with size 1;
+    already-nonzero coefficients crossed contribute buffered
+    correction bits; trailing runs fold into EOBn with their owed
+    correction bits."""
+    wtr = _BitWriter()
+    st = _EobState()
+    for m in range(bw_a * bh_a):
+        by, bx = divmod(m, bw_a)
+        zz = q[by, bx]
+        absv = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+        keob = -1  # last newly-significant position
+        for i, k in enumerate(range(ss, se + 1)):
+            if absv[i] == 1:
+                keob = k
+        r = 0
+        br: list[int] = []
+        for i, k in enumerate(range(ss, se + 1)):
+            t = absv[i]
+            if t == 0:
+                r += 1
+                continue
+            while r > 15 and k <= keob:
+                _emit_eobrun(wtr, ac_tab, st)
+                code, length = ac_tab[0xF0]
+                wtr.put(code, length)
+                r -= 16
+                for b in br:
+                    wtr.put(b, 1)
+                br = []
+            if t > 1:
+                br.append(t & 1)
+                continue
+            _emit_eobrun(wtr, ac_tab, st)
+            code, length = ac_tab[(r << 4) | 1]
+            wtr.put(code, length)
+            wtr.put(1 if zz[k] > 0 else 0, 1)
+            for b in br:
+                wtr.put(b, 1)
+            br = []
+            r = 0
+        if r > 0 or br:
+            st.eobrun += 1
+            st.pending.extend(br)
+            if st.eobrun == 0x7FFF:
+                _emit_eobrun(wtr, ac_tab, st)
+    _emit_eobrun(wtr, ac_tab, st)
+    return wtr.flush()
+
+
 def _pad_to(plane: np.ndarray, ph: int, pw: int) -> np.ndarray:
     """Edge-replicate pad to (ph, pw) — keeps boundary blocks smooth."""
     return np.pad(
@@ -540,15 +930,24 @@ def encode_jpeg(
     quality: int = 90,
     subsample: bool = False,
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
     """Fixture producer: (H, W) gray or (H, W, 3) RGB uint8 ->
-    baseline JFIF bytes (Annex K quant scaled by ``quality``, Annex K
-    Huffman, 4:4:4 or 4:2:0 when ``subsample``, optional DRI/RSTn).
-    Real corpora supply real blobs; this exists so the decoder runs on
-    genuine entropy-coded streams in environments with no codec libs."""
+    baseline JFIF bytes (Annex K quant scaled by the libjpeg quality
+    formula, Annex K Huffman, 4:4:4 or 4:2:0 when ``subsample``,
+    optional DRI/RSTn). ``progressive=True`` writes SOF2 with a
+    two-level successive-approximation scan script (DC first Al=1 →
+    per-component AC bands 1-5/6-63 at Al=1 → DC refine → AC refines)
+    — the quantized coefficients reconstruct EXACTLY, so the decoded
+    pixels are bit-identical to the baseline encoding at the same
+    quality (pinned by a pytest). Real corpora supply real blobs; this
+    exists so the decoder runs on genuine entropy-coded streams in
+    environments with no codec libs."""
     arr = np.asarray(img, dtype=np.uint8)
     if arr.ndim not in (2, 3) or (arr.ndim == 3 and arr.shape[2] != 3):
         raise ValueError("expected (H, W) gray or (H, W, 3) RGB uint8")
+    if progressive and restart_interval:
+        raise ValueError("restart intervals unsupported in progressive mode")
     h, w = arr.shape[0], arr.shape[1]
     if h == 0 or w == 0:
         raise ValueError("empty image")
@@ -596,6 +995,68 @@ def encode_jpeg(
         padded = _pad_to(plane, mcuy * vs * 8, mcux * hs * 8)
         quantized.append((_fdct_quant(padded, qtab), hs, vs, dct, act))
 
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    def dht(tc, th, spec):
+        bits, values = spec
+        return seg(0xC4, bytes([(tc << 4) | th] + bits + values))
+
+    head = [b"\xff\xd8"]
+    head.append(seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"))
+    head.append(seg(0xDB, bytes([0x00]) + bytes(lum_q[_ZIGZAG].tolist())))
+    if not gray:
+        head.append(seg(0xDB, bytes([0x01]) + bytes(chrom_q[_ZIGZAG].tolist())))
+    sof = struct.pack(">BHHB", 8, h, w, len(sof_comps))
+    for cid, hs, vs, tq in sof_comps:
+        sof += bytes([cid, (hs << 4) | vs, tq])
+
+    if progressive:
+        head.append(seg(0xC2, sof))
+        head.append(dht(0, 0, _DC_LUM_SPEC))
+        if not gray:
+            head.append(dht(0, 1, _DC_CHROM_SPEC))
+        head.append(dht(1, 0, _GENERIC_AC_SPEC))
+        gen_ac = _build_encode_table(*_GENERIC_AC_SPEC)
+        dc_tabs = [dc_l] + [dc_c] * (len(planes) - 1)
+
+        def sos(comps_tt, ss, se, ah, al):
+            payload = bytes([len(comps_tt)])
+            for cid, td, ta in comps_tt:
+                payload += bytes([cid, (td << 4) | ta])
+            payload += bytes([ss, se, (ah << 4) | al])
+            return seg(0xDA, payload)
+
+        all_tt = [
+            (sof_comps[i][0], 0 if i == 0 else 1, 0)
+            for i in range(len(sof_comps))
+        ]
+        out = list(head)
+        # scan 1: DC first, Al=1
+        out.append(sos(all_tt, 0, 0, 0, 1))
+        out.append(_enc_dc_scan(quantized, mcux, mcuy, 1, dc_tabs, False))
+        # AC first scans: two spectral bands per component, Al=1
+        grids = [
+            (_comp_blocks(w, hs, hmax), _comp_blocks(h, vs, vmax))
+            for _q, hs, vs, _d, _a in quantized
+        ]
+        for ci, (q, hs, vs, _d, _a) in enumerate(quantized):
+            bw_a, bh_a = grids[ci]
+            for ss, se in ((1, 5), (6, 63)):
+                out.append(sos([(sof_comps[ci][0], 0, 0)], ss, se, 0, 1))
+                out.append(_enc_ac_first_scan(q, bw_a, bh_a, ss, se, 1, gen_ac))
+        # DC refinement (raw bits, tables ignored)
+        out.append(sos(all_tt, 0, 0, 1, 0))
+        out.append(_enc_dc_scan(quantized, mcux, mcuy, 0, dc_tabs, True))
+        # AC refinement scans
+        for ci, (q, hs, vs, _d, _a) in enumerate(quantized):
+            bw_a, bh_a = grids[ci]
+            for ss, se in ((1, 5), (6, 63)):
+                out.append(sos([(sof_comps[ci][0], 0, 0)], ss, se, 1, 0))
+                out.append(_enc_ac_refine_scan(q, bw_a, bh_a, ss, se, 0, gen_ac))
+        out.append(b"\xff\xd9")
+        return b"".join(out)
+
     chunks = []
     wtr = _BitWriter()
     pred = [0] * len(planes)
@@ -617,23 +1078,8 @@ def encode_jpeg(
     chunks.append(wtr.flush())
     entropy = b"".join(chunks)
 
-    def seg(marker: int, payload: bytes) -> bytes:
-        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
-
-    out = [b"\xff\xd8"]
-    out.append(seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"))
-    out.append(seg(0xDB, bytes([0x00]) + bytes(lum_q[_ZIGZAG].tolist())))
-    if not gray:
-        out.append(seg(0xDB, bytes([0x01]) + bytes(chrom_q[_ZIGZAG].tolist())))
-    sof = struct.pack(">BHHB", 8, h, w, len(sof_comps))
-    for cid, hs, vs, tq in sof_comps:
-        sof += bytes([cid, (hs << 4) | vs, tq])
+    out = list(head)
     out.append(seg(0xC0, sof))
-
-    def dht(tc, th, spec):
-        bits, values = spec
-        return seg(0xC4, bytes([(tc << 4) | th] + bits + values))
-
     out.append(dht(0, 0, _DC_LUM_SPEC))
     out.append(dht(1, 0, _AC_LUM_SPEC))
     if not gray:

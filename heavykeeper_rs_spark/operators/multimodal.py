@@ -624,7 +624,8 @@ def image_decoder(blob: bytes) -> np.ndarray:
         except ValueError as e:
             if "SOF marker" not in str(e):
                 raise  # genuinely corrupt — per-row capture, not Pillow
-            return pil_image_decoder(blob)  # progressive etc.
+            # arithmetic/lossless/hierarchical (rare) — Pillow gate
+            return pil_image_decoder(blob)
     return pil_image_decoder(blob)
 
 

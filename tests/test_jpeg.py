@@ -150,11 +150,11 @@ class TestErrorSurface:
         with pytest.raises(ValueError):
             decode_jpeg(blob[: len(blob) // 4])
 
-    def test_progressive_sof_rejected_with_clear_message(self):
+    def test_lossless_sof_rejected_with_clear_message(self):
         blob = bytearray(encode_jpeg(synth_image(16, 16, 3)))
         idx = blob.find(b"\xff\xc0")
-        blob[idx + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
-        with pytest.raises(ValueError, match="SOF marker 0xc2"):
+        blob[idx + 1] = 0xC3  # flip SOF0 -> SOF3 (lossless)
+        with pytest.raises(ValueError, match="SOF marker 0xc3"):
             decode_jpeg(bytes(blob))
 
     def test_corrupt_huffman_prefix(self):
@@ -213,3 +213,56 @@ class TestMjpgAvi:
         img = synth_image(20, 28, 3)
         out = image_decoder(encode_jpeg(img, quality=95))
         assert out.shape == img.shape
+
+
+class TestProgressive:
+    """SOF2 decode (full T.81 G.2 scan algebra). The encoder's
+    progressive scan script reconstructs the quantized coefficients
+    exactly, so decoded pixels must be BIT-IDENTICAL to the baseline
+    encoding of the same image at the same quality — any error in
+    spectral selection, successive approximation, refinement or EOB
+    runs breaks the identity."""
+
+    @pytest.mark.parametrize(
+        "img,kw",
+        [
+            (synth_image(13, 17, 1), {}),
+            (synth_image(24, 33, 3), {}),
+            (synth_image(24, 33, 3), {"subsample": True}),
+            (synth_image(40, 56, 3), {"quality": 55}),
+            (synth_image(64, 96, 3), {"subsample": True, "quality": 85}),
+        ],
+        ids=["gray", "rgb444", "rgb420", "q55", "big420q85"],
+    )
+    def test_progressive_bit_identical_to_baseline(self, img, kw):
+        base = decode_jpeg(encode_jpeg(img, **kw))
+        prog = decode_jpeg(encode_jpeg(img, progressive=True, **kw))
+        assert (base == prog).all()
+
+    def test_sparse_high_frequency_forces_zrl_and_eob_runs(self):
+        # mostly-flat image with isolated impulses: long zero runs in
+        # the 6-63 band (ZRL + corrections) and multi-block EOB runs
+        img = np.full((48, 64), 120, dtype=np.uint8)
+        img[5, 7] = 250
+        img[37, 51] = 0
+        base = decode_jpeg(encode_jpeg(img, quality=95))
+        prog = decode_jpeg(encode_jpeg(img, quality=95, progressive=True))
+        assert (base == prog).all()
+
+    def test_progressive_through_image_decoder(self):
+        from heavykeeper_rs_spark.operators.multimodal import image_decoder
+
+        img = synth_image(20, 28, 3)
+        blob = encode_jpeg(img, progressive=True)
+        out = image_decoder(blob)
+        assert (out == decode_jpeg(encode_jpeg(img))).all()
+
+    def test_truncated_progressive_raises(self):
+        blob = encode_jpeg(synth_image(24, 33, 3), progressive=True)
+        with pytest.raises(ValueError):
+            decode_jpeg(blob[: len(blob) // 3])
+
+    def test_progressive_restart_unsupported_in_encoder(self):
+        with pytest.raises(ValueError, match="restart"):
+            encode_jpeg(synth_image(8, 8, 1), progressive=True,
+                        restart_interval=2)
