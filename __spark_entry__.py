@@ -1403,22 +1403,11 @@ def _streaming_late_drop_check(
         one_file(ev.where(~cond_a), "b")
         dropped_metric = run()
 
-    # kept-row accounting: same life rules as merge_window_blobs —
-    # every final=1 row closes a disjoint state life; a shard that
-    # never finalized contributes its largest (cumulative) update
-    finals: dict = {}
-    best: dict = {}
-    for r in rows:
-        k = (int(r["window_start"]), int(r["shard"]))
-        if int(r["final"]) == 1:
-            finals.setdefault(k, []).append(int(r["rows_seen"]))
-        else:
-            s = int(r["rows_seen"])
-            if k not in best or s > best[k]:
-                best[k] = s
-    kept_rows = sum(sum(v) for v in finals.values()) + sum(
-        v for k, v in best.items() if k not in finals
-    )
+    # kept-row accounting: the SAME life-selection merge_window_blobs
+    # uses (shared helper — the two must never drift apart)
+    from heavykeeper_rs_spark.streaming.stateful import window_rows_seen
+
+    kept_rows = window_rows_seen(rows)
     total = ev.count()
     kept_exp = ev.where(cond_a | cond_kept_b).count()
     ok = kept_rows == kept_exp and dropped_metric == total - kept_exp

@@ -23,14 +23,15 @@ from __future__ import annotations
 
 import re
 
-_INC_ID_RE = re.compile(r"^[A-Za-z0-9._-]{1,200}$")
+_INC_ID_RE = re.compile(r"[A-Za-z0-9._-]{1,200}")
 
 
 def check_increment_id(increment_id: str) -> str:
     """Increment ids become path components (``inc=<id>``): restrict
     to filesystem-safe characters so ids cannot escape the dataset
-    directory or collide with partition syntax."""
-    if not _INC_ID_RE.match(increment_id):
+    directory or collide with partition syntax. ``fullmatch`` (not
+    ``$``-anchored match — that accepts a trailing newline)."""
+    if not _INC_ID_RE.fullmatch(increment_id):
         raise ValueError(
             "increment_id must match [A-Za-z0-9._-]{1,200} (it becomes a "
             f"partition directory name): {increment_id!r}"
@@ -103,3 +104,21 @@ def applied_increments(spark, base: str) -> "list[str]":
             if fs_exists(spark, f"{base.rstrip('/')}/{name}/_SUCCESS"):
                 out.append(inc)
     return sorted(out)
+
+
+def read_applied(spark, base: str):
+    """DataFrame over ONLY the committed increments of an incremental
+    dataset — readers must honor the same ``_SUCCESS`` manifest the
+    writers commit through, or a crashed (never-retried) increment's
+    partial files would be served as data forever. ``basePath`` keeps
+    the ``inc=`` (and any nested) partition columns in the schema, so
+    plans are identical to a whole-tree read minus the uncommitted
+    directories."""
+    incs = applied_increments(spark, base)
+    if not incs:
+        raise FileNotFoundError(
+            f"no committed increments under {base} — index missing or "
+            "every write crashed before commit"
+        )
+    paths = [increment_dir(base, i) for i in incs]
+    return spark.read.option("basePath", base).parquet(*paths)

@@ -314,7 +314,9 @@ def dedup_against_index(
         inc_buckets = inc.select(
             F.col("id").alias("new_id"), "band", "band_hash"
         )
-        index = spark.read.parquet(_data_path(index_dir))
+        from heavykeeper_rs_spark.fsutil import read_applied
+
+        index = read_applied(spark, _data_path(index_dir))
         # pass 1: bucket probe — corpus scan x broadcast(increment)
         cand = (
             index.select(F.col("id").alias("corpus_id"), "band", "band_hash")
@@ -335,7 +337,7 @@ def dedup_against_index(
         )
         # pass 2: corpus sig fetch — corpus scan x broadcast(candidates)
         corpus_sigs = (
-            spark.read.parquet(_data_path(index_dir))
+            read_applied(spark, _data_path(index_dir))
             .where(F.col("band") == 0)
             .select(F.col("id").alias("corpus_id"), F.col("sig").alias("sig_b"))
         )

@@ -11,7 +11,9 @@ omitting DHT (implies the Annex K tables, which AVI 'MJPG' streams
 rely on) are handled. Progressive decode implements the full T.81
 G.2 scan algebra — spectral selection, successive approximation,
 DC/AC refinement scans, EOB runs. Arithmetic-coded / lossless /
-hierarchical files raise ValueError — at curation scale those rows
+hierarchical files raise UnsupportedJpegError (ValueError subclass
+— image_decoder's Pillow-fallback signal), truncation raises plain
+ValueError — at curation scale those rows
 are captured per-row by ``extract_features``, not fatal.
 
 ``encode_jpeg`` is the fixture producer (mirrors ``encode_png`` /
@@ -37,6 +39,14 @@ from __future__ import annotations
 import struct
 
 import numpy as np
+
+class UnsupportedJpegError(ValueError):
+    """Legal JPEG this decoder does not implement (arithmetic coding,
+    lossless/hierarchical SOFs, 12-bit precision, CMYK, 4:1:1
+    sampling, ...). ``image_decoder`` routes these to the import-gated
+    Pillow fallback; plain ValueError means CORRUPT input and is
+    captured per-row instead."""
+
 
 # --------------------------------------------------------------- tables
 
@@ -168,11 +178,17 @@ def _build_decode_lut(bits: "list[int]", values: "list[int]") -> np.ndarray:
 
 
 class _BitReader:
-    """MSB-first bit reader over destuffed entropy bytes; reads past
-    the end return 0 bits (the stream is length-bounded by the MCU
-    count, so tail padding is never interpreted)."""
+    """MSB-first bit reader over destuffed entropy bytes. Reads past
+    the end feed 0 bits so the final symbols' 16-bit lookahead always
+    works; ``overrun()`` then tells whether any fabricated bit was
+    actually CONSUMED — the exact truncation signal (legitimate
+    streams end with the last code inside the real bytes, padding
+    included)."""
 
     __slots__ = ("data", "pos", "buf", "nbits")
+
+    def overrun(self) -> bool:
+        return 8 * self.pos - self.nbits > 8 * len(self.data)
 
     def __init__(self, data: bytes):
         self.data = data
@@ -276,6 +292,9 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
         if 0xD0 <= marker <= 0xD7:  # stray RST between scans
             pos += 2
             continue
+        if marker == 0xFF:  # T.81 B.1.1.2 fill bytes before a marker
+            pos += 1
+            continue
         if pos + 4 > n:
             raise ValueError("truncated JPEG (header cut mid-marker)")
         (seglen,) = struct.unpack_from(">H", data, pos + 2)
@@ -306,18 +325,18 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 prog.
             prec, h, w, nc = struct.unpack_from(">BHHB", data, seg_start)
             if prec != 8:
-                raise ValueError(f"unsupported sample precision {prec}")
+                raise UnsupportedJpegError(f"unsupported sample precision {prec}")
             if h == 0 or w == 0:
-                raise ValueError("DNL-deferred dimensions not supported")
+                raise UnsupportedJpegError("DNL-deferred dimensions not supported")
             comps = []
             for c in range(nc):
                 cid, hv, tq = struct.unpack_from(">BBB", data, seg_start + 6 + 3 * c)
                 hs, vs = hv >> 4, hv & 15
                 if hs not in (1, 2) or vs not in (1, 2):
-                    raise ValueError(f"unsupported sampling {hs}x{vs}")
+                    raise UnsupportedJpegError(f"unsupported sampling {hs}x{vs}")
                 comps.append((cid, hs, vs, tq))
             if nc not in (1, 3):
-                raise ValueError(f"unsupported component count {nc}")
+                raise UnsupportedJpegError(f"unsupported component count {nc}")
             frame = (h, w, comps)
             progressive = marker == 0xC2
             if progressive:
@@ -331,7 +350,7 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
                 ]
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
-            raise ValueError(
+            raise UnsupportedJpegError(
                 "only sequential/progressive Huffman JPEG is supported "
                 f"(got SOF marker 0x{marker:02x})"
             )
@@ -376,7 +395,7 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
 def _decode_scan(data, pos, frame, scan, qt, huff, restart):
     h, w, comps = frame
     if len(scan) != len(comps):
-        raise ValueError("non-interleaved multi-scan baseline not supported")
+        raise UnsupportedJpegError("non-interleaved multi-scan baseline not supported")
     by_id = {cid: i for i, (cid, _, _, _) in enumerate(comps)}
     order = [by_id[cs] for cs, _, _ in scan]
     if sorted(order) != list(range(len(comps))):
@@ -405,6 +424,8 @@ def _decode_scan(data, pos, frame, scan, qt, huff, restart):
     pred = [0] * len(comps)
     for m in range(n_mcu):
         if restart and m and m % restart == 0:
+            if reader.overrun():
+                raise ValueError("truncated JPEG scan (entropy underrun)")
             seg_i += 1
             if seg_i >= len(segs):
                 raise ValueError("missing restart segment (truncated scan)")
@@ -441,6 +462,8 @@ def _decode_scan(data, pos, frame, scan, qt, huff, restart):
                         raise ValueError("AC run past block end (corrupt scan)")
                     row[k] = _extend(reader.get(s), s)
                     k += 1
+    if reader.overrun():
+        raise ValueError("truncated JPEG scan (entropy underrun)")
     return _reconstruct(frame, coef, qt)
 
 
@@ -612,6 +635,8 @@ def _decode_progressive_scan(
 
     def next_segment():
         nonlocal seg_i, reader
+        if reader.overrun():
+            raise ValueError("truncated JPEG scan (entropy underrun)")
         seg_i += 1
         if seg_i >= len(segs):
             raise ValueError("missing restart segment (truncated scan)")
@@ -674,6 +699,8 @@ def _decode_progressive_scan(
                 _ac_first_block(reader, ac_lut, row, ss, se, al, state)
             else:
                 _ac_refine_block(reader, ac_lut, row, ss, se, al, state)
+    if reader.overrun():
+        raise ValueError("truncated JPEG scan (entropy underrun)")
     return end
 
 

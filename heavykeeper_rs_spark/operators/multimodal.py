@@ -6,10 +6,12 @@ UDF signatures — is real and tested. AUDIO decode is real
 (``wav_decoder``: stdlib ``wave`` PCM parsing) and so is IMAGE decode
 for the codec-free formats (``image_decoder``: pure-NumPy PPM/PGM and
 uncompressed BMP, plus PNG through stdlib ``zlib`` — all five scanline
-filters, 8-bit gray/RGB/palette/alpha) AND — since round 7 — baseline
-JPEG (``operators/jpeg.decode_jpeg``: Huffman entropy decode +
-vectorized IDCT, no external libs). Progressive JPEG and WebP route
-through the import-gated ``pil_image_decoder``. VIDEO decode is real
+filters, 8-bit gray/RGB/palette/alpha) AND — since round 7 — JPEG,
+baseline and progressive (``operators/jpeg.decode_jpeg``: Huffman
+entropy decode + vectorized IDCT, no external libs). Only WebP and
+the rare JPEG families the decoder rejects as ``UnsupportedJpegError``
+(arithmetic/lossless, 12-bit, CMYK, 4:1:1) route through the
+import-gated ``pil_image_decoder``. VIDEO decode is real
 for uncompressed (BI_RGB / rawvideo) AVI and for MJPEG-in-AVI (each
 frame is a baseline JPEG, incl. the DHT-less MJPG convention) —
 ``decode_avi`` / ``iter_avi_frames`` / ``video_decoder`` /
@@ -617,14 +619,18 @@ def image_decoder(blob: bytes) -> np.ndarray:
     if blob[:2] == b"BM":
         return decode_bmp(blob)
     if blob[:2] == b"\xff\xd8":
-        from heavykeeper_rs_spark.operators.jpeg import decode_jpeg
+        from heavykeeper_rs_spark.operators.jpeg import (
+            UnsupportedJpegError,
+            decode_jpeg,
+        )
 
         try:
             return decode_jpeg(blob)
-        except ValueError as e:
-            if "SOF marker" not in str(e):
-                raise  # genuinely corrupt — per-row capture, not Pillow
-            # arithmetic/lossless/hierarchical (rare) — Pillow gate
+        except UnsupportedJpegError:
+            # legal JPEG family this decoder doesn't implement
+            # (arithmetic/lossless, 12-bit, CMYK, 4:1:1 ...) — Pillow
+            # gate; CORRUPT input stays a plain ValueError and is
+            # captured per-row, never retried through Pillow
             return pil_image_decoder(blob)
     return pil_image_decoder(blob)
 

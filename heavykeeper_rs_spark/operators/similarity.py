@@ -461,7 +461,9 @@ def ivf_search_index(
     q = np.asarray(qvec, dtype=np.float32)
     qn = q / max(np.linalg.norm(q), 1e-12)
     probe = [int(c) for c in np.argsort(-(centroids @ qn))[:n_probe]]
-    idx = spark.read.parquet(index_path).filter(F.col("centroid").isin(probe))
+    from heavykeeper_rs_spark.fsutil import read_applied
+
+    idx = read_applied(spark, index_path).filter(F.col("centroid").isin(probe))
     return brute_force_topk(idx, "id", "vec", qvec, k)
 
 

@@ -313,37 +313,54 @@ def stateful_windowed_sketch_stream(
     )
 
 
-def merge_window_blobs(rows: list, deserialize=None) -> dict[int, "HeavyKeeper"]:
-    """Fold windowed-stream output rows into one sketch per window.
-
-    Consumer contract: per (window, shard) take every final=1 row
-    (each closes a disjoint state life — stragglers after a
-    finalization start a new life that always ends in its own
-    immediate final) plus, when a shard never finalized (the stream
-    ended before the watermark passed the window end), its
-    largest-rows_seen update row (updates are cumulative within a
-    life). Merging those blobs yields the window's exact-regime
-    sketch. ``deserialize`` defaults to the HeavyKeeper-family
-    magic-sniffing ``deserialize_any``; pass e.g. ``HLL.deserialize``
-    for ``stateful_windowed_sketch_stream`` outputs of other
-    families."""
-    finals: dict[tuple[int, int], list[bytes]] = {}
+def _select_lives(rows: list) -> "dict[tuple[int, int], list[tuple[int, bytes]]]":
+    """The windowed-stream consumer contract in one place: per
+    (window, shard) take every final=1 row (each closes a disjoint
+    state life — stragglers after a finalization start a new life that
+    always ends in its own immediate final) plus, when a shard never
+    finalized (the stream ended before the watermark passed the window
+    end), its largest-rows_seen update row (updates are cumulative
+    within a life). Returns the selected (rows_seen, blob) per key —
+    ``merge_window_blobs`` folds the blobs, ``window_rows_seen`` sums
+    the counts; both MUST select identically, which is why this is
+    shared."""
+    finals: dict[tuple[int, int], list[tuple[int, bytes]]] = {}
     best_update: dict[tuple[int, int], tuple[int, bytes]] = {}
     for r in rows:
         k = (int(r["window_start"]), int(r["shard"]))
         if int(r["final"]) == 1:
-            finals.setdefault(k, []).append(r["sketch"])
+            finals.setdefault(k, []).append((int(r["rows_seen"]), r["sketch"]))
         else:
             seen = int(r["rows_seen"])
             if k not in best_update or seen > best_update[k][0]:
                 best_update[k] = (seen, r["sketch"])
+    out: dict[tuple[int, int], list[tuple[int, bytes]]] = {}
+    for k in set(finals) | set(best_update):
+        out[k] = finals.get(k) or [best_update[k]]
+    return out
+
+
+def window_rows_seen(rows: list) -> int:
+    """Total rows the stream actually FED across all windows/shards —
+    finals' cumulative counts summed per life plus the best update of
+    never-finalized shards. Compared against the exact kept-row count
+    in the late-data gate (rows dropped by the watermark never reach
+    the fold, so they are absent here by construction)."""
+    return sum(
+        seen for lives in _select_lives(rows).values() for seen, _ in lives
+    )
+
+
+def merge_window_blobs(rows: list, deserialize=None) -> dict[int, "HeavyKeeper"]:
+    """Fold windowed-stream output rows into one sketch per window —
+    the blob selection is ``_select_lives`` (see its docstring for the
+    consumer contract). ``deserialize`` defaults to the
+    HeavyKeeper-family magic-sniffing ``deserialize_any``; pass e.g.
+    ``HLL.deserialize`` for ``stateful_windowed_sketch_stream``
+    outputs of other families."""
     per_window: dict[int, list[bytes]] = {}
-    keys = set(finals) | set(best_update)
-    for k in keys:
-        blobs = finals.get(k, [])
-        if not blobs:
-            blobs = [best_update[k][1]]
-        per_window.setdefault(k[0], []).extend(blobs)
+    for k, lives in _select_lives(rows).items():
+        per_window.setdefault(k[0], []).extend(b for _, b in lives)
     if deserialize is None:
         from ..variants import deserialize_any as deserialize
 

@@ -266,3 +266,63 @@ class TestProgressive:
         with pytest.raises(ValueError, match="restart"):
             encode_jpeg(synth_image(8, 8, 1), progressive=True,
                         restart_interval=2)
+
+
+class TestReviewFixes:
+    """Round-7 code-review findings on the decoder."""
+
+    def test_unsupported_families_fall_to_pillow_gate(self):
+        # 4:1:1 sampling and 4-component CMYK are LEGAL JPEGs this
+        # decoder doesn't implement: they must raise the Unsupported
+        # subclass (image_decoder's Pillow-fallback signal), while
+        # corrupt input stays a plain ValueError
+        from heavykeeper_rs_spark.operators.jpeg import UnsupportedJpegError
+
+        blob = bytearray(encode_jpeg(synth_image(16, 16, 3)))
+        idx = blob.find(b"\xff\xc0")
+        blob[idx + 11] = 0x41  # comp 1 sampling 4x1
+        with pytest.raises(UnsupportedJpegError):
+            decode_jpeg(bytes(blob))
+        blob = bytearray(encode_jpeg(synth_image(16, 16, 3)))
+        blob[idx + 9] = 4  # component count 4 (CMYK-shaped)
+        with pytest.raises(UnsupportedJpegError):
+            decode_jpeg(bytes(blob))
+        # image_decoder: Unsupported -> NotImplementedError (no Pillow
+        # here); corrupt -> ValueError (captured per-row, NOT Pillow)
+        from heavykeeper_rs_spark.operators.multimodal import image_decoder
+
+        blob = bytearray(encode_jpeg(synth_image(16, 16, 3)))
+        blob[idx + 11] = 0x41
+        with pytest.raises(NotImplementedError):
+            image_decoder(bytes(blob))
+        with pytest.raises(ValueError):
+            image_decoder(b"\xff\xd8\xff\xe0 not-really-jpeg")
+
+    def test_truncated_entropy_with_valid_eoi_raises(self):
+        # cutting entropy bytes but keeping EOI used to decode garbage
+        # silently (zero-fill reads valid Annex K symbols forever);
+        # the overrun check must catch the fabricated bits
+        blob = encode_jpeg(synth_image(24, 24, 3), quality=90)
+        cut = blob[: blob.rfind(b"\xff\xd9") - 40] + b"\xff\xd9"
+        with pytest.raises(ValueError, match="underrun|truncated"):
+            decode_jpeg(cut)
+        # progressive too
+        blob = encode_jpeg(synth_image(24, 24, 3), progressive=True)
+        cut = blob[: blob.rfind(b"\xff\xd9") - 25] + b"\xff\xd9"
+        with pytest.raises(ValueError):
+            decode_jpeg(cut)
+
+    def test_ff_fill_bytes_before_markers_tolerated(self):
+        # T.81 B.1.1.2: markers may be preceded by any number of FF
+        # fill bytes
+        blob = encode_jpeg(synth_image(16, 20, 3))
+        idx = blob.find(b"\xff\xda")
+        padded = blob[:idx] + b"\xff\xff\xff" + blob[idx:]
+        assert (decode_jpeg(padded) == decode_jpeg(blob)).all()
+
+    def test_increment_id_trailing_newline_rejected(self):
+        from heavykeeper_rs_spark.fsutil import check_increment_id
+
+        with pytest.raises(ValueError):
+            check_increment_id("abc\n")
+        assert check_increment_id("crawl-2026.08.18_a") == "crawl-2026.08.18_a"
