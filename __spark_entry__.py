@@ -1603,12 +1603,20 @@ def _media_pipeline_ok(spark: SparkSession) -> bool:
     rows.append((5, jpeg_blob))
     rows.append((6, encode_jpeg(synth_image(12, 16, 3, seed=11), quality=92,
                                 progressive=True)))
+    # lossless WebP (round 7: stdlib VP8L decoder) — lossless, so the
+    # truth is the SOURCE image, exactly
+    from heavykeeper_rs_spark.operators.webp import encode_webp_lossless
+
+    webp_img = synth_image(12, 16, 3, seed=13)
+    rows.append((7, encode_webp_lossless(webp_img, subtract_green=True)))
     df = _local_df(spark, rows, "mid bigint, blob binary")
     got = {
         r["id"]: r
         for r in resize_features(df, "mid", "blob", 4, 4, decoder=image_decoder).collect()
     }
-    ok = len(got) == 6 and not got[4]["ok"]
+    ok = len(got) == 7 and not got[4]["ok"]
+    webp_want = resize_nearest(webp_img, 4, 4).astype(np.float32).reshape(-1)
+    ok = ok and bool(got[7]["ok"]) and np.allclose(got[7]["feature"], webp_want)
     for mid, (_enc, img) in imgs.items():
         want = resize_nearest(img, 4, 4).astype(np.float32).reshape(-1)
         ok = ok and bool(got[mid]["ok"]) and np.allclose(got[mid]["feature"], want)

@@ -8,10 +8,12 @@ for the codec-free formats (``image_decoder``: pure-NumPy PPM/PGM and
 uncompressed BMP, plus PNG through stdlib ``zlib`` — all five scanline
 filters, 8-bit gray/RGB/palette/alpha) AND — since round 7 — JPEG,
 baseline and progressive (``operators/jpeg.decode_jpeg``: Huffman
-entropy decode + vectorized IDCT, no external libs). Only WebP and
-the rare JPEG families the decoder rejects as ``UnsupportedJpegError``
-(arithmetic/lossless, 12-bit, CMYK, 4:1:1) route through the
-import-gated ``pil_image_decoder``. VIDEO decode is real
+entropy decode + vectorized IDCT, no external libs) and lossless WebP
+(``operators/webp.decode_webp``: full VP8L). Only lossy-VP8 WebP,
+animations, and the rare JPEG families the decoder rejects as
+``UnsupportedJpegError`` (arithmetic/lossless, 12-bit, CMYK, 4:1:1)
+route through the import-gated ``pil_image_decoder``. VIDEO decode is
+real
 for uncompressed (BI_RGB / rawvideo) AVI and for MJPEG-in-AVI (each
 frame is a baseline JPEG, incl. the DHT-less MJPG convention) —
 ``decode_avi`` / ``iter_avi_frames`` / ``video_decoder`` /
@@ -73,9 +75,11 @@ def stub_decoder(blob: bytes) -> np.ndarray:
     REAL for uncompressed (BI_RGB) AVI and for MJPEG-in-AVI — see
     ``decode_avi`` / ``iter_avi_frames`` / ``video_decoder``. AUDIO
     decode is real — see ``wav_decoder``; IMAGE decode is real for
-    PNG/PPM/PGM/BMP/baseline-JPEG — see ``image_decoder`` and
-    ``operators/jpeg.decode_jpeg`` — and import-gated only for
-    progressive JPEG / WebP — see ``pil_image_decoder``."""
+    PNG/PPM/PGM/BMP, baseline+progressive JPEG, and lossless WebP —
+    see ``image_decoder``, ``operators/jpeg.decode_jpeg`` and
+    ``operators/webp.decode_webp`` — and import-gated only for lossy
+    VP8 WebP and the exotic JPEG families — see
+    ``pil_image_decoder``."""
     raise NotImplementedError(
         "codec video decode requires libraries not present in this "
         "environment; uncompressed AVI decodes via decode_avi"
@@ -631,6 +635,17 @@ def image_decoder(blob: bytes) -> np.ndarray:
             # (arithmetic/lossless, 12-bit, CMYK, 4:1:1 ...) — Pillow
             # gate; CORRUPT input stays a plain ValueError and is
             # captured per-row, never retried through Pillow
+            return pil_image_decoder(blob)
+    if blob[:4] == b"RIFF" and blob[8:12] == b"WEBP":
+        from heavykeeper_rs_spark.operators.webp import (
+            UnsupportedWebpError,
+            decode_webp,
+        )
+
+        try:
+            return decode_webp(blob)
+        except UnsupportedWebpError:
+            # lossy VP8 / animation — Pillow gate, same contract
             return pil_image_decoder(blob)
     return pil_image_decoder(blob)
 

@@ -645,8 +645,16 @@ class TestImageDecode:
         # baseline decoder is real), not a Pillow gate
         with pytest.raises(ValueError):
             image_decoder(b"\xff\xd8\xff\xe0 not-really-jpeg")
-        # unknown magic (WebP here) falls through to the gated PIL path
+        # lossy VP8 WebP falls through to the gated PIL path (r7:
+        # LOSSLESS WebP decodes natively — see tests/test_webp.py)
+        import struct as _s
+
+        lossy = (b"RIFF" + _s.pack("<I", 16) + b"WEBP"
+                 + b"VP8 " + _s.pack("<I", 4) + b"\x00\x00\x00\x00")
         with pytest.raises(NotImplementedError):
+            image_decoder(lossy)
+        # truncated/chunkless WebP is corrupt -> per-row ValueError
+        with pytest.raises(ValueError):
             image_decoder(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
 
     def test_spark_decode_resize_features_end_to_end(self, spark):
