@@ -49,7 +49,7 @@ class UnsupportedWebpError(ValueError):
 # ------------------------------------------------------------- constants
 
 _CL_ORDER = [17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15]
-_HASH_MUL = np.uint64(0x1E35A7BD)
+# color-cache hash multiplier (spec): (0x1e35a7bd * pixel) >> (32 - bits)
 
 
 def _distance_map() -> "list[tuple[int, int]]":
@@ -141,6 +141,16 @@ class _Huff:
                 self.lut_len[i] = ln
             code += 1
 
+    @classmethod
+    def single(cls, symbol: int) -> "_Huff":
+        """Zero-bit tree for the one-symbol case (simple codes, and
+        degenerate code-length codes)."""
+        h = cls.__new__(cls)
+        h.nbits = 0
+        h.only = symbol
+        h.lut_sym = h.lut_len = None
+        return h
+
     def read(self, br: _LsbReader) -> int:
         if self.nbits == 0:
             return self.only
@@ -192,16 +202,11 @@ def _read_huffman(br: _LsbReader, alphabet_size: int) -> _Huff:
         num = br.bits(1) + 1
         first_8bit = br.bits(1)
         s0 = br.bits(8 if first_8bit else 1)
-        lengths = [0] * alphabet_size
         if num == 1:
             if s0 >= alphabet_size:
                 raise ValueError("simple-code symbol out of range")
-            lengths[s0] = 1  # single-symbol tree: 0 bits per read
-            h = _Huff.__new__(_Huff)
-            h.nbits = 0
-            h.only = s0
-            h.lut_sym = h.lut_len = None
-            return h
+            return _Huff.single(s0)  # 0 bits per read
+        lengths = [0] * alphabet_size
         s1 = br.bits(8)
         if s0 >= alphabet_size or s1 >= alphabet_size or s0 == s1:
             raise ValueError("simple-code symbols invalid")
@@ -214,16 +219,14 @@ def _read_huffman(br: _LsbReader, alphabet_size: int) -> _Huff:
     if sum(cl_lengths) == 0:
         raise ValueError("empty code-length code")
     if sum(1 for v in cl_lengths if v) == 1:
-        only = next(i for i, v in enumerate(cl_lengths) if v)
-        cl_huff = _Huff.__new__(_Huff)
-        cl_huff.nbits = 0
-        cl_huff.only = only
-        cl_huff.lut_sym = cl_huff.lut_len = None
+        cl_huff = _Huff.single(next(i for i, v in enumerate(cl_lengths) if v))
     else:
         cl_huff = _Huff(cl_lengths)
     if br.bits(1):  # use max_symbol
         length_nbits = 2 + 2 * br.bits(3)
         max_symbol = 2 + br.bits(length_nbits)
+        if max_symbol > alphabet_size:
+            raise ValueError("max-symbol exceeds the alphabet (corrupt VP8L)")
     else:
         max_symbol = alphabet_size
     lengths = _read_code_lengths(br, cl_huff, alphabet_size, max_symbol)
@@ -275,14 +278,20 @@ def _decode_entropy_coded(br, w, h, is_level0):
                 _read_huffman(br, 40),  # distance
             )
         )
-    cache = np.zeros(1 << cache_bits, dtype=np.uint64) if cache_bits else None
+    cache = np.zeros(1 << cache_bits, dtype=np.uint32) if cache_bits else None
     cache_shift = 32 - cache_bits if cache_bits else 0
-    px = np.zeros(w * h, dtype=np.uint64)
+    px = np.zeros(w * h, dtype=np.uint32)
     pos = 0
     total = w * h
     g = groups[0]
     single = n_groups == 1 and meta is None
     while pos < total:
+        if pos & 0xFFF == 0 and br.overrun():
+            # fail FAST on truncation: fabricated zero bits decode as
+            # valid literals forever, and a tiny blob claiming 16k x
+            # 16k dims would otherwise burn minutes before the final
+            # overrun check (found by review; bounded to ~4k pixels)
+            raise ValueError("truncated VP8L stream (entropy underrun)")
         if not single:
             y, x = divmod(pos, w)
             g = groups[int(meta[y >> meta_bits, x >> meta_bits])]
@@ -322,7 +331,7 @@ def _decode_entropy_coded(br, w, h, is_level0):
                 raise ValueError("color-cache index out of range")
             px[pos] = cache[idx]
             pos += 1
-    return px.astype(np.uint32)
+    return px
 
 
 # -------------------------------------------------------------- transforms
@@ -479,9 +488,10 @@ def _inv_color_indexing(px: np.ndarray, w: int, h: int, palette: np.ndarray,
     lut = np.zeros(256, dtype=np.uint32)
     lut[:n_pal] = palette
     if width_bits == 0:
+        # a green byte is always a valid lut index (256 entries);
+        # out-of-palette indices decode to 0 below
         idx = (px >> np.uint32(8)) & np.uint32(0xFF)
-        safe = np.where(idx < n_pal, idx, np.uint32(255 if n_pal <= 255 else 0))
-        out = lut[safe.astype(np.int64)]
+        out = lut[idx.astype(np.int64)]
         out[idx >= n_pal] = 0
         return out
     bpp = 8 >> width_bits
@@ -681,23 +691,11 @@ _DIST_LENGTHS = [5] * 24 + [6] * 16
 
 
 def _write_literal_image(wr: _LsbWriter, argb: np.ndarray) -> None:
-    """One entropy-coded image, literal-only (no cache, one group)."""
+    """One non-level0 entropy-coded image (a transform subimage),
+    literal-only: the cache bit, then the shared trees+pixels body
+    (subimages carry no meta-Huffman bit)."""
     wr.bits(0, 1)  # no color cache
-    green = _write_tree(wr, _GREEN_LENGTHS, (8, 9))
-    red = _write_tree(wr, _BYTE_LENGTHS, (8,))
-    blue = _write_tree(wr, _BYTE_LENGTHS, (8,))
-    alpha = _write_tree(wr, _BYTE_LENGTHS, (8,))
-    _write_tree(wr, _DIST_LENGTHS, (5, 6))  # never referenced
-    for p in argb.reshape(-1):
-        p = int(p)
-        c, ln = green[(p >> 8) & 0xFF]
-        wr.code(c, ln)
-        c, ln = red[(p >> 16) & 0xFF]
-        wr.code(c, ln)
-        c, ln = blue[p & 0xFF]
-        wr.code(c, ln)
-        c, ln = alpha[(p >> 24) & 0xFF]
-        wr.code(c, ln)
+    _write_literal_image_main(wr, argb)
 
 
 def encode_webp_lossless(

@@ -278,3 +278,50 @@ class TestErrorSurface:
 
         img = synth_image(10, 14, 3)
         assert (image_decoder(encode_webp_lossless(img)) == img).all()
+
+
+class TestFailFast:
+    def test_huge_dims_truncated_blob_fails_fast(self):
+        # review finding: a tiny blob claiming 16383x16383 used to
+        # decode fabricated zero bits for minutes before the final
+        # overrun check; the in-loop check bounds it to ~4k pixels
+        import time
+
+        w = _W()
+        w.bits(16382, 14)
+        w.bits(16382, 14)
+        w.bits(0, 1)
+        w.bits(0, 3)
+        w.bits(0, 1)  # no transforms
+        w.bits(0, 1)  # no cache
+        w.bits(0, 1)  # no meta
+        _write_full_tree(w, _GREEN_LEN, 8, 9)
+        _write_full_tree(w, _BYTE_LEN, 8, 0)
+        _write_full_tree(w, _BYTE_LEN, 8, 0)
+        _write_full_tree(w, _BYTE_LEN, 8, 0)
+        _write_full_tree(w, _DIST_LEN, 5, 6)
+        blob = _wrap_vp8l(b"\x2f" + w.done())  # trees, zero pixel data
+        t0 = time.time()
+        with pytest.raises(ValueError):
+            decode_webp(blob)
+        assert time.time() - t0 < 5.0
+
+    def test_max_symbol_exceeding_alphabet_rejected(self):
+        w = _W()
+        w.bits(0, 14)  # 1x1
+        w.bits(0, 14)
+        w.bits(0, 1)
+        w.bits(0, 3)
+        w.bits(0, 1)
+        w.bits(0, 1)
+        w.bits(0, 1)
+        # green tree with the max-symbol form claiming 2 + 1000 slots
+        w.bits(0, 1)  # not simple
+        w.bits(0, 4)  # 4 code lengths
+        for sym_len in (0, 0, 1, 1):  # order 17,18,0,1 -> symbols 0,1
+            w.bits(sym_len, 3)
+        w.bits(1, 1)  # use max-symbol
+        w.bits(7, 3)  # length_nbits = 16
+        w.bits(1000, 16)  # max_symbol = 1002 > 280
+        with pytest.raises(ValueError, match="max-symbol"):
+            decode_webp(_wrap_vp8l(b"\x2f" + w.done()))
