@@ -1138,22 +1138,25 @@ def _skewed_group_topk_check(
 ) -> "tuple[int, int, int, bool]":
     """Zipf-hot grouping driven through ``topk_by_group``'s in-batch
     cap/evict path (round-7 verdict #4 — the round-6 grouped-builder
-    cap fix gets a gate lane): group 'hot' holds ~half the events
-    while ~2250 (user, day) tail groups hold a handful each, so group
-    sizes span
-    3+ orders of magnitude (``skew_max_min_ratio`` is an ORACLE truth
-    — the judge can read the spread off the row), and
-    ``max_live_groups=64`` forces every mapper to evict live sketches
-    inside the batch loop ~30x over. Exact regime: per-group top-3
-    (count desc, item asc) must EQUAL the exact per-group counts;
-    ``skew_n_groups`` (from the sketch output) and ``skew_top1_sum``
-    (sum over groups of the sketch's top-1 count) are DuckDB truths."""
+    cap fix gets a gate lane): within the deterministic user slice
+    (user_id < 150 — bounds the tail-group count at EVERY scale
+    factor; the user domain grows with sf, and topk_by_group is
+    deliberately the wrong plan for millions of tiny groups) group
+    'hot' holds ~half the slice while up to ~2250 (user, day) tail
+    groups hold a handful each, so group sizes span 3+ orders of
+    magnitude (``skew_max_min_ratio`` is an ORACLE truth — the judge
+    can read the spread off the row), and ``max_live_groups=64``
+    forces every mapper to evict live sketches inside the batch loop.
+    Exact regime: per-group top-3 (count desc, item asc) must EQUAL
+    the exact per-group counts; ``skew_n_groups`` (from the sketch
+    output) and ``skew_top1_sum`` (sum over groups of the sketch's
+    top-1 count) are DuckDB truths."""
     from heavykeeper_rs_spark.operators.topk import topk_by_group
 
     epoch_day = F.floor(
         F.col("ts").cast("timestamp").cast("long") / 86400
     ).cast("long")
-    evs = ev.withColumn(
+    evs = ev.where(F.col("user_id") < 150).withColumn(
         "g",
         F.when(F.col("user_id") < 75, F.lit("hot")).otherwise(
             (F.col("user_id") * 100000 + epoch_day).cast("string")
@@ -2319,19 +2322,21 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT COUNT(DISTINCT g) FROM (SELECT CASE WHEN user_id < 75 "
             "THEN 'hot' ELSE CAST(user_id * 100000 + "
             "CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS VARCHAR) END AS g "
-            "FROM events)) AS skew_n_groups, "
+            "FROM events WHERE user_id < 150)) AS skew_n_groups, "
             "(SELECT CAST(FLOOR(MAX(c) * 1.0 / MIN(c)) AS BIGINT) FROM ("
             "SELECT COUNT(*) AS c FROM (SELECT CASE WHEN user_id < 75 "
             "THEN 'hot' ELSE CAST(user_id * 100000 + "
             "CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS VARCHAR) END AS g "
-            "FROM events) GROUP BY g)) AS skew_max_min_ratio, "
+            "FROM events WHERE user_id < 150) GROUP BY g)) "
+            "AS skew_max_min_ratio, "
             "(SELECT CAST(SUM(m) AS BIGINT) FROM (SELECT MAX(cnt) AS m FROM ("
             "SELECT g, event_type, COUNT(*) AS cnt FROM ("
             "SELECT CASE WHEN user_id < 75 THEN 'hot' "
             "ELSE CAST(user_id * 100000 + "
             "CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS VARCHAR) END AS g, "
             "event_type "
-            "FROM events) GROUP BY g, event_type) GROUP BY g)) "
+            "FROM events WHERE user_id < 150) GROUP BY g, event_type) "
+            "GROUP BY g)) "
             "AS skew_top1_sum, "
             "TRUE AS skew_topk_ok"
         ),
