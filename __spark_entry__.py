@@ -1628,15 +1628,30 @@ def _media_pipeline_ok(spark: SparkSession) -> bool:
         ok = ok and bool(got[mid]["ok"]) and np.allclose(
             got[mid]["feature"], jpeg_want.astype(np.float32).reshape(-1)
         )
-    wavs = [(1, synth_wav(440.0)), (2, synth_wav(220.0, channels=2)), (3, b"RIFFbad")]
+    # audio: WAV (stdlib) + FLAC (round 7, operators/flac.py) through
+    # the magic-dispatching audio_decoder; a corrupt row stays per-row
+    from heavykeeper_rs_spark.operators.flac import encode_flac, flac_decoder
+    from heavykeeper_rs_spark.operators.multimodal import audio_decoder
+
+    pcm = (
+        np.rint(2500 * np.sin(2 * np.pi * 330 * np.arange(4000) / 16000))
+        .astype(np.int16)
+    )
+    flac_blob = encode_flac(pcm, rate=16000)
+    wavs = [(1, synth_wav(440.0)), (2, synth_wav(220.0, channels=2)),
+            (3, b"RIFFbad"), (4, flac_blob)]
     wdf = _local_df(spark, wavs, "mid bigint, blob binary")
     wgot = {
-        r["id"]: r for r in extract_features(wdf, "mid", "blob", decoder=wav_decoder).collect()
+        r["id"]: r
+        for r in extract_features(wdf, "mid", "blob", decoder=audio_decoder).collect()
     }
-    for mid, blob in wavs[:2]:
+    for mid, blob in (wavs[0], wavs[1]):
         ok = ok and bool(wgot[mid]["ok"]) and np.allclose(
             wgot[mid]["feature"], wav_decoder(blob)
         )
+    ok = ok and bool(wgot[4]["ok"]) and np.allclose(
+        wgot[4]["feature"], flac_decoder(flac_blob)
+    )
     return ok and not wgot[3]["ok"]
 
 

@@ -773,6 +773,23 @@ def pil_image_decoder(blob: bytes) -> np.ndarray:
         return np.asarray(im)
 
 
+def audio_decoder(blob: bytes) -> np.ndarray:
+    """REAL audio decode with no external dependencies: dispatches on
+    magic bytes — FLAC through ``operators/flac.decode_flac`` (round
+    7), RIFF/WAVE through the stdlib ``wav_decoder``. Both return the
+    same feature contract ([duration_s, n_channels, sample_rate, rms,
+    peak, zcr]), and a FLAC and WAV of the same PCM produce IDENTICAL
+    features (lossless — the cross-format pytest pin). The default
+    decoder to hand ``extract_features`` for audio columns."""
+    if not blob:
+        raise ValueError("empty media blob")
+    if blob[:4] == b"fLaC":
+        from heavykeeper_rs_spark.operators.flac import flac_decoder
+
+        return flac_decoder(blob)
+    return wav_decoder(blob)
+
+
 def wav_decoder(blob: bytes) -> np.ndarray:
     """REAL audio decode (stdlib ``wave`` — no external codec libs):
     parses PCM WAV bytes and returns the feature vector
