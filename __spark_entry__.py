@@ -1179,6 +1179,8 @@ def _skewed_group_topk_check(
         for g in topk_truth
     )
     sizes = [sum(c for _, c in v) for v in truth.values()]
+    if not sizes:  # empty slice (offset-keyed user domain): red row,
+        return 0, 0, 0, False  # never a gate-killing max([]) crash
     ratio = max(sizes) // max(min(sizes), 1)
     top1_sum = (
         sum(max(c for _, c in v) for v in got_map.values()) if got_map else 0

@@ -337,7 +337,11 @@ def decode_flac(blob: bytes) -> "tuple[np.ndarray, int, int]":
         raise ValueError("FLAC stream has no frames")
     samples = np.concatenate(chunks, axis=0)
     total = streaminfo["total"]
-    if total and samples.shape[0] > total:
+    if total:
+        if samples.shape[0] < total:
+            raise ValueError(
+                "truncated FLAC stream (fewer samples than STREAMINFO total)"
+            )
         samples = samples[:total]
     return samples.astype(np.int32), rate, streaminfo["bps"]
 
@@ -348,19 +352,12 @@ def flac_decoder(blob: bytes) -> np.ndarray:
     — a FLAC and a WAV of the same PCM produce IDENTICAL features
     (lossless), the cross-format pytest pin. Amplitudes normalize by
     2^(bps-1) to wav_decoder's [-1, 1] scale."""
+    from heavykeeper_rs_spark.operators.multimodal import audio_features
+
     samples, rate, bps = decode_flac(blob)
     n, ch = samples.shape
-    # mirror wav_decoder exactly: channel-MEAN signal, normalized by
-    # 2^(bps-1), float32 output — identical PCM must give identical
-    # features bit-for-bit
     x = (samples.astype(np.float64) / float(1 << (bps - 1))).mean(axis=1)
-    rms = float(np.sqrt(np.mean(x * x)))
-    peak = float(np.abs(x).max())
-    zcr = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))) if n > 1 else 0.0
-    return np.asarray(
-        [n / float(rate), float(ch), float(rate), rms, peak, zcr],
-        dtype=np.float32,
-    )
+    return audio_features(x, n, ch, rate)
 
 
 # --------------------------------------------------------------- encoder

@@ -3,7 +3,9 @@ columns with typed metadata.
 
 The Spark side — schemas, Arrow batch shapes, partition-size control,
 UDF signatures — is real and tested. AUDIO decode is real
-(``wav_decoder``: stdlib ``wave`` PCM parsing) and so is IMAGE decode
+(``audio_decoder`` dispatches ``wav_decoder`` — stdlib ``wave`` PCM —
+and round 7's FLAC decoder, ``operators/flac.decode_flac``; both
+share ONE ``audio_features`` contract) and so is IMAGE decode
 for the codec-free formats (``image_decoder``: pure-NumPy PPM/PGM and
 uncompressed BMP, plus PNG through stdlib ``zlib`` — all five scanline
 filters, 8-bit gray/RGB/palette/alpha) AND — since round 7 — JPEG,
@@ -74,7 +76,8 @@ def stub_decoder(blob: bytes) -> np.ndarray:
     swap in a real callable (av/cv2) in production. VIDEO decode is
     REAL for uncompressed (BI_RGB) AVI and for MJPEG-in-AVI — see
     ``decode_avi`` / ``iter_avi_frames`` / ``video_decoder``. AUDIO
-    decode is real — see ``wav_decoder``; IMAGE decode is real for
+    decode is real — see ``audio_decoder`` (WAV + FLAC); IMAGE decode
+    is real for
     PNG/PPM/PGM/BMP, baseline+progressive JPEG, and lossless WebP —
     see ``image_decoder``, ``operators/jpeg.decode_jpeg`` and
     ``operators/webp.decode_webp`` — and import-gated only for lossy
@@ -790,10 +793,30 @@ def audio_decoder(blob: bytes) -> np.ndarray:
     return wav_decoder(blob)
 
 
+def audio_features(x: np.ndarray, nf: int, nch: int, rate: int) -> np.ndarray:
+    """The shared audio feature contract — ONE implementation so the
+    per-format decoders (WAV, FLAC) can never drift apart (the
+    cross-format tests pin them bit-identical): ``x`` is the
+    channel-MEAN normalized signal; returns float32
+    [duration_s, n_channels, sample_rate, rms, peak, zero_cross_rate]
+    (zcr of a 1-sample stream is 0, not nan)."""
+    if x.size == 0:
+        raise ValueError("empty audio stream")
+    rms = float(np.sqrt(np.mean(x * x)))
+    peak = float(np.abs(x).max())
+    zcr = (
+        float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))
+        if x.size > 1 else 0.0
+    )
+    return np.asarray(
+        [nf / float(rate), float(nch), float(rate), rms, peak, zcr],
+        dtype=np.float32,
+    )
+
+
 def wav_decoder(blob: bytes) -> np.ndarray:
     """REAL audio decode (stdlib ``wave`` — no external codec libs):
-    parses PCM WAV bytes and returns the feature vector
-    ``[duration_s, n_channels, sample_rate, rms, peak, zero_cross_rate]``.
+    parses PCM WAV bytes and returns ``audio_features``'s vector.
 
     Raises on malformed/truncated blobs; ``extract_features`` converts
     that into per-row ok=false capture."""
@@ -815,14 +838,7 @@ def wav_decoder(blob: bytes) -> np.ndarray:
     if nch > 1:
         x = x.reshape(-1, nch).mean(axis=1)
     x /= float(1 << (8 * sw - 1))
-    if x.size == 0:
-        raise ValueError("empty audio stream")
-    rms = float(np.sqrt(np.mean(x * x)))
-    peak = float(np.abs(x).max())
-    zcr = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))
-    return np.asarray(
-        [nf / float(fr), float(nch), float(fr), rms, peak, zcr], dtype=np.float32
-    )
+    return audio_features(x, nf, nch, fr)
 
 
 def synth_wav(
