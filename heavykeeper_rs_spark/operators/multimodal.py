@@ -650,6 +650,10 @@ def image_decoder(blob: bytes) -> np.ndarray:
         except UnsupportedWebpError:
             # lossy VP8 / animation — Pillow gate, same contract
             return pil_image_decoder(blob)
+    if blob[:6] in (b"GIF87a", b"GIF89a"):
+        from heavykeeper_rs_spark.operators.gif import decode_gif
+
+        return decode_gif(blob)  # first composited frame
     return pil_image_decoder(blob)
 
 

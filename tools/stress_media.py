@@ -26,9 +26,9 @@ sys.path.insert(0, "/root/repo")
 import numpy as np  # noqa: E402
 import pyarrow as pa  # noqa: E402
 
-FORMATS = ("png", "jpeg", "jpeg_prog", "webp", "bmp", "corrupt")
-#          30%    25%     15%          15%     10%    5%
-_CUM = (30, 55, 70, 85, 95, 100)
+FORMATS = ("png", "jpeg", "jpeg_prog", "webp", "gif", "bmp", "corrupt")
+#          25%    25%     15%          15%     10%    5%     5%
+_CUM = (25, 50, 65, 80, 90, 95, 100)
 
 
 def _format_of(i: int) -> str:
@@ -58,6 +58,10 @@ def _make_blob(i: int) -> bytes:
         return encode_jpeg(img, quality=90, progressive=True)
     if fmt == "webp":
         return encode_webp_lossless(img, subtract_green=bool(i % 2))
+    if fmt == "gif":
+        from heavykeeper_rs_spark.operators.gif import encode_gif
+
+        return encode_gif((img // 64 * 64).astype("uint8"), interlace=bool(i % 2))
     if fmt == "bmp":
         return encode_bmp(img)
     return encode_png(img)[: 40 + i % 50]  # corrupt: truncated PNG
@@ -122,6 +126,8 @@ def main() -> None:
         if fmt in ("jpeg", "jpeg_prog", "corrupt") or checked[fmt] >= 64:
             continue
         img = synth_image(32 + (i % 3) * 8, 48 + (i % 5) * 4, 3, seed=i)
+        if fmt == "gif":
+            img = (img // 64 * 64).astype(np.uint8)
         spot_ok = spot_ok and bool(
             (image_decoder(_make_blob(i)) == img).all()
         )
