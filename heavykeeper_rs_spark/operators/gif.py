@@ -79,18 +79,15 @@ def _lzw_decode(data: bytes, min_code_size: int, expected: int) -> np.ndarray:
             continue
         if code == eoi:
             break
-        if code >= next_code + (1 if prev != -1 else 0) or code >= max_entries:
-            # the only legal "not yet defined" code is next_code (KwKwK)
-            if not (prev != -1 and code == next_code):
-                raise ValueError("invalid LZW code (corrupt GIF)")
+        # the only legal not-yet-defined code is next_code with a
+        # previous code to extend (the KwKwK case)
+        kwk = prev != -1 and code == next_code
+        if (code > next_code or (code == next_code and not kwk)
+                or code >= max_entries):
+            raise ValueError("invalid LZW code (corrupt GIF)")
         # expand code to the byte stack
         sp = 0
-        c = code
-        if prev != -1 and code == next_code:  # KwKwK: cScSc...
-            c = prev
-            kwk = True
-        else:
-            kwk = False
+        c = prev if kwk else code
         while c >= clear + 2:
             stack[sp] = suffix[c]
             sp += 1
@@ -207,20 +204,32 @@ def decode_gif(blob: bytes, all_frames: bool = False) -> np.ndarray:
     gct = None
     if flags & 0x80:
         n = 2 << (flags & 7)
+        if pos + 3 * n > len(blob):
+            raise ValueError("truncated GIF global color table")
         gct = np.frombuffer(blob, np.uint8, 3 * n, pos).reshape(n, 3)
         pos += 3 * n
     screen = np.zeros((h, w, 4), dtype=np.uint8)  # transparent canvas
     frames = []
     transparent = None
     disposal = 0
+    saw_trailer = False
     while pos < len(blob):
         b0 = blob[pos]
         if b0 == 0x3B:  # trailer
+            saw_trailer = True
             break
         if b0 == 0x21:  # extension
+            if pos + 2 > len(blob):
+                raise ValueError("truncated GIF extension")
             label = blob[pos + 1]
             if label == 0xF9:  # graphic control
+                if pos + 8 > len(blob):
+                    raise ValueError("truncated graphic control block")
                 ln = blob[pos + 2]
+                if ln != 4:
+                    raise ValueError(
+                        f"graphic control block size {ln} != 4 (corrupt GIF)"
+                    )
                 gflags = blob[pos + 3]
                 disposal = (gflags >> 2) & 7
                 transparent = blob[pos + 6] if gflags & 1 else None
@@ -232,6 +241,8 @@ def decode_gif(blob: bytes, all_frames: bool = False) -> np.ndarray:
                 pos += 2
                 _, pos = _read_blocks(blob, pos)
         elif b0 == 0x2C:  # image descriptor
+            if pos + 10 > len(blob):
+                raise ValueError("truncated GIF image descriptor")
             ix, iy, iw, ih, iflags = struct.unpack_from("<HHHHB", blob, pos + 1)
             pos += 10
             if ix + iw > w or iy + ih > h:
@@ -239,13 +250,17 @@ def decode_gif(blob: bytes, all_frames: bool = False) -> np.ndarray:
             table = gct
             if iflags & 0x80:  # local color table
                 n = 2 << (iflags & 7)
+                if pos + 3 * n + 1 > len(blob):
+                    raise ValueError("truncated GIF local color table")
                 table = np.frombuffer(blob, np.uint8, 3 * n, pos).reshape(n, 3)
                 pos += 3 * n
             if table is None:
                 raise ValueError("GIF frame has no color table")
+            if pos >= len(blob):
+                raise ValueError("truncated GIF image data")
             min_code = blob[pos]
             pos += 1
-            if not 2 <= min_code <= 11:
+            if not 2 <= min_code <= 8:  # spec max 8: roots are bytes
                 raise ValueError(f"invalid LZW minimum code size {min_code}")
             lzw, pos = _read_blocks(blob, pos)
             idx = _lzw_decode(lzw, min_code, iw * ih).reshape(ih, iw)
@@ -277,9 +292,12 @@ def decode_gif(blob: bytes, all_frames: bool = False) -> np.ndarray:
             transparent = None
             disposal = 0
             if not all_frames:
+                saw_trailer = True  # first frame decoded fully — done
                 break
         else:
             raise ValueError(f"unknown GIF block 0x{b0:02x}")
+    if not saw_trailer:
+        raise ValueError("truncated GIF (missing trailer)")
     if not frames:
         raise ValueError("GIF has no image data")
     stack = np.stack(frames)

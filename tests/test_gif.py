@@ -172,3 +172,94 @@ class TestTransparencyAndDisposal:
 
         img = _img()
         assert (image_decoder(encode_gif(img)) == img).all()
+
+
+def _lzw_raw(indices, min_code):
+    """In-test LZW: emit every index as a root code (clear first)."""
+    wr = _BitW()
+    clear = 1 << min_code
+    width = min_code + 1
+    wr.put(clear, width)
+    # emitting only root codes still grows the decoder's table by one
+    # entry per code after the first — track width like the decoder
+    next_code = clear + 2
+    for k, v in enumerate(indices):
+        wr.put(int(v), width)
+        if k > 0:
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+    wr.put(clear + 1, width)  # EOI
+    return wr.done()
+
+
+def _frame(ix, iy, iw, ih, indices, min_code=2, lct=None, lct_bits=2):
+    body = b"\x2c" + struct.pack(
+        "<HHHHB", ix, iy, iw, ih, (0x80 | (lct_bits - 1)) if lct else 0
+    )
+    if lct:
+        body += lct
+    lzw = _lzw_raw(indices, min_code)
+    return body + bytes([min_code, len(lzw)]) + lzw + b"\x00"
+
+
+def _gce(disposal, transparent=None):
+    gflags = (disposal << 2) | (1 if transparent is not None else 0)
+    return b"\x21\xf9\x04" + bytes(
+        [gflags, 0, 0, transparent if transparent is not None else 0]
+    ) + b"\x00"
+
+
+class TestDisposalAndLct:
+    GCT = bytes([10, 0, 0, 0, 20, 0, 0, 0, 30, 99, 99, 99])  # A, B, C, -
+
+    def test_disposal_2_restores_background(self):
+        # frame 1: full 2x2 of A, disposal 2 (clear region after);
+        # frame 2: 1x1 of B at (0,0). Composited frame 2 = B + holes.
+        body = (
+            _gce(2) + _frame(0, 0, 2, 2, [0, 0, 0, 0])
+            + _gce(0) + _frame(0, 0, 1, 1, [1])
+        )
+        out = decode_gif(_wrap_gif(2, 2, 2, self.GCT, body), all_frames=True)
+        assert out.shape == (2, 2, 2, 4)
+        assert (out[0, :, :, :3] == [10, 0, 0]).all()  # frame 1: all A
+        assert out[1, 0, 0].tolist() == [0, 20, 0, 255]  # B
+        assert (out[1, :, :, 3].reshape(-1)[1:] == 0).all()  # cleared
+
+    def test_disposal_3_restores_previous(self):
+        # frame 1: full A (disposal 0); frame 2: B at (0,0) with
+        # disposal 3; frame 3: C at (1,1). Frame 3 composited: A
+        # everywhere (frame 2's B rolled back) except C at (1,1).
+        body = (
+            _frame(0, 0, 2, 2, [0, 0, 0, 0])
+            + _gce(3) + _frame(0, 0, 1, 1, [1])
+            + _gce(0) + _frame(1, 1, 1, 1, [2])
+        )
+        out = decode_gif(_wrap_gif(2, 2, 2, self.GCT, body), all_frames=True)
+        assert out.shape[0] == 3
+        assert out[1, 0, 0].tolist()[:3] == [0, 20, 0]  # B visible in f2
+        assert out[2, 0, 0].tolist()[:3] == [10, 0, 0]  # rolled back to A
+        assert out[2, 1, 1].tolist()[:3] == [0, 0, 30]  # C
+
+    def test_local_color_table_overrides_global(self):
+        lct = bytes([200, 0, 0, 0, 0, 200] + [0] * 6)
+        body = _frame(0, 0, 2, 1, [0, 1], lct=lct)
+        out = decode_gif(_wrap_gif(2, 1, 2, self.GCT, body))
+        assert out[0, 0].tolist() == [200, 0, 0]
+        assert out[0, 1].tolist() == [0, 0, 200]
+
+    def test_truncation_contract_is_valueerror(self):
+        # every byte-prefix of an animated blob must raise ValueError
+        # (never IndexError/struct.error) or decode the FULL content
+        base = _img(6, 7, mod=16)
+        blob = encode_gif(np.stack([base, base[::-1]]), loop=True)
+        full = decode_gif(blob, all_frames=True)
+        for cut in range(6, len(blob)):
+            try:
+                got = decode_gif(blob[:cut], all_frames=True)
+            except ValueError:
+                continue
+            assert (got == full).all(), f"silent partial decode at {cut}"
+        # missing trailer alone is truncation
+        with pytest.raises(ValueError, match="trailer"):
+            decode_gif(blob[:-1], all_frames=True)
