@@ -1619,16 +1619,23 @@ def _media_pipeline_ok(spark: SparkSession) -> bool:
 
     gif_img = (synth_image(12, 16, 3, seed=17) % 32).astype(np.uint8)
     rows.append((8, encode_gif(gif_img, interlace=True)))
+    # TIFF (round 7: stdlib IFD/PackBits/LZW decoder) — exact truth
+    from heavykeeper_rs_spark.operators.tiff import encode_tiff
+
+    tiff_img = synth_image(12, 16, 3, seed=19)
+    rows.append((9, encode_tiff(tiff_img, compression="lzw", predictor=True)))
     df = _local_df(spark, rows, "mid bigint, blob binary")
     got = {
         r["id"]: r
         for r in resize_features(df, "mid", "blob", 4, 4, decoder=image_decoder).collect()
     }
-    ok = len(got) == 8 and not got[4]["ok"]
+    ok = len(got) == 9 and not got[4]["ok"]
     webp_want = resize_nearest(webp_img, 4, 4).astype(np.float32).reshape(-1)
     ok = ok and bool(got[7]["ok"]) and np.allclose(got[7]["feature"], webp_want)
     gif_want = resize_nearest(gif_img, 4, 4).astype(np.float32).reshape(-1)
     ok = ok and bool(got[8]["ok"]) and np.allclose(got[8]["feature"], gif_want)
+    tiff_want = resize_nearest(tiff_img, 4, 4).astype(np.float32).reshape(-1)
+    ok = ok and bool(got[9]["ok"]) and np.allclose(got[9]["feature"], tiff_want)
     for mid, (_enc, img) in imgs.items():
         want = resize_nearest(img, 4, 4).astype(np.float32).reshape(-1)
         ok = ok and bool(got[mid]["ok"]) and np.allclose(got[mid]["feature"], want)

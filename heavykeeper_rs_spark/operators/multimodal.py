@@ -654,6 +654,17 @@ def image_decoder(blob: bytes) -> np.ndarray:
         from heavykeeper_rs_spark.operators.gif import decode_gif
 
         return decode_gif(blob)  # first composited frame
+    if blob[:4] in (b"II*\x00", b"MM\x00*"):
+        from heavykeeper_rs_spark.operators.tiff import (
+            UnsupportedTiffError,
+            decode_tiff,
+        )
+
+        try:
+            return decode_tiff(blob)
+        except UnsupportedTiffError:
+            # tiles / planar=2 / 16-bit / JPEG-in-TIFF — Pillow gate
+            return pil_image_decoder(blob)
     return pil_image_decoder(blob)
 
 

@@ -26,9 +26,10 @@ sys.path.insert(0, "/root/repo")
 import numpy as np  # noqa: E402
 import pyarrow as pa  # noqa: E402
 
-FORMATS = ("png", "jpeg", "jpeg_prog", "webp", "gif", "bmp", "corrupt")
-#          25%    25%     15%          15%     10%    5%     5%
-_CUM = (25, 50, 65, 80, 90, 95, 100)
+FORMATS = ("png", "jpeg", "jpeg_prog", "webp", "gif", "tiff", "bmp",
+           "corrupt")
+#          25%    20%     15%          15%     10%    5%      5%    5%
+_CUM = (25, 45, 60, 75, 85, 90, 95, 100)
 
 
 def _format_of(i: int) -> str:
@@ -62,6 +63,11 @@ def _make_blob(i: int) -> bytes:
         from heavykeeper_rs_spark.operators.gif import encode_gif
 
         return encode_gif((img // 64 * 64).astype("uint8"), interlace=bool(i % 2))
+    if fmt == "tiff":
+        from heavykeeper_rs_spark.operators.tiff import encode_tiff
+
+        return encode_tiff(img, compression=("lzw", "packbits")[i % 2],
+                           predictor=bool(i % 3 == 0))
     if fmt == "bmp":
         return encode_bmp(img)
     return encode_png(img)[: 40 + i % 50]  # corrupt: truncated PNG
