@@ -296,12 +296,17 @@ def decode_tiff(blob: bytes) -> np.ndarray:
     img = np.frombuffer(bytes(raw), np.uint8).reshape(h, w, spp)
     if predictor == 2:  # horizontal differencing: cumsum per channel
         img = np.cumsum(img.astype(np.uint32), axis=1).astype(np.uint8)
+    n_extra = len(e.get(338, []))
     if photo == 3:  # palette
+        if spp != 1:
+            raise UnsupportedTiffError(
+                "palette TIFF with extra samples needs a full reader"
+            )
         cmap = e.get(320)
-        if not cmap or len(cmap) < 3 * 256 or spp != 1:
-            # the map has 3 * 2^bits entries; 8-bit only here
-            if not cmap:
-                raise ValueError("palette TIFF missing ColorMap")
+        if not cmap:
+            raise ValueError("palette TIFF missing ColorMap")
+        if len(cmap) % 3:
+            raise ValueError("ColorMap length is not 3 x N (corrupt TIFF)")
         ncol = len(cmap) // 3
         pal = (np.asarray(cmap, dtype=np.uint32).reshape(3, ncol).T // 257
                ).astype(np.uint8)  # 16-bit map -> 8-bit
@@ -309,8 +314,10 @@ def decode_tiff(blob: bytes) -> np.ndarray:
         if int(idx.max(initial=0)) >= ncol:
             raise ValueError("palette index out of range")
         return pal[idx]
-    if photo == 0:  # white is zero: invert
-        img = 255 - img
+    if photo == 0:  # white is zero: invert the IMAGE samples only
+        n_img = max(1, spp - n_extra)
+        img = img.copy()
+        img[:, :, :n_img] = 255 - img[:, :, :n_img]
     return img[:, :, 0] if spp == 1 else img
 
 
@@ -344,13 +351,18 @@ def encode_tiff(
         data = (d & 0xFF).astype(np.uint8)
     strips = []
     for y0 in range(0, h, rows_per_strip):
-        rows = data[y0 : y0 + rows_per_strip].tobytes()
+        block = data[y0 : y0 + rows_per_strip]
         if comp_id == 1:
-            strips.append(rows)
+            strips.append(block.tobytes())
         elif comp_id == 32773:
-            strips.append(_packbits_encode(rows))
+            # TIFF 6.0: each row compresses separately (runs must not
+            # cross row boundaries); decoders consume the strip as one
+            # stream either way, so concatenation is the layout
+            strips.append(
+                b"".join(_packbits_encode(row.tobytes()) for row in block)
+            )
         else:
-            strips.append(_tiff_lzw_encode(rows))
+            strips.append(_tiff_lzw_encode(block.tobytes()))
 
     entries = []  # (tag, type, count, values)
     entries.append((256, 4, 1, [w]))
@@ -372,22 +384,17 @@ def encode_tiff(
     entries.sort(key=lambda t: t[0])
     ifd_off = 8
     ifd_size = 2 + 12 * len(entries) + 4
-    tail = bytearray()  # out-of-line values
     tail_base = ifd_off + ifd_size
 
     def value_bytes(typ, vals):
         fmt = {3: "H", 4: "I"}[typ]
         return struct.pack("<" + fmt * len(vals), *vals)
 
-    # first pass to size the tail so strip offsets are known
-    tail_cursor = tail_base
-    oversize = []
-    for tag, typ, cnt, vals in entries:
-        vb = value_bytes(typ, vals)
-        if len(vb) > 4:
-            oversize.append(tag)
-            tail_cursor += len(vb)
-    strip_base = tail_cursor
+    # size the out-of-line tail so strip offsets are known up front
+    strip_base = tail_base + sum(
+        len(vb) for vb in (value_bytes(t, v) for _, t, _, v in entries)
+        if len(vb) > 4
+    )
     strip_offsets = []
     cur = strip_base
     for sdata in strips:

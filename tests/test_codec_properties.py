@@ -134,3 +134,36 @@ class TestJpegProperties:
         a = decode_jpeg(encode_jpeg(img, quality=90))
         b = decode_jpeg(encode_jpeg(img, quality=90, restart_interval=3))
         assert (a == b).all()
+
+
+class TestTiffProperties:
+    @settings(max_examples=25, deadline=None)
+    @given(
+        dims,
+        seeds,
+        st.sampled_from(["none", "packbits", "lzw"]),
+        st.booleans(),
+        st.integers(1, 9),
+    )
+    def test_tiff_roundtrip_exact(self, hw, seed, comp, pred, rps):
+        from heavykeeper_rs_spark.operators.tiff import decode_tiff, encode_tiff
+
+        h, w = hw
+        img = _rand_img(h, w, seed)
+        out = decode_tiff(
+            encode_tiff(img, compression=comp, predictor=pred,
+                        rows_per_strip=rps)
+        )
+        assert (out == img).all()
+
+    @settings(max_examples=10, deadline=None)
+    @given(dims, seeds)
+    def test_tiff_gray_and_rgba_exact(self, hw, seed):
+        from heavykeeper_rs_spark.operators.tiff import decode_tiff, encode_tiff
+
+        h, w = hw
+        g = _rand_img(h, w, seed, ch=1)[:, :, 0]
+        assert (decode_tiff(encode_tiff(g, compression="packbits")) == g).all()
+        rgba = _rand_img(h, w, seed, ch=4)
+        assert (decode_tiff(encode_tiff(rgba, compression="lzw",
+                                        predictor=True)) == rgba).all()
