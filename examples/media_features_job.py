@@ -4,8 +4,8 @@ column — the multimodal leg of a curation pipeline.
 Reads a parquet table with (id long, blob binary) — e.g. images
 extracted from WARC responses — decodes every row with the
 dependency-free decoders (PNG / baseline+progressive JPEG / lossless
-WebP / BMP / netpbm; lossy formats raise through the per-row capture
-unless Pillow ships on the executors), resizes to a fixed feature
+WebP / GIF / TIFF / BMP / netpbm; the gated formats raise through the
+per-row capture unless Pillow ships on the executors), resizes to a fixed feature
 grid, and writes (id, ok, error, feature) parquet. Corrupt blobs
 become ok=false rows, never task failures — at 10^12 rows corrupt
 media is a certainty, not an exception.
