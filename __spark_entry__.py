@@ -1396,7 +1396,13 @@ def _streaming_late_drop_check(
                 .option("checkpointLocation", f"{tmp}/ck")
                 .start()
             )
-            q.awaitTermination(300)
+            if not q.awaitTermination(300):
+                # never let a second query start on the same checkpoint
+                # while this one still runs (concurrent state access)
+                q.stop()
+                raise RuntimeError(
+                    "late-drop gate: availableNow run exceeded 300s"
+                )
             return sum(
                 so.get("numRowsDroppedByWatermark", 0)
                 for p in q.recentProgress

@@ -43,87 +43,15 @@ _INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))  # (start, step)
 
 
 def _lzw_decode(data: bytes, min_code_size: int, expected: int) -> np.ndarray:
-    """Variable-width LZW (GIF flavor, LSB-first bit packing) ->
-    ``expected`` palette indices. Raises ValueError on corrupt codes
-    or early exhaustion."""
-    clear = 1 << min_code_size
-    eoi = clear + 1
-    out = np.empty(expected, dtype=np.uint8)
-    n_out = 0
-    # dictionary: prefix link + last byte (classic parent-pointer LZW)
-    max_entries = 4096
-    prefix = np.zeros(max_entries, dtype=np.int32)
-    suffix = np.zeros(max_entries, dtype=np.uint8)
-    stack = np.empty(max_entries, dtype=np.uint8)
+    """GIF LZW (LSB-first, standard width growth) -> palette indices;
+    the decoder core is shared with TIFF in operators/_lzw.py."""
+    from heavykeeper_rs_spark.operators._lzw import lzw_decode
 
-    def reset():
-        return clear + 2, min_code_size + 1, -1
-
-    next_code, width, prev = reset()
-    buf = 0
-    nbits = 0
-    pos = 0
-    n = len(data)
-    while n_out < expected:
-        while nbits < width:
-            if pos >= n:
-                raise ValueError("truncated LZW stream")
-            buf |= data[pos] << nbits
-            pos += 1
-            nbits += 8
-        code = buf & ((1 << width) - 1)
-        buf >>= width
-        nbits -= width
-        if code == clear:
-            next_code, width, prev = reset()
-            continue
-        if code == eoi:
-            break
-        # the only legal not-yet-defined code is next_code with a
-        # previous code to extend (the KwKwK case)
-        kwk = prev != -1 and code == next_code
-        if (code > next_code or (code == next_code and not kwk)
-                or code >= max_entries):
-            raise ValueError("invalid LZW code (corrupt GIF)")
-        # expand code to the byte stack
-        sp = 0
-        c = prev if kwk else code
-        while c >= clear + 2:
-            stack[sp] = suffix[c]
-            sp += 1
-            c = prefix[c]
-        if c >= clear:
-            raise ValueError("invalid LZW root code")
-        first = c
-        take = sp + 1 + (1 if kwk else 0)
-        if n_out + take > expected:
-            take = expected - n_out
-        # emit: root, reversed stack, (+ first again for KwKwK)
-        emitted = 0
-        if emitted < take:
-            out[n_out] = first
-            n_out += 1
-            emitted += 1
-        for i in range(sp - 1, -1, -1):
-            if emitted >= take:
-                break
-            out[n_out] = stack[i]
-            n_out += 1
-            emitted += 1
-        if kwk and emitted < take:
-            out[n_out] = first
-            n_out += 1
-        # grow dictionary
-        if prev != -1 and next_code < max_entries:
-            prefix[next_code] = prev
-            suffix[next_code] = first
-            next_code += 1
-            if next_code == (1 << width) and width < 12:
-                width += 1
-        prev = code  # (for KwKwK, code == the entry just added)
-    if n_out < expected:
-        raise ValueError("LZW stream ended before the frame was full")
-    return out
+    return np.frombuffer(
+        lzw_decode(data, min_code_size, expected,
+                   msb_first=False, early_change=False),
+        dtype=np.uint8,
+    )
 
 
 def _lzw_encode(indices: np.ndarray, min_code_size: int) -> bytes:

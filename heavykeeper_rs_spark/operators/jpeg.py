@@ -328,6 +328,8 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
                 raise UnsupportedJpegError(f"unsupported sample precision {prec}")
             if h == 0 or w == 0:
                 raise UnsupportedJpegError("DNL-deferred dimensions not supported")
+            if seg_start + 6 + 3 * nc > seg_end:
+                raise ValueError("truncated SOF component table")
             comps = []
             for c in range(nc):
                 cid, hv, tq = struct.unpack_from(">BBB", data, seg_start + 6 + 3 * c)
@@ -360,9 +362,11 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
             if frame is None:
                 raise ValueError("SOS before SOF")
             ns = data[seg_start]
+            if seg_start + 1 + 2 * ns + 3 > seg_end:
+                raise ValueError("truncated SOS header")
             scan = []
-            for s in range(ns):
-                cs, tt = struct.unpack_from(">BB", data, seg_start + 1 + 2 * s)
+            for si in range(ns):
+                cs, tt = struct.unpack_from(">BB", data, seg_start + 1 + 2 * si)
                 scan.append((cs, tt >> 4, tt & 15))
             if progressive:
                 ss, se, ahl = struct.unpack_from(
@@ -397,6 +401,9 @@ def _decode_scan(data, pos, frame, scan, qt, huff, restart):
     if len(scan) != len(comps):
         raise UnsupportedJpegError("non-interleaved multi-scan baseline not supported")
     by_id = {cid: i for i, (cid, _, _, _) in enumerate(comps)}
+    for cs, _, _ in scan:
+        if cs not in by_id:
+            raise ValueError(f"scan references unknown component {cs}")
     order = [by_id[cs] for cs, _, _ in scan]
     if sorted(order) != list(range(len(comps))):
         raise ValueError("scan does not cover the frame components")
@@ -423,6 +430,11 @@ def _decode_scan(data, pos, frame, scan, qt, huff, restart):
     reader = _BitReader(segs[0])
     pred = [0] * len(comps)
     for m in range(n_mcu):
+        if m & 0xFFF == 0 and reader.overrun():
+            # fail FAST: a tiny corrupt blob claiming 65535x65535 would
+            # otherwise decode fabricated zero bits across the whole
+            # claimed MCU grid before the end-of-scan check
+            raise ValueError("truncated JPEG scan (entropy underrun)")
         if restart and m and m % restart == 0:
             if reader.overrun():
                 raise ValueError("truncated JPEG scan (entropy underrun)")
@@ -623,6 +635,9 @@ def _decode_progressive_scan(
     h, w, comps = frame
     ss, se, ah, al = spectral
     by_id = {cid: i for i, (cid, _, _, _) in enumerate(comps)}
+    for cs, _, _ in scan:
+        if cs not in by_id:
+            raise ValueError(f"scan references unknown component {cs}")
     hmax = max(hs for _, hs, vs, _ in comps)
     vmax = max(vs for _, hs, vs, _ in comps)
     mcux = -(-w // (8 * hmax))
@@ -655,6 +670,8 @@ def _decode_progressive_scan(
             tables.append((ci, huff.get((0, td)), comps[ci][1], comps[ci][2]))
         if len(scan) > 1:  # interleaved MCU traversal
             for m in range(mcux * mcuy):
+                if m & 0xFFF == 0 and reader.overrun():
+                    raise ValueError("truncated JPEG scan (entropy underrun)")
                 if restart and m and m % restart == 0:
                     next_segment()
                 my, mx = divmod(m, mcux)
@@ -671,6 +688,8 @@ def _decode_progressive_scan(
             bw_a = _comp_blocks(w, hs, hmax)
             bh_a = _comp_blocks(h, vs, vmax)
             for m in range(bw_a * bh_a):
+                if m & 0xFFF == 0 and reader.overrun():
+                    raise ValueError("truncated JPEG scan (entropy underrun)")
                 if restart and m and m % restart == 0:
                     next_segment()
                 by, bx = divmod(m, bw_a)
@@ -691,6 +710,8 @@ def _decode_progressive_scan(
         bw_a = _comp_blocks(w, hs, hmax)
         bh_a = _comp_blocks(h, vs, vmax)
         for m in range(bw_a * bh_a):
+            if m & 0xFFF == 0 and reader.overrun():
+                raise ValueError("truncated JPEG scan (entropy underrun)")
             if restart and m and m % restart == 0:
                 next_segment()
             by, bx = divmod(m, bw_a)

@@ -461,8 +461,14 @@ def ivf_search_index(
     q = np.asarray(qvec, dtype=np.float32)
     qn = q / max(np.linalg.norm(q), 1e-12)
     probe = [int(c) for c in np.argsort(-(centroids @ qn))[:n_probe]]
-    from heavykeeper_rs_spark.fsutil import read_applied
+    from heavykeeper_rs_spark.fsutil import fs_list_dirs, read_applied
 
+    if any(d.startswith("centroid=") for d in fs_list_dirs(spark, index_path)):
+        raise ValueError(
+            f"IVF index at {index_path} uses the pre-round-7 flat layout — "
+            "rebuild with ivf_build_index (the data is intact; only the "
+            "directory layout changed)"
+        )
     idx = read_applied(spark, index_path).filter(F.col("centroid").isin(probe))
     return brute_force_topk(idx, "id", "vec", qvec, k)
 

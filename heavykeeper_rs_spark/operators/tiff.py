@@ -89,61 +89,11 @@ def _packbits_encode(data: bytes) -> bytes:
 
 
 def _tiff_lzw_decode(data: bytes, expected: int) -> bytes:
-    """TIFF LZW: MSB-first bits, clear=256/eoi=257, and the EARLY
-    CHANGE rule — code width grows when next_code == 2^width - 1."""
-    clear, eoi = 256, 257
-    out = bytearray()
-    prefix = np.zeros(4096, dtype=np.int32)
-    suffix = np.zeros(4096, dtype=np.uint8)
-    stack = bytearray(4096)
+    """TIFF LZW (MSB-first, 256-byte roots, EARLY-CHANGE width rule);
+    the decoder core is shared with GIF in operators/_lzw.py."""
+    from heavykeeper_rs_spark.operators._lzw import lzw_decode
 
-    next_code, width, prev = 258, 9, -1
-    buf = 0
-    nbits = 0
-    pos = 0
-    n = len(data)
-    while len(out) < expected:
-        while nbits < width:
-            if pos >= n:
-                raise ValueError("truncated LZW strip")
-            buf = (buf << 8) | data[pos]
-            pos += 1
-            nbits += 8
-        code = (buf >> (nbits - width)) & ((1 << width) - 1)
-        nbits -= width
-        buf &= (1 << nbits) - 1
-        if code == clear:
-            next_code, width, prev = 258, 9, -1
-            continue
-        if code == eoi:
-            break
-        kwk = prev != -1 and code == next_code
-        if (code > next_code or (code == next_code and not kwk)
-                or code >= 4096):
-            raise ValueError("invalid LZW code (corrupt TIFF)")
-        sp = 0
-        c = prev if kwk else code
-        while c >= 258:
-            stack[sp] = suffix[c]
-            sp += 1
-            c = prefix[c]
-        if c >= 256:
-            raise ValueError("invalid LZW root code")
-        out.append(c)
-        for i in range(sp - 1, -1, -1):
-            out.append(stack[i])
-        if kwk:
-            out.append(c)
-        if prev != -1 and next_code < 4096:
-            prefix[next_code] = prev
-            suffix[next_code] = c
-            next_code += 1
-            if next_code == (1 << width) - 1 and width < 12:  # early change
-                width += 1
-        prev = code
-    if len(out) < expected:
-        raise ValueError("LZW strip ended before its byte count")
-    return bytes(out[:expected])
+    return lzw_decode(data, 8, expected, msb_first=True, early_change=True)
 
 
 def _tiff_lzw_encode(data: bytes) -> bytes:

@@ -283,9 +283,20 @@ class TestReviewFixes:
         blob[idx + 11] = 0x41  # comp 1 sampling 4x1
         with pytest.raises(UnsupportedJpegError):
             decode_jpeg(bytes(blob))
+        # a WELL-FORMED 4-component (CMYK-shaped) SOF: extend the
+        # segment with a 4th component and fix the length field
         blob = bytearray(encode_jpeg(synth_image(16, 16, 3)))
-        blob[idx + 9] = 4  # component count 4 (CMYK-shaped)
+        seglen = struct.unpack_from(">H", blob, idx + 2)[0]
+        insert_at = idx + 2 + seglen
+        blob[idx + 2 : idx + 4] = struct.pack(">H", seglen + 3)
+        blob[idx + 9] = 4
+        blob[insert_at:insert_at] = bytes([4, 0x11, 1])
         with pytest.raises(UnsupportedJpegError):
+            decode_jpeg(bytes(blob))
+        # patching only the count (payload for 3) is CORRUPT, not gated
+        blob = bytearray(encode_jpeg(synth_image(16, 16, 3)))
+        blob[idx + 9] = 4
+        with pytest.raises(ValueError, match="truncated SOF"):
             decode_jpeg(bytes(blob))
         # image_decoder: Unsupported -> NotImplementedError (no Pillow
         # here); corrupt -> ValueError (captured per-row, NOT Pillow)
@@ -326,3 +337,36 @@ class TestReviewFixes:
         with pytest.raises(ValueError):
             check_increment_id("abc\n")
         assert check_increment_id("crawl-2026.08.18_a") == "crawl-2026.08.18_a"
+
+
+class TestFailFast:
+    def test_huge_dims_truncated_blob_fails_fast(self):
+        # the VP8L hardening applied to JPEG: a tiny blob claiming
+        # 2000x2000 used to burn seconds (quadratic to ~1h at 65535^2)
+        # decoding fabricated zero bits before the end-of-scan check
+        import time
+
+        blob = bytearray(encode_jpeg(synth_image(16, 16, 3), quality=90))
+        idx = blob.find(b"\xff\xc0")
+        struct.pack_into(">HH", blob, idx + 5, 4000, 4000)  # h, w
+        t0 = time.time()
+        with pytest.raises(ValueError):
+            decode_jpeg(bytes(blob))
+        assert time.time() - t0 < 3.0
+        # progressive too
+        blob = bytearray(
+            encode_jpeg(synth_image(16, 16, 3), progressive=True)
+        )
+        idx = blob.find(b"\xff\xc2")
+        struct.pack_into(">HH", blob, idx + 5, 4000, 4000)
+        t0 = time.time()
+        with pytest.raises(ValueError):
+            decode_jpeg(bytes(blob))
+        assert time.time() - t0 < 3.0
+
+    def test_unknown_scan_component_is_valueerror(self):
+        blob = bytearray(encode_jpeg(synth_image(8, 8, 1)))
+        idx = blob.find(b"\xff\xda")
+        blob[idx + 5] = 99  # scan names component id 99
+        with pytest.raises(ValueError, match="unknown component"):
+            decode_jpeg(bytes(blob))
