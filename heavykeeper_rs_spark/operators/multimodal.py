@@ -444,8 +444,10 @@ def decode_ppm(blob: bytes) -> np.ndarray:
 
 
 def decode_bmp(blob: bytes) -> np.ndarray:
-    """Uncompressed 24/32-bit BI_RGB BMP decode -> (H, W, 3) uint8
-    (BGR storage flipped to RGB, bottom-up rows flipped upright)."""
+    """BI_RGB BMP decode -> (H, W, 3) uint8 (BGR storage flipped to
+    RGB, bottom-up rows flipped upright). Round 7 adds 8-bit palette
+    BMPs (BGRX color table after the info header) next to the
+    original uncompressed 24/32-bit paths."""
     import struct
 
     if blob[:2] != b"BM":
@@ -453,14 +455,30 @@ def decode_bmp(blob: bytes) -> np.ndarray:
     (data_off,) = struct.unpack_from("<I", blob, 10)
     (hdr_size, w, h) = struct.unpack_from("<Iii", blob, 14)
     (bits, comp) = struct.unpack_from("<HI", blob, 28)
-    if comp != 0 or bits not in (24, 32):
+    if comp != 0 or bits not in (8, 24, 32):
         raise ValueError(f"unsupported BMP (bits={bits}, compression={comp})")
     bottom_up = h > 0
     h = abs(h)
     bpp = bits // 8
     stride = (w * bpp + 3) & ~3
+    if data_off + stride * h > len(blob):
+        raise ValueError("truncated BMP pixel data")
     px = np.frombuffer(blob, dtype=np.uint8, count=stride * h, offset=data_off)
-    rows = px.reshape(h, stride)[:, : w * bpp].reshape(h, w, bpp)
+    rows = px.reshape(h, stride)[:, : w * bpp]
+    if bits == 8:  # palette: BGRX quads after the info header
+        (n_colors,) = struct.unpack_from("<I", blob, 46)
+        n_colors = n_colors or 256
+        tbl_off = 14 + hdr_size
+        if tbl_off + 4 * n_colors > len(blob):
+            raise ValueError("truncated BMP color table")
+        quads = np.frombuffer(
+            blob, dtype=np.uint8, count=4 * n_colors, offset=tbl_off
+        ).reshape(n_colors, 4)
+        if int(rows.max(initial=0)) >= n_colors:
+            raise ValueError("BMP palette index out of range")
+        out = quads[rows.reshape(h, w), 2::-1]  # BGRX -> RGB
+        return out[::-1] if bottom_up else out
+    rows = rows.reshape(h, w, bpp)
     if bottom_up:
         rows = rows[::-1]
     return rows[:, :, 2::-1]  # BGR(A) -> RGB

@@ -219,3 +219,39 @@ class TestReviewFixes:
         strip = blob[-8:]  # 4 rows x 2 bytes
         for r in range(4):
             assert _packbits_decode(strip[2 * r : 2 * r + 2], 30) == bytes([7] * 30)
+
+
+class TestBmpPalette:
+    """8-bit palette BMP (round-7 decode_bmp extension) — lives here
+    with the other hand-built format pins."""
+
+    def test_palette_bmp_roundtrip(self):
+        import struct as _s
+
+        from heavykeeper_rs_spark.operators.multimodal import decode_bmp
+
+        w, h = 5, 3
+        idx = np.arange(w * h, dtype=np.uint8).reshape(h, w) % 4
+        pal = np.array([[10, 20, 30], [200, 0, 0], [0, 200, 0], [0, 0, 200]],
+                       np.uint8)
+        stride = (w + 3) & ~3
+        rows = np.zeros((h, stride), np.uint8)
+        rows[:, :w] = idx[::-1]  # bottom-up
+        quads = b"".join(bytes([b, g, r, 0]) for r, g, b in pal)
+        data_off = 14 + 40 + len(quads)
+        px = rows.tobytes()
+        blob = (
+            b"BM" + _s.pack("<IHHI", data_off + len(px), 0, 0, data_off)
+            + _s.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 0, len(px),
+                      2835, 2835, 4, 0)
+            + quads + px
+        )
+        out = decode_bmp(blob)
+        assert out.shape == (h, w, 3)
+        assert (out == pal[idx]).all()
+
+    def test_palette_bmp_corrupt(self):
+        from heavykeeper_rs_spark.operators.multimodal import decode_bmp
+
+        with pytest.raises(ValueError):
+            decode_bmp(b"BM" + b"\x00" * 60)  # truncated everything
