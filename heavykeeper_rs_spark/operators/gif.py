@@ -31,11 +31,6 @@ import struct
 import numpy as np
 
 
-class UnsupportedGifError(ValueError):
-    """Reserved for future gating symmetry — currently every valid
-    GIF87a/89a decodes natively."""
-
-
 _INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))  # (start, step)
 
 
