@@ -452,11 +452,17 @@ def decode_bmp(blob: bytes) -> np.ndarray:
 
     if blob[:2] != b"BM":
         raise ValueError("not a BMP blob")
+    if len(blob) < 50:
+        raise ValueError("truncated BMP header")
     (data_off,) = struct.unpack_from("<I", blob, 10)
     (hdr_size, w, h) = struct.unpack_from("<Iii", blob, 14)
     (bits, comp) = struct.unpack_from("<HI", blob, 28)
     if comp != 0 or bits not in (8, 24, 32):
         raise ValueError(f"unsupported BMP (bits={bits}, compression={comp})")
+    if w <= 0 or h == 0:
+        # a negative width would make the stride negative, turning the
+        # bounds check and the reshapes below into silent garbage
+        raise ValueError(f"invalid BMP dimensions ({w} x {h})")
     bottom_up = h > 0
     h = abs(h)
     bpp = bits // 8
@@ -476,7 +482,7 @@ def decode_bmp(blob: bytes) -> np.ndarray:
         ).reshape(n_colors, 4)
         if int(rows.max(initial=0)) >= n_colors:
             raise ValueError("BMP palette index out of range")
-        out = quads[rows.reshape(h, w), 2::-1]  # BGRX -> RGB
+        out = quads[rows, 2::-1]  # rows is already (h, w); BGRX -> RGB
         return out[::-1] if bottom_up else out
     rows = rows.reshape(h, w, bpp)
     if bottom_up:

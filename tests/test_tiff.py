@@ -251,7 +251,25 @@ class TestBmpPalette:
         assert (out == pal[idx]).all()
 
     def test_palette_bmp_corrupt(self):
+        import struct as _s
+
         from heavykeeper_rs_spark.operators.multimodal import decode_bmp
 
-        with pytest.raises(ValueError):
-            decode_bmp(b"BM" + b"\x00" * 60)  # truncated everything
+        with pytest.raises(ValueError, match="header"):
+            decode_bmp(b"BM" + b"\x00" * 20)  # shorter than any header
+        # negative width: would flip stride negative (silent garbage)
+        base = bytearray(b"BM" + b"\x00" * 60)
+        _s.pack_into("<I", base, 10, 54)
+        _s.pack_into("<Iii", base, 14, 40, -4, 2)
+        _s.pack_into("<HI", base, 28, 8, 0)
+        with pytest.raises(ValueError, match="dimensions"):
+            decode_bmp(bytes(base))
+        # valid geometry but pixel data past the end
+        _s.pack_into("<Iii", base, 14, 40, 4, 200)
+        with pytest.raises(ValueError, match="pixel data"):
+            decode_bmp(bytes(base))
+        # color table would extend past the end (n_colors=0 -> 256)
+        _s.pack_into("<Iii", base, 14, 40, 1, 1)
+        _s.pack_into("<I", base, 10, 58)
+        with pytest.raises(ValueError, match="color table"):
+            decode_bmp(bytes(base))
