@@ -56,16 +56,30 @@ def _hk_topk_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _hk_topk_user(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events").withColumn(
-        "user_str", F.col("user_id").cast("string")
-    )
-    return topk(ev, "user_str", k=20, width=65536, depth=4, tie_break_key=True)
+    # r8: feed user_id through the int64 fast lane (splitmix hash +
+    # dense pre-agg) instead of casting to string first — same exact-
+    # regime counts, and topk()'s tie order is the rendered string
+    # either way (identical rows, ~2x less per-task work; guide §2.3
+    # "narrower types")
+    ev = _t(spark, sf_dir, "events")
+    return topk(ev, "user_id", k=20, width=65536, depth=4, tie_break_key=True)
 
 
 def _hk_topk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    toks = docs.select(F.explode(T.tokens("text")).alias("token"))
-    return topk(toks, "token", k=20, width=65536, depth=4, tie_break_key=True)
+    """r8: tokenization moved INSIDE the sketch kernel (identical
+    result — ``hk_topk_tokens_inkernel`` has been oracle-green on the
+    same SQL since round 3): the explode path shipped every token
+    occurrence through the JVM->Python Arrow channel (a ~45x row
+    blowup) before the kernel pre-aggregated them again; the in-kernel
+    path tokenizes off the Arrow string buffers map-side, so only
+    sketch blobs ever shuffle (guide §4.1: pass the function the
+    columns it needs — here, the raw text)."""
+    from heavykeeper_rs_spark.operators.topk import parallelize_scan, topk_tokens
+
+    docs = parallelize_scan(_t(spark, sf_dir, "documents").select("text"))
+    return topk_tokens(
+        docs, "text", k=20, width=65536, depth=4, tie_break_key=True
+    )
 
 
 def _hk_topk_tokens_inkernel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -82,12 +96,17 @@ def _hk_topk_tokens_inkernel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _hk_weighted_topk_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted add (src/heavykeeper.rs:273): top parts by total quantity."""
-    li = _t(spark, sf_dir, "lineitem").select(
-        # int64 lanes through the sketch (the u64 fast path); topk()
-        # renders items as strings, matching the VARCHAR oracle
-        F.col("l_partkey").cast("long").alias("pk"),
-        F.col("l_quantity").cast("long").alias("q"),
-    )
+    # r8: aggregate before the Python boundary (guide §2.3) — the raw
+    # feed shipped 6M (pk, q) rows into per-partition sketches whose
+    # ~200k-distinct-key fill made every partial a DENSE 21 MB blob
+    # (126 MB collected per run); one JVM partial-agg pass reduces the
+    # kernel's input to one exact (pk, SUM(q)) row per part, the same
+    # weighted-add stream the sketch defines, so partials are sparse
+    # (~23 MB total) and the scan+agg parallelizes across all cores.
+    # Same exact-regime result: add(item, w) accumulates sums either way.
+    li = _t(spark, sf_dir, "lineitem").groupBy(
+        F.col("l_partkey").cast("long").alias("pk")
+    ).agg(F.sum(F.col("l_quantity").cast("long")).alias("q"))
     return topk(
         # depth 5: at 10x-rehearsal scale (~20k parts) the probability a
         # boundary key collides with a heavier key in EVERY row is
@@ -251,8 +270,12 @@ def _salted_exact_topk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _exact_topk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-truth twin of the flagship (groupBy.count.orderBy.limit —
-    Spark's TakeOrderedAndProject path)."""
-    docs = _t(spark, sf_dir, "documents")
+    Spark's TakeOrderedAndProject path). r8: single-row-group scans are
+    fanned out first — the JVM regex tokenizer otherwise runs on one
+    core (see ``effective_scan_tasks``)."""
+    from heavykeeper_rs_spark.operators.topk import parallelize_scan
+
+    docs = parallelize_scan(_t(spark, sf_dir, "documents").select("text"))
     return (
         docs.select(F.explode(T.tokens("text")).alias("token"))
         .groupBy("token")
@@ -327,8 +350,14 @@ def _token_stats_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _exact_dedup_text(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup: one representative doc per normalized-text hash."""
-    docs = _t(spark, sf_dir, "documents")
+    """Exact dedup: one representative doc per normalized-text hash.
+    r8: scan fanned out — the normalize-regex + xxhash64 projection ran
+    on one core for single-row-group inputs."""
+    from heavykeeper_rs_spark.operators.topk import parallelize_scan
+
+    docs = parallelize_scan(
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     keyed = docs.select(
         T.doc_fingerprint("text").alias("fp"), F.col("doc_id")
     )
@@ -474,7 +503,17 @@ def _minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ngram_jaccard_pairs,
     )
 
-    docs = _t(spark, sf_dir, "documents").orderBy("doc_id").limit(6000)
+    # r8: project to the two used columns BEFORE the TakeOrdered slice
+    # — this subtree is evaluated three times (signatures + both sides
+    # of the verify join), so the slice carries (doc_id, text) instead
+    # of all five document columns (guide §2.3 "project before the
+    # exchange")
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .limit(6000)
+    )
     sigs = minhash_signatures(docs, "doc_id", "text", n_hashes=128, bands=16, shingle=5)
     cands = lsh_candidate_pairs(sigs)
     return (
@@ -501,7 +540,12 @@ def _simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pattern): the oracle's bit-for-bit HUGEINT hash replay costs
     # ~1.6 ms/doc in DuckDB, the rehearsal wall at 10x scales; every
     # driver/bench sf sits under the cap, so results are unchanged
-    docs = _t(spark, sf_dir, "documents").orderBy("doc_id").limit(6000)
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")  # r8: slim the slice projection
+        .orderBy("doc_id")
+        .limit(6000)
+    )
     return simhash_near_pairs(
         simhash_signatures(docs, "doc_id", "text"), max_hamming=8, bucket_cap=1 << 20
     ).orderBy("id_a", "id_b")
@@ -516,7 +560,12 @@ def _minhash_dedup_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle; see there)."""
     from heavykeeper_rs_spark.operators.dedup import minhash_dedup_groups
 
-    docs = _t(spark, sf_dir, "documents").orderBy("doc_id").limit(6000)
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")  # r8: slim the thrice-used slice
+        .orderBy("doc_id")
+        .limit(6000)
+    )
     return (
         minhash_dedup_groups(
             docs, "doc_id", "text", n_hashes=128, bands=16, min_jaccard=0.8
@@ -817,16 +866,14 @@ def _length_buckets_ok(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lang_id_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    # two-stage select: the per-family fold runs once per row; the
-    # argmax stage references the materialized score array
-    return (
-        docs.select(T.lang_scores("text").alias("__s"))
-        .select(T.lang_from_scores("__s").alias("lid"))
-        .groupBy("lid")
-        .agg(F.count("*").alias("n"))
-        .orderBy("lid")
-    )
+    # r8: the JVM aggregate-fold scored ~70 us/doc (two transient
+    # arrays per token per row); the vectorized classifier matches the
+    # 26 family words by exact packed-byte equality off the Arrow
+    # buffers — identical scores/argmax, ~20x less per-doc work
+    # (operators/langid.py; guide §4.2)
+    from heavykeeper_rs_spark.operators.langid import lang_id_counts
+
+    return lang_id_counts(_t(spark, sf_dir, "documents"), "text")
 
 
 def _quality_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:

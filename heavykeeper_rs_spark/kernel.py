@@ -1222,6 +1222,101 @@ class HeavyKeeper:
                 self.pq.upsert(item, max(pending[item], int(probe[i])))
         return self
 
+    def _merge_parsed_sparse(
+        self,
+        other_params: "HKParams",
+        idx: np.ndarray,
+        ofps: np.ndarray,
+        ocnt: np.ndarray,
+        cand: list,
+    ) -> "HeavyKeeper":
+        """In-place merge of a PARSED sparse (v2) blob — bit-identical
+        semantics to ``merge(HeavyKeeper.deserialize(blob))`` but the
+        cell union touches only the other side's LIVE cells (O(nnz))
+        instead of masking the whole depth x width state (O(cells)).
+        A v2 blob stores exactly the count>0 cells, and for count==0
+        cells every dense-union branch is a no-op (same-fp needs
+        other.count>0; empty-copy would copy zeros), so restricting to
+        the stored cells reproduces the dense result exactly. The
+        deferred-admission PQ logic is the same code path; probing the
+        other side's cells (``_sparse_cell_max``) replaces
+        ``other._cell_max`` with a searchsorted over the sorted live
+        cell ids. merge_blobs uses this for v2 blobs — the driver/
+        reducer fold over partials was O(n_blobs x cells) and is the
+        dominant combine cost for wide exact-regime sketches."""
+        self.params.check_compatible(other_params)
+        if self._hasher is not None:
+            raise SketchCompatError("hasher", self._hasher, None)
+        # other.pq reconstruction: candidates admitted in seq order
+        # (never more than k, so no evictions — same dict order as
+        # deserialize + pq.counts.items())
+        other_items = [(it, int(c)) for it, c, _ in sorted(cand, key=lambda t: t[2])]
+        other_counts = dict(other_items)
+        pending: dict = {}
+        if other_items:
+            keys = _key_array([k for k, _ in other_items])
+            cells = self._cell_max(keys)
+            get = self.pq.counts.get
+            for (item, ocount), cc in zip(other_items, cells):
+                sc = get(item)
+                pending[item] = int(ocount) + int(sc if sc is not None else cc)
+        mine = [k for k in self.pq.counts if k not in other_counts]
+        if mine:
+            keys = _key_array(mine)
+            oc = self._sparse_cell_max(keys, idx, ofps, ocnt)
+            for item, extra in zip(mine, oc):
+                pending[item] = self.pq.counts[item] + int(extra)
+        # cell union restricted to the other side's live cells
+        if idx.size:
+            fps_flat = self.fps.reshape(-1)
+            cnt_flat = self.counts.reshape(-1)
+            cur_fp = fps_flat[idx]
+            cur_cnt = cnt_flat[idx]
+            with np.errstate(over="ignore"):
+                same = (cur_cnt > 0) & (cur_fp == ofps)
+                if same.any():
+                    cnt_flat[idx[same]] = cur_cnt[same] + ocnt[same]
+                empty = cur_cnt == 0
+                if empty.any():
+                    fps_flat[idx[empty]] = ofps[empty]
+                    cnt_flat[idx[empty]] = ocnt[empty]
+        if pending:
+            allk = list(pending)
+            probe = self._cell_max(_key_array(allk))
+            order = sorted(
+                range(len(allk)),
+                key=lambda i: -max(pending[allk[i]], int(probe[i])),
+            )
+            for i in order:
+                item = allk[i]
+                self.pq.upsert(item, max(pending[item], int(probe[i])))
+        return self
+
+    def _sparse_cell_max(
+        self, items: np.ndarray, idx: np.ndarray, ofps: np.ndarray, ocnt: np.ndarray
+    ) -> np.ndarray:
+        """``_cell_max`` against a parsed sparse cell set: max count
+        over rows where the key owns the cell. ``idx`` is sorted
+        ascending (flatnonzero order), so ownership probes are one
+        searchsorted per depth row."""
+        arr = np.asarray(items)
+        if arr.dtype.kind not in "iu":
+            arr = np.asarray(items, dtype=object)
+        n = arr.shape[0]
+        out = np.zeros(n, dtype=np.int64)
+        if n == 0 or idx.size == 0:
+            return out
+        p = self.params
+        fp = self._hash(arr)
+        idxs = compose_indices(fp, p.depth, p.width)
+        for d in range(p.depth):
+            flat = idxs[d] + d * p.width
+            pos = np.searchsorted(idx, flat)
+            pos_c = np.minimum(pos, idx.shape[0] - 1)
+            hit = (idx[pos_c] == flat) & (ofps[pos_c] == fp) & (ocnt[pos_c] > 0)
+            np.maximum(out, np.where(hit, ocnt[pos_c].astype(np.int64), 0), out=out)
+        return out
+
     # -- O14: memory audit ------------------------------------------------
     def mem_bytes(self, item_heap_fn=None) -> int:
         """Analog of mem_bytes(item_heap) (src/heavykeeper.rs:388-403).
@@ -1474,10 +1569,46 @@ def _key_array(keys: list) -> np.ndarray:
     return np.asarray(keys, dtype=object)
 
 
+def _parse_blob_sparse(blob: bytes):
+    """(params, idx, fps, cnt, cand) views of a sparse (v2) blob, or
+    None for dense/v1 blobs. Same validation as ``deserialize`` but no
+    dense scatter — the merge fast path reads the triplets in place."""
+    hs = struct.calcsize("<4sBqqqdq")
+    magic, ver, k, width, depth, decay, seed = struct.unpack("<4sBqqqdq", blob[:hs])
+    if magic != _MAGIC or ver != 2:
+        return None
+    params = HKParams(
+        k=int(k), width=int(width), depth=int(depth), decay=float(decay), seed=int(seed)
+    )
+    cells = depth * width
+    off = hs
+    (nnz,) = struct.unpack_from("<q", blob, off)
+    off += 8
+    if nnz < 0 or off + 24 * nnz > len(blob):
+        raise ValueError("bad sparse cell count")
+    idx = np.frombuffer(blob[off : off + 8 * nnz], dtype=np.int64)
+    off += 8 * nnz
+    if nnz and (idx.min() < 0 or idx.max() >= cells):
+        raise ValueError("sparse cell index out of range")
+    fps_nz = np.frombuffer(blob[off : off + 8 * nnz], dtype=np.uint64)
+    off += 8 * nnz
+    cnt_nz = np.frombuffer(blob[off : off + 8 * nnz], dtype=np.uint64)
+    off += 8 * nnz
+    _sniff_legacy_pickle(blob[off : off + 2])
+    cand = serde_loads(blob[off:])
+    return params, idx, fps_nz, cnt_nz, cand
+
+
 def merge_blobs(blobs: list[bytes]) -> bytes:
-    """Associative reduce over serialized sketches (combine stage)."""
+    """Associative reduce over serialized sketches (combine stage).
+    Sparse (v2) blobs merge through the O(nnz) fast path — identical
+    semantics to pairwise ``merge`` (see ``_merge_parsed_sparse``)."""
     it = iter(blobs)
     acc = HeavyKeeper.deserialize(next(it))
     for b in it:
-        acc.merge(HeavyKeeper.deserialize(b))
+        parsed = _parse_blob_sparse(b)
+        if parsed is None:
+            acc.merge(HeavyKeeper.deserialize(b))
+        else:
+            acc._merge_parsed_sparse(*parsed)
     return acc.serialize()

@@ -26,6 +26,7 @@ Scale notes (100 TB / 1000-executor thinking):
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator
 
 import numpy as np
@@ -125,6 +126,54 @@ def ensure_parallelism(keyed: DataFrame) -> DataFrame:
     if n < par:
         return keyed.repartition(par)
     return keyed
+
+
+def effective_scan_tasks(df: DataFrame) -> int:
+    """Estimate how many scan tasks will carry ROWS — not how many
+    splits exist. Parquet assigns a row group to the split holding its
+    midpoint, so a 100 MB single-row-group file yields 32 splits but
+    ONE non-empty task: every `n < defaultParallelism` check based on
+    RDD partition counts is blind to it (the round-8 finding — at sf1
+    every single-row-group table ran its whole scan+kernel on one core
+    of 32). Driver cost is bounded: footers are only read when the
+    input is FEWER files than cores (each footer read is ~ms on any
+    FS); many-file inputs return the file count unread, and non-parquet
+    or unreachable files fall back to the optimistic split count so no
+    needless exchange is inserted at scale."""
+    par = max(df.sparkSession.sparkContext.defaultParallelism, 1)
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return par
+    if not files or len(files) >= par:
+        return max(len(files), par)
+    total_rg = 0
+    for f in files:
+        path = f[7:] if f.startswith("file://") else f
+        if not path.endswith(".parquet") or not os.path.exists(path):
+            return par  # unknown layout: assume the scan splits fine
+        try:
+            import pyarrow.parquet as _pq
+
+            total_rg += _pq.ParquetFile(path).num_row_groups
+        except Exception:
+            return par
+    return max(total_rg, 1)
+
+
+def parallelize_scan(df: DataFrame) -> DataFrame:
+    """Round-robin-repartition a scan whose EFFECTIVE task count (row
+    groups, not splits — see ``effective_scan_tasks``) is below
+    defaultParallelism. Use in front of compute that clearly outweighs
+    one row exchange of the projected columns (regex tokenization,
+    Python kernels); at corpus scale the scan has >= cores row groups
+    and this is a no-op, so the exchange only ever exists where the
+    alternative was leaving most of the machine idle."""
+    par = max(df.sparkSession.sparkContext.defaultParallelism, 1)
+    n = effective_scan_tasks(df)
+    if n < par:
+        return df.repartition(par)
+    return df
 
 
 def estimate_partitions(df: DataFrame, bias: str = "high") -> int:
@@ -467,7 +516,12 @@ def topk(
     spark = df.sparkSession
     rows = sk.list()
     if tie_break_key:
-        rows = sorted(rows, key=lambda t: (-t[1], t[0]))
+        # ties order by the RENDERED item (the output column is a
+        # string, and every SQL oracle orders by it as VARCHAR) — for
+        # str/bytes keys this equals the old byte order (UTF-8
+        # preserves code-point order); for the int64 fast lane it makes
+        # "10" < "9" match the oracle instead of 9 < 10
+        rows = sorted(rows, key=lambda t: (-t[1], _item_str(t[0])))
     rows = rows[:k]
     data = [(_item_str(item), int(c)) for item, c in rows]
     schema = StructType(
