@@ -32,6 +32,22 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _table_bytes(sf_dir: str, name: str) -> int:
+    """On-disk size of a table (file or directory of parts) for
+    cost-based plan choices; 'unknown' reads as large — at real scale
+    the large-input plan is the right default."""
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        if os.path.isdir(path):
+            return sum(
+                os.path.getsize(os.path.join(path, f))
+                for f in os.listdir(path)
+            )
+        return os.path.getsize(path)
+    except OSError:
+        return 1 << 60
+
+
 def _local_df(spark: SparkSession, data, schema) -> DataFrame:
     """Driver-side literal results without a Python-RDD job (see
     operators.topk.local_result_df)."""
@@ -103,10 +119,21 @@ def _hk_weighted_topk_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     # kernel's input to one exact (pk, SUM(q)) row per part, the same
     # weighted-add stream the sketch defines, so partials are sparse
     # (~23 MB total) and the scan+agg parallelizes across all cores.
-    # Same exact-regime result: add(item, w) accumulates sums either way.
-    li = _t(spark, sf_dir, "lineitem").groupBy(
-        F.col("l_partkey").cast("long").alias("pk")
-    ).agg(F.sum(F.col("l_quantity").cast("long")).alias("q"))
+    # Same exact-regime result: add(item, w) accumulates sums either
+    # way. COST-BASED: below ~32 MB of input the extra exchange costs
+    # more than the dense-blob problem it solves (sf0.1 measured
+    # 0.61 s direct vs 0.74 s pre-agg; sf1 measured 4.5 s direct vs
+    # 1.3 s pre-agg), so small inputs keep the direct map-side feed —
+    # the same estimates-in, plan-out shape AQE itself uses.
+    if _table_bytes(sf_dir, "lineitem") < 32 * (1 << 20):
+        li = _t(spark, sf_dir, "lineitem").select(
+            F.col("l_partkey").cast("long").alias("pk"),
+            F.col("l_quantity").cast("long").alias("q"),
+        )
+    else:
+        li = _t(spark, sf_dir, "lineitem").groupBy(
+            F.col("l_partkey").cast("long").alias("pk")
+        ).agg(F.sum(F.col("l_quantity").cast("long")).alias("q"))
     return topk(
         # depth 5: at 10x-rehearsal scale (~20k parts) the probability a
         # boundary key collides with a heavier key in EVERY row is
@@ -262,8 +289,11 @@ def _salted_exact_topk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe exact top-20 tokens: two-phase (key, salt) -> key
     aggregation so a Zipf head token never pins one reducer."""
     from heavykeeper_rs_spark.operators.skew import salted_topn
+    from heavykeeper_rs_spark.operators.topk import parallelize_scan
 
-    docs = _t(spark, sf_dir, "documents")
+    # r8: fan out the single-row-group scan (same reason as
+    # exact_topk_tokens — exact counts are order-independent)
+    docs = parallelize_scan(_t(spark, sf_dir, "documents").select("text"))
     toks = docs.select(F.explode(T.tokens("text")).alias("token"))
     return salted_topn(toks, "token", n=20)
 
@@ -828,9 +858,11 @@ def _vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer-prep vocabulary build: top-10 vocab from the in-kernel
     token sketch + exact coverage (1 - OOV rate). Exact regime ->
     SQL-expressible coverage."""
-    from heavykeeper_rs_spark.operators.topk import build_vocab
+    from heavykeeper_rs_spark.operators.topk import build_vocab, parallelize_scan
 
-    docs = _t(spark, sf_dir, "documents")
+    # r8: scan fan-out feeds both the in-kernel vocab sketch and the
+    # JVM total-occurrence count (both order-independent)
+    docs = parallelize_scan(_t(spark, sf_dir, "documents").select("text"))
     vocab, cov = build_vocab(docs, "text", 10, width=1 << 17)
     n = vocab.count()
     return _local_df(

@@ -161,6 +161,31 @@ def effective_scan_tasks(df: DataFrame) -> int:
     return max(total_rg, 1)
 
 
+#: parallelize_scan fan-out floor: inputs smaller than this many
+#: compressed bytes are NOT worth an exchange — a single task chews
+#: through them faster than a repartition stage round-trips (measured
+#: at sf0.1: fanning out a 0.6 MB documents scan cost +0.1-0.3 s per
+#: query). Size-based, so the SAME code takes the single-task plan on
+#: toy inputs and the fan-out on anything where one core would be the
+#: bottleneck; override via HK_SCAN_FANOUT_MIN_MB.
+_FANOUT_MIN_BYTES = int(
+    float(os.environ.get("HK_SCAN_FANOUT_MIN_MB", "4")) * (1 << 20)
+)
+
+
+def _input_bytes(files: list[str]) -> int | None:
+    """Total size of local input files; None when any is unsizeable
+    (remote FS — callers then assume 'large')."""
+    total = 0
+    for f in files:
+        path = f[7:] if f.startswith("file://") else f
+        try:
+            total += os.path.getsize(path)
+        except OSError:
+            return None
+    return total
+
+
 def parallelize_scan(df: DataFrame) -> DataFrame:
     """Round-robin-repartition a scan whose EFFECTIVE task count (row
     groups, not splits — see ``effective_scan_tasks``) is below
@@ -168,8 +193,18 @@ def parallelize_scan(df: DataFrame) -> DataFrame:
     one row exchange of the projected columns (regex tokenization,
     Python kernels); at corpus scale the scan has >= cores row groups
     and this is a no-op, so the exchange only ever exists where the
-    alternative was leaving most of the machine idle."""
+    alternative was leaving most of the machine idle. Inputs below
+    ``_FANOUT_MIN_BYTES`` stay single-task — on toy inputs the
+    exchange costs more than it saves (both directions measured)."""
     par = max(df.sparkSession.sparkContext.defaultParallelism, 1)
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    if files:
+        size = _input_bytes(files)
+        if size is not None and size < _FANOUT_MIN_BYTES:
+            return df
     n = effective_scan_tasks(df)
     if n < par:
         return df.repartition(par)
