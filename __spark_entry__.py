@@ -144,10 +144,32 @@ def _hk_weighted_topk_part(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _hk_estimate_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Broadcast-probe estimate() per distinct event_type (exact regime)."""
+    """Broadcast-probe estimate() per distinct event_type (exact regime).
+
+    r8: the probe set used to be a SECOND full scan
+    (``ev.select(..).distinct()``). When the merged sketch's PQ is not
+    full, it provably holds EVERY distinct key — each builder upserts
+    any key whose estimate beats the heap min, which is 0 while the
+    heap has room, and both merge paths admit unconditionally below
+    capacity — so the distinct set can be read off the sketch and the
+    second scan skipped. A full PQ (>= k types) falls back to the
+    scan, so the result set is identical in every regime. (A NULL
+    event_type would appear in a scan-side distinct but never in the
+    sketch; the events generator never emits one — verified 0 nulls
+    at every sf — and the sketch feed drops nulls by contract.)"""
     ev = _t(spark, sf_dir, "events")
-    sk = topk_sketch(ev, "event_type", k=50, width=4096, depth=4)
-    distinct = ev.select("event_type").distinct()
+    k = 50
+    sk = topk_sketch(ev, "event_type", k=k, width=4096, depth=4)
+    if len(sk.pq.counts) < k:
+        from heavykeeper_rs_spark.operators.topk import _item_str
+
+        distinct = _local_df(
+            spark,
+            [(_item_str(it),) for it in sk.pq.counts],
+            "event_type string",
+        )
+    else:
+        distinct = ev.select("event_type").distinct()
     return (
         estimate(distinct, "event_type", sk)
         .select(F.col("event_type"), F.col("est_count").alias("cnt"))
