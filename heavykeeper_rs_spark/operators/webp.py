@@ -110,7 +110,7 @@ class _Huff:
     bit-reversed code. ``nbits == 0`` encodes the single-symbol tree
     (zero bits consumed per symbol)."""
 
-    __slots__ = ("lut_sym", "lut_len", "nbits", "only")
+    __slots__ = ("lut", "mask", "nbits", "only")
 
     def __init__(self, lengths: "list[int]"):
         maxlen = max(lengths) if lengths else 0
@@ -120,15 +120,19 @@ class _Huff:
         if len(used) == 1:
             self.nbits = 0
             self.only = used[0][1]
-            self.lut_sym = self.lut_len = None
+            self.lut = None
+            self.mask = 0
             return
         kraft = sum(1 << (maxlen - ln) for ln, _ in used)
         if kraft != (1 << maxlen):
             raise ValueError("incomplete/oversubscribed Huffman tree")
         self.nbits = maxlen
         self.only = -1
-        self.lut_sym = np.zeros(1 << maxlen, dtype=np.int32)
-        self.lut_len = np.zeros(1 << maxlen, dtype=np.int8)
+        self.mask = (1 << maxlen) - 1
+        # r8: one PACKED python-list LUT ((len << 16) | symbol) — the
+        # per-symbol read did two NumPy scalar gathers + int() each;
+        # list indexing returns ready ints (~2x on the pixel loop)
+        lut_np = np.zeros(1 << maxlen, dtype=np.int64)
         code = 0
         prev_len = 0
         for ln, sym in sorted(used):
@@ -136,10 +140,9 @@ class _Huff:
             prev_len = ln
             rev = int(f"{code:0{ln}b}"[::-1], 2)  # bit-reversed code
             step = 1 << ln
-            for i in range(rev, 1 << maxlen, step):
-                self.lut_sym[i] = sym
-                self.lut_len[i] = ln
+            lut_np[rev :: step] = (ln << 16) | sym
             code += 1
+        self.lut = lut_np.tolist()
 
     @classmethod
     def single(cls, symbol: int) -> "_Huff":
@@ -148,7 +151,8 @@ class _Huff:
         h = cls.__new__(cls)
         h.nbits = 0
         h.only = symbol
-        h.lut_sym = h.lut_len = None
+        h.lut = None
+        h.mask = 0
         return h
 
     def read(self, br: _LsbReader) -> int:
@@ -158,8 +162,8 @@ class _Huff:
             br.buf |= br.data[br.pos] << br.nbits
             br.pos += 1
             br.nbits += 8
-        idx = br.buf & ((1 << self.nbits) - 1)
-        ln = int(self.lut_len[idx])
+        v = self.lut[br.buf & self.mask]
+        ln = v >> 16
         if ln == 0 or ln > br.nbits:
             if ln == 0:
                 raise ValueError("invalid Huffman prefix (corrupt VP8L)")
@@ -167,7 +171,7 @@ class _Huff:
         else:
             br.buf >>= ln
             br.nbits -= ln
-        return int(self.lut_sym[idx])
+        return v & 0xFFFF
 
 
 def _read_code_lengths(br, cl_huff, num_symbols, max_symbol) -> "list[int]":
