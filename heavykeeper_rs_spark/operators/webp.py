@@ -282,36 +282,101 @@ def _decode_entropy_coded(br, w, h, is_level0):
                 _read_huffman(br, 40),  # distance
             )
         )
-    cache = np.zeros(1 << cache_bits, dtype=np.uint32) if cache_bits else None
+    # r8: pixels live in an array('I') during decode — the loop does
+    # one scalar write per pixel (plus backref reads), and stdlib-array
+    # element access is ~3x cheaper than NumPy scalar indexing at the
+    # same 4 bytes/pixel; the color cache is a plain list. Converted
+    # to ndarray once at the end.
+    from array import array
+
+    cache = [0] * (1 << cache_bits) if cache_bits else None
+    cache_len = len(cache) if cache is not None else 0
     cache_shift = 32 - cache_bits if cache_bits else 0
-    px = np.zeros(w * h, dtype=np.uint32)
-    pos = 0
     total = w * h
+    px = array("I", bytes(4 * total))
+    pos = 0
     g = groups[0]
     single = n_groups == 1 and meta is None
+    g0, g1, g2, g3, g4 = g
+    # r8 inline fast path (single-group images — which includes every
+    # transform/meta subimage): the four per-literal Huffman reads run
+    # on LOCAL reader state with the packed-list LUTs; the method-call
+    # _Huff.read was ~2/3 of decode. Rare paths (group switch, LZ77
+    # helpers, refill-past-end) sync the locals back into the reader
+    # and use the shared code, so semantics — including the zero-fill
+    # overrun accounting — are byte-identical.
+    datab = br.data
+    dlen = len(datab)
+    buf = br.buf
+    nbits = br.nbits
+    bp = br.pos
+    literal_trees = (g0, g1, g2, g3)
     while pos < total:
-        if pos & 0xFFF == 0 and br.overrun():
+        if pos & 0xFFF == 0 and (bp << 3) - nbits > (dlen << 3):
             # fail FAST on truncation: fabricated zero bits decode as
             # valid literals forever, and a tiny blob claiming 16k x
-            # 16k dims would otherwise burn minutes before the final
-            # overrun check (found by review; bounded to ~4k pixels)
+            # 16k dims would otherwise burn minutes before the whole
+            # final overrun check (found by review; bounded to ~4k px)
             raise ValueError("truncated VP8L stream (entropy underrun)")
         if not single:
             y, x = divmod(pos, w)
-            g = groups[int(meta[y >> meta_bits, x >> meta_bits])]
-        s = g[0].read(br)
+            g0, g1, g2, g3, g4 = groups[int(meta[y >> meta_bits, x >> meta_bits])]
+            literal_trees = (g0, g1, g2, g3)
+        # --- inline g0.read ---
+        nb = g0.nbits
+        if nb == 0:
+            s = g0.only
+        else:
+            while nbits < nb and bp < dlen:
+                buf |= datab[bp] << nbits
+                bp += 1
+                nbits += 8
+            v = g0.lut[buf & g0.mask]
+            ln = v >> 16
+            if ln == 0 or ln > nbits:
+                if ln == 0:
+                    raise ValueError("invalid Huffman prefix (corrupt VP8L)")
+                br.buf, br.nbits, br.pos = buf, nbits, bp
+                br.bits(ln)  # zero-fill + overrun accounting
+                buf, nbits, bp = br.buf, br.nbits, br.pos
+            else:
+                buf >>= ln
+                nbits -= ln
+            s = v & 0xFFFF
         if s < 256:
-            red = g[1].read(br)
-            blue = g[2].read(br)
-            alpha = g[3].read(br)
-            pixel = (alpha << 24) | (red << 16) | (s << 8) | blue
+            pixel = s << 8
+            for shift, tree in ((16, g1), (0, g2), (24, g3)):
+                nb = tree.nbits
+                if nb == 0:
+                    c = tree.only
+                else:
+                    while nbits < nb and bp < dlen:
+                        buf |= datab[bp] << nbits
+                        bp += 1
+                        nbits += 8
+                    v = tree.lut[buf & tree.mask]
+                    ln = v >> 16
+                    if ln == 0 or ln > nbits:
+                        if ln == 0:
+                            raise ValueError(
+                                "invalid Huffman prefix (corrupt VP8L)")
+                        br.buf, br.nbits, br.pos = buf, nbits, bp
+                        br.bits(ln)
+                        buf, nbits, bp = br.buf, br.nbits, br.pos
+                    else:
+                        buf >>= ln
+                        nbits -= ln
+                    c = v & 0xFFFF
+                pixel |= c << shift
             px[pos] = pixel
             if cache is not None:
                 cache[(pixel * 0x1E35A7BD & 0xFFFFFFFF) >> cache_shift] = pixel
             pos += 1
         elif s < 280:
+            br.buf, br.nbits, br.pos = buf, nbits, bp
             length = _prefix_value(s - 256, br)
-            dcode = _prefix_value(g[4].read(br), br)
+            dcode = _prefix_value(g4.read(br), br)
+            buf, nbits, bp = br.buf, br.nbits, br.pos
             if dcode > 120:
                 dist = dcode - 120
             else:
@@ -321,21 +386,32 @@ def _decode_entropy_coded(br, w, h, is_level0):
                     dist = 1
             if dist > pos or pos + length > total:
                 raise ValueError("LZ77 reference out of range (corrupt VP8L)")
-            for _ in range(length):  # sequential: overlap is legal
-                pixel = int(px[pos - dist])
-                px[pos] = pixel
-                if cache is not None:
+            if cache is None:
+                # C-level block copies in dist-sized chunks: each
+                # chunk's source span ends at (or before) the write
+                # cursor, so overlap degenerates to repeating the
+                # dist-sized period exactly as the scalar loop would
+                while length:
+                    n_copy = min(length, dist)
+                    px[pos : pos + n_copy] = px[pos - dist : pos - dist + n_copy]
+                    pos += n_copy
+                    length -= n_copy
+            else:
+                for _ in range(length):  # sequential: overlap is legal
+                    pixel = px[pos - dist]
+                    px[pos] = pixel
                     cache[(pixel * 0x1E35A7BD & 0xFFFFFFFF) >> cache_shift] = pixel
-                pos += 1
+                    pos += 1
         else:
             if cache is None:
                 raise ValueError("color-cache symbol without a cache")
             idx = s - 280
-            if idx >= cache.shape[0]:
+            if idx >= cache_len:
                 raise ValueError("color-cache index out of range")
             px[pos] = cache[idx]
             pos += 1
-    return px
+    br.buf, br.nbits, br.pos = buf, nbits, bp  # the caller reads on
+    return np.frombuffer(px, dtype=np.uint32).copy()
 
 
 # -------------------------------------------------------------- transforms
