@@ -84,7 +84,16 @@ def prepare_increment_dir(spark, base: str, increment_id: str) -> "str | None":
     A directory left behind by a crashed write (present, no
     ``_SUCCESS``) is cleared so the retry starts clean — its partial
     files were visible to readers until now, which is why retrying a
-    failed increment promptly matters."""
+    failed increment promptly matters.
+
+    CONTRACT (r7 review): at most ONE live writer per increment_id.
+    Two drivers retrying the same increment can interleave this
+    clear-then-write sequence, and a dead writer's stray part files
+    could land inside the directory the survivor then commits with
+    ``_SUCCESS``. Retries of a crashed driver are safe (the crashed
+    process is gone before the retry starts — the streaming
+    foreachBatch model); concurrent ingestion jobs must partition the
+    increment_id space or serialize externally."""
     target = increment_dir(base, increment_id)
     if fs_exists(spark, target + "/_SUCCESS"):
         return None
