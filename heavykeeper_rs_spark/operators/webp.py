@@ -310,7 +310,6 @@ def _decode_entropy_coded(br, w, h, is_level0):
     buf = br.buf
     nbits = br.nbits
     bp = br.pos
-    literal_trees = (g0, g1, g2, g3)
     while pos < total:
         if pos & 0xFFF == 0 and (bp << 3) - nbits > (dlen << 3):
             # fail FAST on truncation: fabricated zero bits decode as
@@ -321,7 +320,6 @@ def _decode_entropy_coded(br, w, h, is_level0):
         if not single:
             y, x = divmod(pos, w)
             g0, g1, g2, g3, g4 = groups[int(meta[y >> meta_bits, x >> meta_bits])]
-            literal_trees = (g0, g1, g2, g3)
         # --- inline g0.read ---
         nb = g0.nbits
         if nb == 0:
